@@ -1,0 +1,21 @@
+"""Crawl configuration (reference config/default.yaml + utils/config.py:31-57).
+
+Mirrors oracle.simulator.SimConfig — keep field semantics in sync; tests run
+both engines with identical values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 3          # crawler.max_depth default (config.py:33)
+    max_pages: int = 1000       # crawler.max_pages default (config.py:34)
+    default_delay: float = 1.0  # rate_limit_delay default (config.py:35)
+    horizon: float = 30.0       # virtual seconds per scheduling round
+    max_rounds: int = 50        # driver loop guard (engine.py:284-298 analog)
+    max_attempts: int = 3       # retry cap (queue.py:369)
+    n_host_buckets: int = 16    # frontier partition buckets (4096 at 10^10 scale)
+    salt_buckets: int = 8       # hot-host salting for the politeness window

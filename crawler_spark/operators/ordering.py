@@ -1,0 +1,89 @@
+"""Scalable global ordering / sequencing / per-key top-k (SURVEY.md O1).
+
+The frontier ordering contract (priority DESC, depth ASC, discovered_at ASC
+— reference queue.py:48-56, persistent_queue.py:145) needs two operators the
+naive Spark translation gets wrong at scale:
+
+1. ``with_global_seq`` — assign a contiguous 0-based sequence in a total
+   order WITHOUT collapsing to a single-partition window: range-partition on
+   the sort key, count rows per partition (tiny driver-side collect),
+   cumulative offsets, then a per-partition row_number. This is the standard
+   distributed rank pattern; a bare ``row_number().over(Window.orderBy(...))``
+   funnels the whole round through one task.
+
+2. ``top_per_key`` — per-host politeness admission (top-budget rows per host)
+   with hot-host skew handled by a two-phase refinement: phase 1 ranks within
+   (host, salt) and keeps per-salt top-k (a superset of the true per-host
+   top-k, since the global per-host top-k rows are each in some salt's local
+   top-k); phase 2 ranks the reduced survivor set exactly. The phase-1 window
+   partitions a hot host across ``salt_buckets`` tasks instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_seq(df: DataFrame, order_exprs: list[Column], seq_col: str = "seq") -> DataFrame:
+    """Contiguous 0-based sequence in the total order given by order_exprs.
+
+    The result is materialized from a cached intermediate; callers should
+    write it out promptly (the round plan stages it to parquet immediately,
+    which also truncates lineage).
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.repartitionByRange(n, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
+    if not counts:
+        d.unpersist()
+        return df.withColumn(seq_col, F.lit(None).cast("long"))
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    return (
+        d.withColumn(
+            seq_col,
+            (F.element_at(mapping, F.col("_pid")) + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+def top_per_key(
+    df: DataFrame,
+    key: str,
+    order_exprs: list[Column],
+    limit_col: Column,
+    salt_on: str = "canonical",
+    salt_buckets: int = 8,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Keep the top-``limit_col`` rows per ``key`` in the given order.
+
+    ``limit_col`` may vary per row (it is a per-host politeness budget).
+    Two-phase: per-(key, salt) prefilter, then exact per-key rank. Correct
+    because each true per-key top-k row is within its own salt bucket's
+    top-k. ``salt_on`` names a row-identity column whose xxhash64 provides
+    a deterministic salt.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets)))
+    w1 = Window.partitionBy(key, "_salt").orderBy(*order_exprs)
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= limit_col)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order_exprs)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).where(
+        F.col(rank_col) <= limit_col
+    )

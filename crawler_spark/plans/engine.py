@@ -1,0 +1,146 @@
+"""Multi-round crawl driver loop (SURVEY.md X1, §7 step 5).
+
+The reference's continuous asyncio loop (core/engine.py:271-375) becomes a
+deterministic ``for round`` loop; each iteration is one ``plans.round``
+commit group. Termination mirrors engine.py:377-386: empty frontier, page
+budget reached, or the iteration guard.
+
+Kill-and-resume (X5): all state lives in the snapshot catalog; rerunning
+``run_crawl`` on the same workdir continues from the last committed round —
+no re-fetching, no politeness violation, because rounds are atomic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.config import CrawlConfig
+from crawler_spark.functions.urls import canonicalize_url, host_of, normalize_url
+from crawler_spark.plans.round import FRONTIER_COLS, run_round
+from crawler_spark.tables import SnapshotCatalog
+
+_SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("canonical", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("parent", T.StringType(), True),
+        T.StructField("discovered_at", T.LongType(), False),
+        T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("scheduled_at", T.DoubleType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+def init_state(
+    spark: SparkSession, catalog: SnapshotCatalog, seeds: list[dict], cfg: CrawlConfig
+) -> None:
+    """Seed the frontier (priority 10, depth 0 — engine.py:249-257).
+
+    Seeds are normalized, canonicalized and first-occurrence-deduped on the
+    driver (a seed list is CLI-sized by nature); hashes/buckets are computed
+    by the same Spark expressions the rounds use.
+    """
+    rows, seen = [], set()
+    for i, s in enumerate(seeds):
+        norm = normalize_url(s["url"])
+        if norm is None:
+            continue
+        canon = canonicalize_url(norm)
+        if canon in seen:
+            continue
+        seen.add(canon)
+        rows.append(
+            (norm, canon, host_of(canon), s.get("depth", 0), s.get("priority", 10),
+             None, i, 0, 0.0, "pending")
+        )
+    df = (
+        spark.createDataFrame(rows, _SEED_SCHEMA)
+        .withColumn("url_hash", F.xxhash64(F.col("canonical")))
+        .withColumn(
+            "host_bucket",
+            F.pmod(F.xxhash64(F.col("host")), F.lit(cfg.n_host_buckets)).cast("int"),
+        )
+        .select(*FRONTIER_COLS)
+    )
+    commit = catalog.begin(-1)
+    commit.stage_replace("frontier", df, partition_by=["host_bucket"])
+    commit.stage_replace("url_seen", df.select("canonical", "url_hash"))
+    commit.set_metrics(seeds=len(rows))
+    commit.commit()
+
+
+def run_crawl(
+    spark: SparkSession,
+    workdir: str,
+    documents_df: DataFrame,
+    robots_df: DataFrame,
+    seeds: list[dict],
+    cfg: CrawlConfig | None = None,
+) -> dict:
+    """Run (or resume) a crawl to completion. Returns summary stats."""
+    cfg = cfg or CrawlConfig()
+    catalog = SnapshotCatalog(workdir)
+    if catalog.current_manifest() is None:
+        init_state(spark, catalog, seeds, cfg)
+
+    scheduled_total = sum(
+        m.get("scheduled", 0) for m in catalog.metrics_history()
+    )
+    rnd = catalog.current_round() + 1
+    rounds, stopped = [], None
+    while rnd < cfg.max_rounds:
+        m = run_round(spark, catalog, documents_df, robots_df, cfg, rnd, scheduled_total)
+        if m.get("stopped"):
+            stopped = m["stopped"]
+            break
+        if not m.get("advanced"):
+            scheduled_total += m["scheduled"]
+            rounds.append({"round": rnd, **m})
+        rnd += 1
+    else:
+        stopped = "max_rounds"
+    return {
+        "stopped": stopped,
+        "rounds": rounds,
+        "scheduled_total": scheduled_total,
+        "last_round": rnd - 1,
+    }
+
+
+# -- state readers for tests / analytics --------------------------------------
+
+def read_crawl_order(spark: SparkSession, workdir: str):
+    """[(round, seq, canonical)] in crawl order."""
+    df = SnapshotCatalog(workdir).read(spark, "crawl_order")
+    if df is None:
+        return []
+    rows = df.select("round", "seq", "canonical").orderBy("round", "seq").collect()
+    return [(r["round"], r["seq"], r["canonical"]) for r in rows]
+
+
+def read_url_seen(spark: SparkSession, workdir: str) -> set[str]:
+    df = SnapshotCatalog(workdir).read(spark, "url_seen")
+    return set() if df is None else {r["canonical"] for r in df.select("canonical").collect()}
+
+
+def read_word_frequencies(spark: SparkSession, workdir: str) -> dict:
+    df = SnapshotCatalog(workdir).read(spark, "word_frequencies")
+    out: dict[str, dict[str, int]] = {}
+    if df is None:
+        return out
+    for r in df.collect():
+        out.setdefault(r["canonical"], {})[r["word"]] = r["frequency"]
+    return out
+
+
+def read_frontier_statuses(spark: SparkSession, workdir: str) -> dict:
+    df = SnapshotCatalog(workdir).read(spark, "frontier")
+    if df is None:
+        return {}
+    return {r["canonical"]: r["status"] for r in df.select("canonical", "status").collect()}

@@ -1,0 +1,304 @@
+"""One scheduling round — the physical plan of SURVEY.md §4.
+
+    pending  -> robots filter -> per-host politeness budget (salted top-k)
+             -> global budget + global crawl-order sequence
+             -> simulated fetch (left join against documents)
+             -> extraction / word-frequency / link discovery
+             -> canonicalize -> in-round dedup -> anti-join vs url_seen
+             -> one atomic snapshot commit (frontier MERGE + appends)
+
+Semantics: the deterministic round contract in oracle/simulator.py (module
+docstring), which virtualizes the reference's wall-clock loop
+(core/engine.py:271-375, url_management/queue.py:231-330).
+
+Scale notes (the parts that must survive 1000 executors / 10^10 URLs):
+- politeness admission uses the salted two-phase per-host top-k
+  (operators/ordering.top_per_key) so one hot host cannot serialize a round;
+- the global crawl-order sequence uses range-partition + offsets
+  (with_global_seq), never a single-partition window;
+- the round's scheduled set is staged to parquet and read back before the
+  fetch join — lineage truncation for the iterative loop AND single
+  evaluation of the ranking;
+- dedup is a left-anti join keyed on (xxhash64, canonical) — the 64-bit hash
+  drives partitioning, the string equality makes it exact at 10^10 rows
+  where 64-bit collisions are expected; Spark's runtime Bloom-filter join
+  (enabled in sparkutils) prunes the anti-join's build side;
+- frontier rewrite is partitioned by host_bucket (Iceberg: MERGE touching
+  only dirty buckets — see tables.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.config import CrawlConfig
+from crawler_spark.functions import text as X
+from crawler_spark.functions.urls import (
+    canonicalize_url_udf,
+    host_col,
+    is_valid_url_udf,
+    normalize_url_udf,
+    resolve_link_udf,
+)
+from crawler_spark.operators.ordering import top_per_key, with_global_seq
+from crawler_spark.tables import SnapshotCatalog
+
+FRONTIER_COLS = [
+    "url", "canonical", "url_hash", "host", "host_bucket", "depth",
+    "priority", "parent", "discovered_at", "attempts", "scheduled_at",
+    "status",
+]
+
+# O1 — the crawl-ordering contract (queue.py:48-56), canonical as tiebreak
+def order_exprs():
+    return [
+        F.desc("priority"),
+        F.asc("depth"),
+        F.asc("discovered_at"),
+        F.asc("canonical"),
+    ]
+
+
+def _robots_dims(robots_df: DataFrame):
+    """Split robots rules into a disallow-prefix dim and a crawl-delay dim."""
+    disallow = (
+        robots_df.where(~F.col("allow"))
+        .groupBy("host")
+        .agg(F.collect_list("path_prefix").alias("prefixes"))
+    )
+    delays = robots_df.groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
+    return disallow, delays
+
+
+def run_round(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    documents_df: DataFrame,
+    robots_df: DataFrame,
+    cfg: CrawlConfig,
+    rnd: int,
+    scheduled_total: int,
+) -> dict:
+    """Execute round ``rnd``; returns metrics. Commits atomically on success.
+
+    Returns {"stopped": reason} without committing when the crawl is done.
+    """
+    t0 = float(rnd) * cfg.horizon
+    frontier = catalog.read(spark, "frontier")
+    url_seen = catalog.read(spark, "url_seen")
+    assert frontier is not None and url_seen is not None, "catalog not initialized"
+
+    remaining = cfg.max_pages - scheduled_total
+    if remaining <= 0:
+        return {"stopped": "max_pages"}
+
+    pending = frontier.where(
+        (F.col("status") == "pending") & (F.col("scheduled_at") <= F.lit(t0))
+    )
+
+    # -- robots compliance (F7): broadcast dim join + prefix predicate -------
+    disallow, delays = _robots_dims(robots_df)
+    path = F.regexp_replace(F.col("canonical"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    with_rules = pending.join(F.broadcast(disallow), "host", "left")
+    denied = F.col("prefixes").isNotNull() & F.exists(
+        "prefixes", lambda p: path.startswith(p)
+    )
+    skipped = (
+        with_rules.where(denied)
+        .select(*[c for c in FRONTIER_COLS if c != "status"])
+        .withColumn("status", F.lit("skipped"))
+    )
+    allowed = with_rules.where(~denied).drop("prefixes")
+
+    # -- politeness budget (X2/X3/J2): floor(horizon / crawl_delay) ----------
+    budget = F.when(
+        F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay)) <= 0, F.lit(1 << 30)
+    ).otherwise(
+        F.floor(F.lit(cfg.horizon) / F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay)))
+    )
+    with_budget = allowed.join(F.broadcast(delays), "host", "left").withColumn("budget", budget)
+    admitted = top_per_key(
+        with_budget,
+        key="host",
+        order_exprs=order_exprs(),
+        limit_col=F.col("budget"),
+        salt_on="canonical",
+        salt_buckets=cfg.salt_buckets,
+    ).drop("budget", "crawl_delay", "rn")
+
+    admitted_cnt = admitted.count()
+    if admitted_cnt == 0:
+        # nothing admitted this round; if nothing is pending at all, stop —
+        # otherwise rows are backoff-delayed past t0: advance the virtual
+        # clock without committing (the skipped round re-runs on resume,
+        # deterministically and for free)
+        any_pending = (
+            frontier.where(F.col("status") == "pending").limit(1).count() > 0
+        )
+        if not any_pending:
+            return {"stopped": "frontier_empty"}
+        return {"stopped": None, "scheduled": 0, "advanced": True}
+
+    if admitted_cnt > remaining:
+        admitted = admitted.orderBy(*order_exprs()).limit(remaining)
+
+    scheduled = with_global_seq(admitted, order_exprs(), seq_col="seq").withColumn(
+        "round", F.lit(rnd)
+    )
+
+    commit = catalog.begin(rnd)
+    sched_path = commit.stage_append(
+        "crawl_order", scheduled.select("round", "seq", *FRONTIER_COLS)
+    )
+    sched = spark.read.parquet(sched_path)  # lineage truncation + single eval
+    scheduled_cnt = sched.count()
+
+    # -- simulated fetch (J8/S1): left join against the documents table ------
+    fetched = (
+        sched.join(documents_df, sched.canonical == documents_df.doc_id, "left")
+        .withColumn("success", F.col("doc_id").isNotNull())
+        .withColumn(
+            "text", F.when(F.col("success"), X.worker_clean_text(F.col("spans")))
+        )
+        .persist()
+    )
+
+    # -- pages sink (S7) ------------------------------------------------------
+    commit.stage_append(
+        "pages",
+        fetched.select(
+            "round", "seq", "canonical", "url", "host", "depth", "success", "text"
+        ),
+    )
+
+    # -- word frequencies (A1/S9) ---------------------------------------------
+    words = (
+        fetched.where("success")
+        .select("canonical", F.explode(X.tokens(F.col("text"))).alias("word"))
+        .groupBy("canonical", "word")
+        .agg(F.count("*").alias("frequency"))
+        .withColumn("round", F.lit(rnd))
+    )
+    commit.stage_append("word_frequencies", words)
+
+    # -- link discovery (T5/O6) -----------------------------------------------
+    parents = fetched.where(F.col("success") & (F.col("depth") < cfg.max_depth))
+    raw_links = (
+        parents.select(
+            F.col("seq").alias("parent_seq"),
+            F.col("canonical").alias("src"),
+            F.col("depth").alias("parent_depth"),
+            F.posexplode(X.link_spans(F.col("spans"))).alias("pos", "span"),
+        )
+        .withColumn("absolute", resolve_link_udf(F.col("span.text"), F.col("src")))
+        .where(F.col("absolute").isNotNull())
+        .where(is_valid_url_udf(F.col("absolute")))
+        .drop("span")
+    )
+    first_occurrence = Window.partitionBy("src", "absolute").orderBy("pos")
+    dedup_in_doc = (
+        raw_links.withColumn("_r", F.row_number().over(first_occurrence))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+    link_order = Window.partitionBy("src").orderBy("pos")
+    links = dedup_in_doc.withColumn(
+        "link_pos", (F.row_number().over(link_order) - 1).cast("long")
+    ).withColumn("round", F.lit(rnd))
+    commit.stage_append(
+        "links", links.select("round", "src", "absolute", "link_pos")
+    )
+
+    # -- new frontier candidates (F2/F3 -> J1 dedup anti-join) ----------------
+    candidates = (
+        links.withColumn("norm", normalize_url_udf(F.col("absolute")))
+        .where(F.col("norm").isNotNull())
+        .withColumn("canonical", canonicalize_url_udf(F.col("norm")))
+    )
+    in_round_first = Window.partitionBy("canonical").orderBy("parent_seq", "link_pos")
+    candidates = (
+        candidates.withColumn("_r", F.row_number().over(in_round_first))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+        .withColumn("url_hash", F.xxhash64(F.col("canonical")))
+    )
+    fresh = (
+        candidates.join(
+            url_seen,
+            (candidates.url_hash == url_seen.url_hash)
+            & (candidates.canonical == url_seen.canonical),
+            "left_anti",
+        )
+        .select(
+            F.col("norm").alias("url"),
+            "canonical",
+            "url_hash",
+            host_col(F.col("canonical")).alias("host"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.lit(5).alias("priority"),  # discovered-link priority (engine.py:613)
+            F.col("src").alias("parent"),
+            (
+                F.lit((rnd + 1) * 10**13)
+                + F.col("parent_seq") * F.lit(10**6)
+                + F.col("link_pos")
+            ).cast("long").alias("discovered_at"),
+            F.lit(0).alias("attempts"),
+            F.lit(float((rnd + 1) * cfg.horizon)).alias("scheduled_at"),
+            F.lit("pending").alias("status"),
+        )
+        .withColumn("host_bucket", F.pmod(F.xxhash64(F.col("host")), F.lit(cfg.n_host_buckets)).cast("int"))
+        .select(*FRONTIER_COLS)
+        .persist()
+    )
+
+    commit.stage_append("url_seen", fresh.select("canonical", "url_hash"))
+
+    # -- outcome rows for the scheduled set (X4 retry / completed / failed) ---
+    new_attempts = F.col("attempts") + 1
+    outcomes = fetched.select(
+        *[c for c in FRONTIER_COLS if c not in ("status", "attempts", "priority", "scheduled_at")],
+        F.when(F.col("success"), F.col("attempts")).otherwise(new_attempts).alias("attempts"),
+        F.when(F.col("success") | (new_attempts >= cfg.max_attempts), F.col("priority"))
+        .otherwise(F.col("priority") - 1)
+        .alias("priority"),
+        F.when(F.col("success") | (new_attempts >= cfg.max_attempts), F.col("scheduled_at"))
+        .otherwise(F.lit(t0) + F.pow(F.lit(2.0), new_attempts.cast("double")))
+        .alias("scheduled_at"),
+        F.when(F.col("success"), F.lit("completed"))
+        .when(new_attempts >= cfg.max_attempts, F.lit("failed"))
+        .otherwise(F.lit("pending"))
+        .alias("status"),
+    ).select(*FRONTIER_COLS)
+
+    touched = sched.select("canonical").union(skipped.select("canonical"))
+    untouched = frontier.join(touched, "canonical", "left_anti")
+    new_frontier = (
+        untouched.select(*FRONTIER_COLS)
+        .unionByName(outcomes)
+        .unionByName(skipped.select(*FRONTIER_COLS))
+        .unionByName(fresh)
+    )
+    commit.stage_replace("frontier", new_frontier, partition_by=["host_bucket"])
+
+    completed_cnt = fetched.where("success").count()
+    fresh_cnt = fresh.count()
+    skipped_cnt = skipped.count()
+    commit.set_metrics(
+        scheduled=scheduled_cnt,
+        completed=completed_cnt,
+        failed_or_retry=scheduled_cnt - completed_cnt,
+        skipped=skipped_cnt,
+        fresh=fresh_cnt,
+        t0=t0,
+    )
+    commit.commit()
+    fetched.unpersist()
+    fresh.unpersist()
+    return {
+        "stopped": None,
+        "scheduled": scheduled_cnt,
+        "completed": completed_cnt,
+        "fresh": fresh_cnt,
+        "skipped": skipped_cnt,
+    }

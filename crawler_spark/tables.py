@@ -1,0 +1,179 @@
+"""Snapshot-committed table catalog — Iceberg semantics on plain parquet.
+
+The production design (SURVEY.md §1.3, §4) stores frontier / url_seen /
+pages / word_frequencies / links / metrics in **Iceberg** tables: one atomic
+snapshot commit per scheduling round gives per-partition lineage, metrics,
+and kill-and-resume for free (reference checkpointing: storage/
+persistent_queue.py:196-261, virtualized per SURVEY.md X5).
+
+This sandbox ships no Iceberg runtime, so this module reproduces the exact
+commit semantics on parquet + JSON manifests:
+
+    <root>/
+      CURRENT                      -> text file naming the committed manifest
+      _commits/commit-<n>.json     -> {round, tables: {name: [data dirs]},
+                                       metrics, lineage}
+      <table>/d<commit>-<k>/       -> immutable parquet data dirs
+
+Commit protocol (same guarantees as an Iceberg transaction group):
+ 1. all DataFrames of the round are written to NEW data dirs (never
+    overwritten — reads of the previous snapshot stay valid),
+ 2. the new manifest is written to _commits/,
+ 3. CURRENT is atomically os.replace()'d to point at it.
+
+A killed job leaves orphan data dirs that no manifest references; the next
+run resumes from CURRENT as if the partial round never happened — rounds are
+atomic, so the reference's "stuck processing" recovery (database.py:694-715)
+has no analog here.
+
+Each round also re-reads state from parquet rather than chaining DataFrame
+lineage across rounds — the commit doubles as a lineage truncation point,
+which is what keeps an iterative Spark driver loop's plans from growing
+without bound.
+
+Iceberg mapping (for a real cluster):
+  stage_replace(frontier)  -> MERGE INTO frontier USING round_results
+  stage_append(pages, ...) -> df.writeTo(t).append()
+  CURRENT/manifests        -> Iceberg snapshot + metadata JSON
+  resume                   -> read last committed snapshot (time travel)
+At 10^10-URL scale the frontier is bucketed by xxhash64(host) into 4096
+partitions (Iceberg `bucket(4096, host_hash)`); a MERGE rewrites only the
+buckets touched by a round instead of the stage_replace full rewrite used
+at sandbox scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+
+    # -- snapshot state --------------------------------------------------
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def current_manifest(self) -> dict | None:
+        cur = self._current_path()
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.root, "_commits", name)) as f:
+            return json.load(f)
+
+    def current_round(self) -> int:
+        """Highest committed round, or -1 before any commit."""
+        m = self.current_manifest()
+        return -1 if m is None else m["round"]
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        m = self.current_manifest()
+        if m is None or table not in m["tables"] or not m["tables"][table]:
+            return None
+        paths = [os.path.join(self.root, p) for p in m["tables"][table]]
+        return spark.read.parquet(*paths)
+
+    def metrics_history(self) -> list[dict]:
+        out = []
+        commits = sorted(os.listdir(os.path.join(self.root, "_commits")))
+        for name in commits:
+            with open(os.path.join(self.root, "_commits", name)) as f:
+                m = json.load(f)
+            out.append({"round": m["round"], **m.get("metrics", {})})
+        return out
+
+    # -- commit protocol ---------------------------------------------------
+
+    def begin(self, round_no: int) -> "RoundCommit":
+        return RoundCommit(self, round_no)
+
+    def expire_orphans(self) -> int:
+        """X6 maintenance: delete data dirs not referenced by CURRENT."""
+        m = self.current_manifest()
+        referenced = set()
+        if m:
+            for dirs in m["tables"].values():
+                referenced.update(dirs)
+        removed = 0
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if table in ("_commits",) or not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                rel = f"{table}/{d}"
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    removed += 1
+        return removed
+
+
+class RoundCommit:
+    """One atomic commit group: stage writes, then commit() or abandon."""
+
+    def __init__(self, catalog: SnapshotCatalog, round_no: int):
+        self.catalog = catalog
+        self.round_no = round_no
+        prev = catalog.current_manifest()
+        self.tables: dict[str, list[str]] = (
+            {k: list(v) for k, v in prev["tables"].items()} if prev else {}
+        )
+        self.metrics: dict = {}
+        self.lineage: dict = {}
+        self._committed = False
+
+    def _write(self, table: str, df: DataFrame, partition_by: list[str] | None) -> str:
+        rel = f"{table}/d{self.round_no}-{uuid.uuid4().hex[:8]}"
+        writer = df.write
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.catalog.root, rel))
+        return rel
+
+    def stage_append(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        """Stage an append; returns the absolute path of the new data dir."""
+        rel = self._write(table, df, partition_by)
+        self.tables.setdefault(table, []).append(rel)
+        self.lineage.setdefault(table, []).append({"op": "append", "dir": rel})
+        return os.path.join(self.catalog.root, rel)
+
+    def stage_replace(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        """Stage a full replace (Iceberg MERGE analog at sandbox scale)."""
+        rel = self._write(table, df, partition_by)
+        self.tables[table] = [rel]
+        self.lineage.setdefault(table, []).append({"op": "replace", "dir": rel})
+        return os.path.join(self.catalog.root, rel)
+
+    def set_metrics(self, **metrics) -> None:
+        self.metrics.update(metrics)
+
+    def commit(self) -> None:
+        assert not self._committed
+        name = f"commit-{self.round_no:06d}.json"
+        manifest = {
+            "round": self.round_no,
+            "tables": self.tables,
+            "metrics": self.metrics,
+            "lineage": self.lineage,
+        }
+        path = os.path.join(self.catalog.root, "_commits", name)
+        with open(path, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self.catalog._current_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.catalog._current_path())
+        self._committed = True

@@ -1,0 +1,129 @@
+"""Full-crawl parity: Spark engine vs pure-Python oracle simulator.
+
+Golden invariants (SURVEY.md §5): crawl-order equality, URL-seen set
+equality, per-page word-frequency equality, frontier status equality,
+politeness invariant, dedup invariant, and kill-and-resume equivalence.
+"""
+
+import pytest
+
+from crawler_spark.config import CrawlConfig
+from crawler_spark.plans.engine import (
+    read_crawl_order,
+    read_frontier_statuses,
+    read_url_seen,
+    read_word_frequencies,
+    run_crawl,
+)
+from crawler_spark.sources.corpus import gen_corpus, to_documents_df, to_robots_df
+from oracle.simulator import CrawlSimulator, SimConfig
+
+
+CFG = dict(max_depth=2, max_pages=120, default_delay=1.0, horizon=30.0, max_rounds=12)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen_corpus(hosts=4, pages_per_host=12, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    documents, seeds, robots = corpus
+    return CrawlSimulator(documents, seeds, robots, SimConfig(**CFG)).run()
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, corpus, tmp_path_factory):
+    documents, seeds, robots = corpus
+    workdir = str(tmp_path_factory.mktemp("crawl"))
+    summary = run_crawl(
+        spark,
+        workdir,
+        to_documents_df(spark, documents),
+        to_robots_df(spark, robots),
+        seeds,
+        CrawlConfig(**CFG),
+    )
+    return workdir, summary
+
+
+def test_crawl_order_equality(spark, engine_result, oracle_result):
+    workdir, _ = engine_result
+    got = read_crawl_order(spark, workdir)
+    expected = oracle_result.crawl_order
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_url_seen_equality(spark, engine_result, oracle_result):
+    workdir, _ = engine_result
+    assert read_url_seen(spark, workdir) == oracle_result.url_seen
+
+
+def test_word_frequencies_equality(spark, engine_result, oracle_result):
+    workdir, _ = engine_result
+    got = read_word_frequencies(spark, workdir)
+    assert set(got) == set(oracle_result.word_freq)
+    for url, freq in oracle_result.word_freq.items():
+        assert got[url] == freq, url
+
+
+def test_frontier_status_equality(spark, engine_result, oracle_result):
+    workdir, _ = engine_result
+    got = read_frontier_statuses(spark, workdir)
+    expected = {c: e.status for c, e in oracle_result.frontier.items()}
+    assert got == expected
+
+
+def test_dedup_invariant(spark, engine_result):
+    """url_seen has no duplicate canonical URLs; crawl order never repeats."""
+    from crawler_spark.tables import SnapshotCatalog
+
+    workdir, _ = engine_result
+    seen_df = SnapshotCatalog(workdir).read(spark, "url_seen")
+    assert seen_df.count() == seen_df.select("canonical").distinct().count()
+    order = read_crawl_order(spark, workdir)
+    urls = [c for (_, _, c) in order]
+    # a URL may be scheduled again only as a retry (failure); completed URLs never repeat
+    statuses = read_frontier_statuses(spark, workdir)
+    completed = [u for u in urls if statuses.get(u) == "completed"]
+    assert len(completed) == len(set(completed))
+
+
+def test_politeness_invariant(spark, engine_result, corpus):
+    """No host is scheduled more than floor(horizon/delay) times per round."""
+    import math
+
+    _, seeds, robots = corpus
+    delays = {r["host"]: r["crawl_delay"] for r in robots if r["crawl_delay"] is not None}
+    workdir, _ = engine_result
+    order = read_crawl_order(spark, workdir)
+    from crawler_spark.functions.urls import host_of
+
+    per_round_host: dict = {}
+    for rnd, _, canon in order:
+        key = (rnd, host_of(canon))
+        per_round_host[key] = per_round_host.get(key, 0) + 1
+    for (rnd, host), n in per_round_host.items():
+        d = delays.get(host, CFG["default_delay"])
+        budget = (1 << 30) if d <= 0 else int(math.floor(CFG["horizon"] / d))
+        assert n <= budget, (rnd, host, n, budget)
+
+
+def test_resume_equivalence(spark, corpus, oracle_result, tmp_path_factory):
+    """Stop after 2 rounds, resume with full budget -> identical final state."""
+    documents, seeds, robots = corpus
+    workdir = str(tmp_path_factory.mktemp("resume"))
+    docs_df, robots_df = to_documents_df(spark, documents), to_robots_df(spark, robots)
+
+    partial_cfg = CrawlConfig(**{**CFG, "max_rounds": 2})
+    run_crawl(spark, workdir, docs_df, robots_df, seeds, partial_cfg)
+    partial_order = read_crawl_order(spark, workdir)
+    assert 0 < len(partial_order) < len(oracle_result.crawl_order)
+
+    run_crawl(spark, workdir, docs_df, robots_df, seeds, CrawlConfig(**CFG))
+    assert read_crawl_order(spark, workdir) == oracle_result.crawl_order
+    assert read_url_seen(spark, workdir) == oracle_result.url_seen
+    statuses = read_frontier_statuses(spark, workdir)
+    assert statuses == {c: e.status for c, e in oracle_result.frontier.items()}
