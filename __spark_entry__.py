@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship analytics query (the reference's headline
+top-words aggregation, storage/database.py:422-433) on sf0.001.
+``queries()`` / ``oracle_sql()`` expose the full operator registry from
+``crawler_spark.queries`` — one entry per implemented operator family of
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text analysis /
+multimodal). Entries without SQL twins (the iterative crawl loop) are
+rows-only checked by the driver; their semantics are verified against the
+pure-Python oracle simulator in tests/.
 """
 
 from __future__ import annotations
@@ -16,23 +19,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from crawler_spark.queries import q_word_topk
+
+    return q_word_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from crawler_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI-SQL twin for each SQL-expressible query."""
+    from crawler_spark.queries import REGISTRY
+
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

@@ -1,0 +1,270 @@
+"""Document deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference dedups only URLs (md5-hash set + Bloom filter,
+/root/reference/src/crawler/url_management/queue.py:59-103,161-177). A
+training-data pipeline over the crawled corpus additionally needs *content*
+dedup; these operators provide it Spark-first, all expressible as
+groupBy/join/window plans (no Python on the hot path) and all value-checkable
+against DuckDB oracle SQL via the portable :mod:`crawler_spark.functions.hashing`.
+
+Scale design (100 TB / 10^10 docs):
+- every operator keys its shuffles on a 60-bit integer hash, never raw text;
+- MinHash+LSH is the scale path for near-dup: cost is O(docs * K) for
+  signatures plus a shuffle keyed on (band, band-signature) whose groups are
+  true candidate buckets — no all-pairs stage ever materializes;
+- the verify stage joins only LSH candidates against per-doc shingle sets
+  (both sides hash-partitioned on doc id);
+- SimHash candidates use the pigeonhole chunk trick: hamming(a,b) <= d means
+  at least one of d+1 bit-chunks is equal, so candidates come from d+1
+  equality-joins on chunk values (again: no cross join);
+- n-gram Jaccard without LSH (``ngram_jaccard_pairs``) joins on shared
+  shingles — exact but quadratic in per-shingle document frequency; it is the
+  small-scale oracle twin, with a document-frequency cap to keep the
+  hot-shingle blowup bounded (drop shingles appearing in > df_cap docs:
+  standard "stop-shingle" pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.hashing import (
+    LSH_BAND_SIZE,
+    MERSENNE_P,
+    MINHASH_K,
+    hash60,
+    minhash_term,
+)
+
+TOKEN_RE = "[a-z]+"  # analyzer.py:60 word pattern, lowercased input
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact content dedup: group by text hash, keep the smallest id.
+
+    Returns (text_hash, keep_id, dup_count). Shuffle is keyed on the 60-bit
+    hash; the full text never travels.
+    """
+    return (
+        df.select(hash60(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id"))
+        .groupBy("text_hash")
+        .agg(F.min("_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word-``n``-gram shingles per document, as reduced 31-bit hashes.
+
+    Returns (doc, sh) where sh = hash60(shingle) % MERSENNE_P, distinct per doc.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    n_sh = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    idx = F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingles)).alias("s"))
+        .select("doc", F.pmod(hash60(F.col("s")), F.lit(MERSENNE_P)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signature(shingles: DataFrame) -> DataFrame:
+    """K-permutation MinHash signature per doc: (doc, mh0..mh{K-1}).
+
+    One shuffle: groupBy(doc) with K min-aggregates (map-side partial aggs).
+    """
+    aggs = [minhash_term(i, F.col("sh")).alias(f"_h{i}") for i in range(MINHASH_K)]
+    return (
+        shingles.select("doc", *aggs)
+        .groupBy("doc")
+        .agg(*[F.min(f"_h{i}").alias(f"mh{i}") for i in range(MINHASH_K)])
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one LSH band signature.
+
+    Bands of LSH_BAND_SIZE rows; the shuffle key is the band signature string
+    so each reduce group is one candidate bucket. Buckets are deduped into
+    ordered pairs. At 10^10 docs a runaway bucket (pathological corpus) is
+    bounded by AQE skew split; the per-bucket pair expansion is the standard
+    LSH cost model.
+    """
+    n_bands = MINHASH_K // LSH_BAND_SIZE
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * LSH_BAND_SIZE + j}") for j in range(LSH_BAND_SIZE)]
+        bands.append(F.concat_ws(":", F.lit(str(b)), *[c.cast("string") for c in cols]))
+    keyed = signatures.select("doc", F.explode(F.array(*bands)).alias("band"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Returns (doc_a, doc_b, jaccard_pct) with doc_a < doc_b and
+    jaccard >= threshold. jaccard_pct is rounded to an integer percentage so
+    the value-hash comparison with the oracle is float-safe.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    sig = minhash_signature(sh)
+    cand = lsh_candidate_pairs(sig)
+    j = _pair_jaccard(cand, sh)
+    return (
+        j.where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round(F.col("jaccard") * 100).cast("int").alias("jaccard_pct"))
+    )
+
+
+def _pair_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — intersection via double join on shingle hash."""
+    sa = shingles.select(F.col("doc").alias("doc_a"), F.col("sh"))
+    sb = shingles.select(F.col("doc").alias("doc_b"), F.col("sh"))
+    inter = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "sh"]).groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    )
+    sizes = shingles.groupBy("doc").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 1_000_000,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard over docs sharing >= 1 shingle.
+
+    ``df_cap`` drops stop-shingles (document frequency above the cap) before
+    the pair expansion — at web scale the expansion is quadratic in df, so the
+    cap is what keeps this runnable; LSH (minhash_lsh_dedup) is the true scale
+    path.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    w = Window.partitionBy("sh")
+    pruned = sh.withColumn("_df", F.count("*").over(w)).where(F.col("_df") <= df_cap).drop("_df")
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    j = _pair_jaccard(pairs, sh)  # sizes from the unpruned sets: exact Jaccard
+    return (
+        j.where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round(F.col("jaccard") * 100).cast("int").alias("jaccard_pct"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash (Charikar 2002) over token frequencies.
+
+    For each bit position b: sum over tokens of freq * (+1 if bit b of
+    hash60(token) set else -1); simhash bit b = 1 iff the sum > 0.
+    Plan: tokenize -> explode -> (doc, token) counts -> explode bit positions
+    -> one groupBy(doc). Returns (doc, simhash:long).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("tok"))
+        .groupBy("doc", "tok")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("th", hash60(F.col("tok")))
+    )
+    pos = tf.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "freq",
+        "th",
+    ).select(
+        "doc",
+        "b",
+        F.when(F.expr("(th >> b) & 1") == 1, F.col("freq"))
+        .otherwise(-F.col("freq"))
+        .alias("w"),
+    )
+    return (
+        pos.groupBy("doc", "b")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    sim: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates via the pigeonhole trick: split the ``bits``-bit hash into
+    ``max_hamming + 1`` chunks; any pair within the hamming budget agrees on
+    at least one chunk, so candidates come from equality joins on
+    (chunk_index, chunk_value) — never a cross join. Returns
+    (doc_a, doc_b, hamming).
+    """
+    n_chunks = max_hamming + 1
+    widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
+    offs, acc = [], 0
+    for w in widths:
+        offs.append(acc)
+        acc += w
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), offs[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = sim.select("doc", "simhash", F.posexplode(chunks).alias("ci", "cv"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

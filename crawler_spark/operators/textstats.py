@@ -1,0 +1,117 @@
+"""Text analysis operators — language-ID, quality scoring, token counts,
+document fingerprinting.
+
+These extend the reference's content pipeline (processor.py quality metrics at
+/root/reference/src/crawler/content/processor.py:338-378, analyzer word stats
+at content/analyzer.py:93-122) with the operations a training-data pipeline
+runs over a crawled corpus. Everything is pure column expressions inside
+whole-stage codegen — no Python UDFs — and every operator has a DuckDB oracle
+twin in crawler_spark.queries.
+
+Language ID is the classic stopword-profile heuristic (Cavnar & Trenkle-style
+rank profiles reduced to a coverage score): the fraction of tokens that are
+English function words. It is deliberately deterministic and SQL-expressible;
+a production system would swap in fastText behind the same column contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.hashing import hash60, minhash_term
+from crawler_spark.functions.text import STOPWORDS
+
+TOKEN_RE = "[a-z]+"
+
+# English function-word profile used by the language-ID vote. Distinct from
+# the analyzer STOPWORDS (that set is a *filter*; this one is a *signal*).
+EN_MARKERS = (
+    "the", "and", "of", "to", "in", "is", "that", "for", "with", "are",
+    "was", "this", "they", "from", "have", "has", "not", "you", "his", "her",
+)
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), F.lit(0))
+
+
+def with_lang_id(df: DataFrame, text_col: str, threshold: float = 0.05) -> DataFrame:
+    """Add ``pred_lang``: 'en' if the English-marker token ratio >= threshold.
+
+    ratio = |tokens in EN_MARKERS| / |tokens| (0 when the doc has no tokens).
+    """
+    toks = _tokens(F.col(text_col))
+    n_mark = F.size(F.filter(toks, lambda t: t.isin(*EN_MARKERS)))
+    ratio = F.when(F.size(toks) > 0, n_mark / F.size(toks)).otherwise(F.lit(0.0))
+    return df.withColumn(
+        "pred_lang", F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
+    )
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality scoring: char/word/sentence counts, ratios, validity.
+
+    - word_count / char counts mirror processor.py:338-349 content density;
+    - sentence_count uses the reference's deterministic fallback
+      ``[.!?]+`` splitter (processor.py:351-362);
+    - stopword_ratio over the analyzer stopword set (analyzer.py:47-57);
+    - is_valid applies the F11 thresholds (processor.py:364-378):
+      >= 100 chars and 10 <= words <= 50000.
+    Ratios are rounded to 4 dp so oracle value-hashing is float-safe.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.length(text).alias("char_count"),
+        n_tok.alias("word_count"),
+        F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), F.lit(0))).alias("sentence_count"),
+        F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 4).alias("stopword_ratio"),
+        F.round(F.when(F.length(text) > 0, alpha_chars / F.length(text)).otherwise(F.lit(0.0)), 4).alias("alpha_ratio"),
+        F.round(F.when(F.length(text) > 0, punct_chars / F.length(text)).otherwise(F.lit(0.0)), 4).alias("punct_ratio"),
+        (
+            (F.length(text) >= 100) & (n_tok >= 10) & (n_tok <= 50_000)
+        ).alias("is_valid"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens, alpha tokens, and BPE-ish piece counts per doc.
+
+    pieces = runs of letters, runs of digits, or single other non-space chars
+    (a crude byte-pair proxy: the count an ASCII BPE would not exceed).
+    """
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")))
+    alpha = F.size(_tokens(text))
+    pieces = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        ws.alias("ws_tokens"),
+        alpha.alias("alpha_tokens"),
+        pieces.alias("pieces"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive 60-bit doc fingerprint + MinHash-style sketch value.
+
+    fp_xor  = bit_xor over hash60 of the doc's distinct tokens — a set
+              fingerprint (two docs with equal token sets collide by design).
+    fp_min  = min over tokens of the first MinHash permutation — a 1-wide
+              MinHash sketch usable as a cheap near-dup prefilter.
+    Both are one shuffle (groupBy doc) over the exploded token stream.
+    """
+    toks = _tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(toks)).alias("tok")
+    ).withColumn("th", hash60(F.col("tok")))
+    return exploded.groupBy("doc").agg(
+        F.bit_xor(F.col("th")).alias("fp_xor"),
+        F.min(minhash_term(0, F.pmod(F.col("th"), F.lit(2_147_483_647)))).alias("fp_min"),
+    )

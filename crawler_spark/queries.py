@@ -1,0 +1,659 @@
+"""Query registry: every checkable operator as (Spark callable, DuckDB oracle).
+
+This is the correctness surface the driver exercises: for each named entry,
+``spark_fn(spark, sf_dir)`` builds the DataFrame plan and ``sql`` (when not
+None) is the ANSI-SQL twin DuckDB runs on the same parquet files. Column
+names/aliases match exactly on both sides; floats are rounded identically so
+the order-insensitive value-hash comparison is stable.
+
+Coverage map (SURVEY.md §2):
+  word_topk / word_stats / word_length_dist / rare_words  -> A1 A2 A5 O2 O5 J6
+  doc_quality                                             -> F11 T7 T8
+  session_stats                                           -> A4 O8
+  hourly_activity                                         -> A7 O9
+  queue_distribution / top_sources                        -> A8 O3 A10
+  trend_slope                                             -> O7
+  frontier_ordering                                       -> O1 (salted top_per_key)
+  dedup_exact / dedup_minhash_lsh / dedup_simhash /
+    dedup_ngram_jaccard                                   -> training-data dedup
+  knn_cosine / ann_ivf                                    -> similarity search
+  lang_id / token_count / doc_fingerprint                 -> text analysis
+  media_features                                          -> multimodal plumbing
+  crawl_order_mini                                        -> X1-X5 end-to-end
+                                                             (no SQL twin: the
+                                                             iterative frontier
+                                                             loop is not a
+                                                             single query)
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import text as X
+from crawler_spark.functions.hashing import hash60_sql, minhash_term_sql
+from crawler_spark.operators import dedup, multimodal, similarity, textstats
+from crawler_spark.operators.ordering import top_per_key
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(set(X.STOPWORDS)))
+_EN_SQL = ", ".join(f"'{w}'" for w in textstats.EN_MARKERS)
+
+# Tokenizer twin of functions.text.tokens (analyzer.py:127-152): DuckDB RE2
+# \b == Java (?U)\b on the ASCII corpus; length 2..50; stopword filter.
+_WORDS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\b[a-z]+\\b')) AS word
+  FROM documents
+), words AS (
+  SELECT doc_id, word FROM toks
+  WHERE length(word) BETWEEN 2 AND 50 AND word NOT IN ({_STOP_SQL})
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) through the reference worker tokenizer (T3)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("word")
+    )
+
+
+# --------------------------------------------------------------------------
+# word-frequency analytics (the reference's headline analytics, database.py
+# :422-433,502-562; analyzer.py:93-122)
+# --------------------------------------------------------------------------
+
+def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tokens_df(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("total_freq"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("total_freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+SQL_WORD_TOPK = _WORDS_CTE + """
+SELECT word, count(*) AS total_freq, count(DISTINCT doc_id) AS n_docs
+FROM words GROUP BY word ORDER BY total_freq DESC, word LIMIT 20
+"""
+
+
+def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens_df(spark, sf_dir).agg(
+        F.count("*").alias("total_words"),
+        F.countDistinct("word").alias("unique_words"),
+        F.round(F.avg(F.length("word")), 4).alias("avg_word_len"),
+    )
+
+
+SQL_WORD_STATS = _WORDS_CTE + """
+SELECT count(*) AS total_words, count(DISTINCT word) AS unique_words,
+       round(avg(length(word)), 4) AS avg_word_len
+FROM words
+"""
+
+
+def q_word_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tokens_df(spark, sf_dir)
+        .groupBy(F.length("word").alias("word_len"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_WORD_LENGTH_DIST = _WORDS_CTE + """
+SELECT length(word) AS word_len, count(*) AS n FROM words GROUP BY 1
+"""
+
+
+def q_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tokens_df(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") <= 1)
+        .orderBy("word")
+        .limit(100)
+    )
+
+
+SQL_RARE_WORDS = _WORDS_CTE + """
+SELECT word, count(*) AS freq FROM words GROUP BY word
+HAVING count(*) <= 1 ORDER BY word LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# content quality / text analysis
+# --------------------------------------------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_metrics(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DOC_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+)
+SELECT doc_id AS doc,
+       length(text) AS char_count,
+       len(toks) AS word_count,
+       len(regexp_extract_all(text, '[.!?]+')) AS sentence_count,
+       round(CASE WHEN len(toks) > 0 THEN
+         CAST(len(list_filter(toks, w -> w IN ({_STOP_SQL}))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END, 4) AS stopword_ratio,
+       round(CASE WHEN length(text) > 0 THEN
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END, 4) AS alpha_ratio,
+       round(CASE WHEN length(text) > 0 THEN
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE 0.0 END, 4) AS punct_ratio,
+       (length(text) >= 100 AND len(toks) BETWEEN 10 AND 50000) AS is_valid
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        textstats.with_lang_id(_docs(spark, sf_dir), "text")
+        .groupBy("source", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+), scored AS (
+  SELECT source,
+         CASE WHEN len(toks) > 0 AND
+                   CAST(len(list_filter(toks, w -> w IN ({_EN_SQL}))) AS DOUBLE)
+                     / len(toks) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM t
+)
+SELECT source, pred_lang, count(*) AS n FROM scored GROUP BY source, pred_lang
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id AS doc,
+       len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+')) AS alpha_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS pieces
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc, {hash60_sql('tok')} AS th FROM tok
+)
+SELECT doc, bit_xor(th) AS fp_xor,
+       min({minhash_term_sql(0, '(th % 2147483647)')}) AS fp_min
+FROM hashed GROUP BY doc
+"""
+
+
+# --------------------------------------------------------------------------
+# session / queue analytics on the relational tables (A4, A7, A8, O3, O7)
+# --------------------------------------------------------------------------
+
+def _dec_avg(col: str, alias: str, scale: str = "decimal(18,6)"):
+    """Order-independent rounded average: exact decimal sum, then one division.
+
+    A plain avg() over doubles is partial-aggregation-order dependent (last
+    ulp wiggles with partitioning), which can flip the rounded digit between
+    runs/engines; summing in exact decimal makes the result deterministic.
+    """
+    s = F.sum(F.col(col).cast(scale)).cast("double")
+    return F.round(s / F.count("*"), 4).alias(alias)
+
+
+def _dec_avg_sql(expr: str, alias: str, scale: str = "DECIMAL(18,6)") -> str:
+    return (
+        f"round(CAST(sum(CAST({expr} AS {scale})) AS DOUBLE) / count(*), 4) AS {alias}"
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 twin (database.py:398-419): counts, avgs, sums, percentiles."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        _dec_avg("l_extendedprice", "avg_price"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 4).alias("sum_qty"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+    )
+
+
+SQL_SESSION_STATS = f"""
+SELECT count(*) AS n_rows,
+       {_dec_avg_sql('l_extendedprice', 'avg_price')},
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+       max(l_orderkey) AS max_orderkey,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_price,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95_price,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99_price,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+FROM lineitem
+"""
+
+
+def q_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 twin (database.py:470-500): hourly buckets with counts and avgs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # align with DuckDB naive ts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long").alias("hour_epoch")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_avg("value", "avg_value", "decimal(14,6)"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_HOURLY_ACTIVITY = f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n_events,
+       {_dec_avg_sql('value', 'avg_value', 'DECIMAL(14,6)')},
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_queue_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 twin (database.py:635-692): status/priority distribution."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"), _dec_avg("o_totalprice", "avg_price")
+    )
+
+
+SQL_QUEUE_DISTRIBUTION = f"""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       {_dec_avg_sql('o_totalprice', 'avg_price')}
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/A8 twin: top-10 sources (the reference's top-domains Counter)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(10)
+    )
+
+
+SQL_TOP_SOURCES = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY source ORDER BY n_docs DESC, source LIMIT 10
+"""
+
+
+_TS_X0 = 1_704_000_000  # fixed epoch offset: keeps x^2 sums within int64
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 twin (analytics.py:660-679): linear trend slope per series.
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), computed from EXACT integer /
+    decimal sums and only then in double — builtin regr_slope merges partial
+    covariances in partition order, so its low bits depend on partitioning;
+    this form is deterministic across engines and cluster layouts (slope is
+    translation-invariant, so the fixed x-offset does not change it).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # align with DuckDB naive ts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = (F.unix_timestamp(F.col("ts")) - F.lit(_TS_X0)).cast("long")
+    y = F.col("value").cast("decimal(14,6)")
+    sums = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sxx = [F.col(c).cast("double") for c in ("n", "sx", "sxx")]
+    sy, sxy = [F.col(c).cast("double") for c in ("sy", "sxy")]
+    return sums.select(
+        "event_type",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8).alias("slope"),
+        F.col("n"),
+    )
+
+
+SQL_TREND_SLOPE = f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
+  FROM (SELECT event_type,
+               CAST(epoch(ts) AS BIGINT) - {_TS_X0} AS x,
+               CAST(value AS DECIMAL(14,6)) AS y
+        FROM events)
+  GROUP BY event_type
+)
+SELECT event_type,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             8) AS slope,
+       n
+FROM s
+"""
+
+
+def q_frontier_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — the crawl-ordering contract (queue.py:48-56) on an orders-shaped
+    frontier: per key (customer ~ host) keep the top-3 in
+    (priority ASC = urgency, date ASC, key ASC) via the salted two-phase
+    top_per_key operator; the oracle is a plain SQL window, proving the
+    skew-safe plan is semantically identical to the naive one.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "prio", F.substring("o_orderpriority", 1, 1).cast("int")
+    )
+    out = top_per_key(
+        o,
+        key="o_custkey",
+        order_exprs=[F.asc("prio"), F.asc("o_orderdate"), F.asc("o_orderkey")],
+        limit_col=F.lit(3),
+        salt_on="o_orderkey",
+        salt_buckets=4,
+    )
+    return out.select("o_custkey", "o_orderkey", F.col("rn").alias("rank"))
+
+
+SQL_FRONTIER_ORDERING = """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY CAST(substr(o_orderpriority, 1, 1) AS INT), o_orderdate, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# deduplication suite (training-data ops; J1 generalized to content)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT {hash60_sql('text')} AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+_SH_CTE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS doc,
+         ({hash60_sql('s.s')} % 2147483647) AS sh
+  FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+         LATERAL unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  ) s
+)
+"""
+
+_MH_COLS = ", ".join(
+    f"min({minhash_term_sql(i, 'sh')}) AS mh{i}" for i in range(dedup.MINHASH_K)
+)
+
+_PAIR_JACCARD_SQL = """
+, sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc)
+, inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN sh a ON a.doc = p.doc_a JOIN sh b ON b.doc = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(round(100.0 * i.i / (sa.sz + sb.sz - i.i)) AS INT) AS jaccard_pct
+FROM inter i JOIN sizes sa ON sa.doc = i.doc_a JOIN sizes sb ON sb.doc = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= {thr}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
+
+
+_BANDS = dedup.MINHASH_K // dedup.LSH_BAND_SIZE
+_BAND_KEYS = ", ".join(
+    "concat({b}, ':', mh{i}, ':', mh{j}) ".format(b=b, i=2 * b, j=2 * b + 1)
+    for b in range(_BANDS)
+)
+
+SQL_DEDUP_MINHASH_LSH = (
+    _SH_CTE
+    + f"""
+, sig AS (SELECT doc, {_MH_COLS} FROM sh GROUP BY doc)
+, bands AS (SELECT doc, unnest([{_BAND_KEYS}]) AS band FROM sig)
+, pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc
+)
+"""
+    + _PAIR_JACCARD_SQL.format(thr=0.5)
+)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
+
+
+SQL_DEDUP_NGRAM_JACCARD = (
+    _SH_CTE
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+)
+"""
+    + _PAIR_JACCARD_SQL.format(thr=0.5)
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
+    return dedup.simhash_pairs(sim, max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH tf AS (
+  SELECT doc_id AS doc, tok, count(*) AS freq, {hash60_sql('tok')} AS th
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc, b.b AS b,
+         sum(CASE WHEN (th >> b.b) & 1 = 1 THEN freq ELSE -freq END) AS s
+  FROM tf, LATERAL unnest(range(0, 32)) AS b(b)
+  GROUP BY doc, b.b
+), sim AS (
+  SELECT doc, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=5)
+
+
+SQL_KNN_COSINE = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY ({_COS_SQL}) DESC, b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+)
+SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 20), n_centroids=8, k=5)
+
+
+SQL_ANN_IVF = f"""
+WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT a.vec_id, a.embedding, b.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY ({_COS_SQL}) DESC, b.cell) AS r
+    FROM embeddings a JOIN cent b ON true
+  ) WHERE r = 1
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY ({_COS_SQL}) DESC, b.vec_id) AS rank
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+)
+SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.decode_features(media, backend="fake")
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS doc,
+       CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS width,
+       CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS height,
+       round(
+         (SELECT avg(CAST(('0x' || substr(md5(d.text), 2 * i.i + 1, 2)) AS INT))
+          FROM range(0, 16) i(i)),
+         4) AS mean_byte
+FROM documents d
+"""
+
+
+# --------------------------------------------------------------------------
+# flagship end-to-end crawl (no SQL twin: iterative multi-round dataflow;
+# correctness is covered by the oracle-simulator parity suite in tests/)
+# --------------------------------------------------------------------------
+
+def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-host mini-crawl through the real engine; returns the crawl order.
+
+    Deterministic given the fixed corpus seed; the driver's rows-only check
+    validates stability, and tests/test_engine_parity.py validates the
+    ordering itself against the pure-Python oracle simulator.
+    """
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.plans.engine import run_crawl
+    from crawler_spark.sources.corpus import (
+        gen_corpus,
+        to_documents_df,
+        to_robots_df,
+    )
+    from crawler_spark.tables import SnapshotCatalog
+
+    documents, seeds, robots = gen_corpus(hosts=3, pages_per_host=8, seed=42)
+    workdir = tempfile.mkdtemp(prefix="crawl-mini-")
+    cfg = CrawlConfig(max_pages=60, max_rounds=6, n_host_buckets=4)
+    run_crawl(
+        spark,
+        workdir,
+        to_documents_df(spark, documents),
+        to_robots_df(spark, robots),
+        seeds,
+        cfg,
+    )
+    order = SnapshotCatalog(workdir).read(spark, "crawl_order")
+    return order.select("round", "seq", "canonical")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
+    "word_stats": QuerySpec(q_word_stats, SQL_WORD_STATS),
+    "word_length_dist": QuerySpec(q_word_length_dist, SQL_WORD_LENGTH_DIST),
+    "rare_words": QuerySpec(q_rare_words, SQL_RARE_WORDS),
+    "doc_quality": QuerySpec(q_doc_quality, SQL_DOC_QUALITY),
+    "lang_id": QuerySpec(q_lang_id, SQL_LANG_ID),
+    "token_count": QuerySpec(q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
+    "hourly_activity": QuerySpec(q_hourly_activity, SQL_HOURLY_ACTIVITY),
+    "queue_distribution": QuerySpec(q_queue_distribution, SQL_QUEUE_DISTRIBUTION),
+    "top_sources": QuerySpec(q_top_sources, SQL_TOP_SOURCES),
+    "trend_slope": QuerySpec(q_trend_slope, SQL_TREND_SLOPE),
+    "frontier_ordering": QuerySpec(q_frontier_ordering, SQL_FRONTIER_ORDERING),
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "knn_cosine": QuerySpec(q_knn_cosine, SQL_KNN_COSINE),
+    "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),
+    "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES),
+    "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
+}

