@@ -1,0 +1,205 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Two workloads:
+
+1. **Frontier scheduling+dedup throughput** (the BASELINE.json target
+   metric): a synthetic frontier of ``BENCH_FRONTIER_URLS`` rows (zipf-ish
+   hot-host skew) goes through one full scheduling round core — pending
+   filter -> salted per-host politeness top-k -> global crawl-order sequence —
+   and a candidate stream of the same size is deduped against an equally
+   large url_seen set via the anti-join. Reported as urls/sec
+   (scheduled + deduped) over wall time. The frontier is generated with
+   spark.range + column expressions: zero Python on the hot path, so the
+   number measures the engine, not the generator.
+
+2. **Headline queries** at $SPARK_GRAFT_SF_DIR (default sf0.1): per-query
+   wall seconds over the driver-generated parquet tables.
+
+Env knobs: SPARK_GRAFT_CPUS (local[N], default 32), SPARK_GRAFT_SF_DIR,
+BENCH_FRONTIER_URLS (default 4,000,000).
+
+Scaling evidence for BENCH/BASELINE.md comes from scripts/bench_scaling.py,
+which runs THIS file at two parallelism levels (local[8] vs local[32]) on
+identical input — the sandbox stand-in for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "word_topk",
+    "word_stats",
+    "doc_quality",
+    "session_stats",
+    "hourly_activity",
+    "frontier_ordering",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_cosine",
+    "ann_ivf",
+    "token_count",
+    "doc_fingerprint",
+    "media_features",
+]
+
+
+def synth_frontier(spark: SparkSession, n: int, n_hosts: int = 10_000) -> DataFrame:
+    """Synthetic pending frontier, all JVM-side expressions.
+
+    ~25% of rows land on 8 hot hosts (the skew fixture of SURVEY.md §4);
+    the rest spread uniformly over ``n_hosts``.
+    """
+    base = spark.range(n).withColumn("h", F.xxhash64("id"))
+    host_id = F.when(
+        F.pmod(F.col("h"), 4) == 0, F.pmod(F.col("h"), 8)
+    ).otherwise(F.pmod(F.col("h"), n_hosts))
+    return base.select(
+        F.concat(F.lit("http://host"), host_id.cast("string"), F.lit(".test/p"), F.col("id").cast("string")).alias("canonical"),
+        F.concat(F.lit("host"), host_id.cast("string"), F.lit(".test")).alias("host"),
+        F.pmod(F.col("h"), 10).cast("int").alias("priority"),
+        F.pmod(F.col("h"), 4).cast("int").alias("depth"),
+        F.col("id").alias("discovered_at"),
+    )
+
+
+def _seen_urls(spark: SparkSession, lo: int, hi: int) -> DataFrame:
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.concat(
+                F.lit("http://host"),
+                F.pmod(F.xxhash64("id"), 10_000).cast("string"),
+                F.lit(".test/s"),
+                F.col("id").cast("string"),
+            ).alias("canonical")
+        )
+        .withColumn("url_hash", F.xxhash64("canonical"))
+    )
+
+
+def bench_frontier(spark: SparkSession, n: int) -> dict:
+    """One scheduling-round core + dedup anti-join; returns timing stats.
+
+    Inputs are materialized to parquet ONCE (untimed, shared across
+    parallelism levels) so the measured seconds are the scheduling/dedup
+    operators reading real storage — not row synthesis, not a warmed cache
+    of the same plan (rerunning an identical plan lets Spark skip work, which
+    fakes the number).
+    """
+    from crawler_spark.operators.ordering import top_per_key, with_global_seq
+
+    from crawler_spark.operators.ordering import release_global_seq
+
+    data_dir = os.environ.get("BENCH_DATA_DIR", f"/dev/shm/crawler_spark_bench/n{n}")
+    paths = {t: f"{data_dir}/{t}.parquet" for t in ("frontier", "seen", "cand")}
+    if not all(os.path.exists(p) for p in paths.values()):
+        # 64 files per table: map-side (scan + shuffle-write) parallelism is
+        # bounded by input splits; fewer files would cap BOTH parallelism
+        # levels at the writer's core count and fake a flat scaling curve
+        synth_frontier(spark, n).repartition(64).write.mode("overwrite").parquet(paths["frontier"])
+        _seen_urls(spark, 0, n).repartition(64).write.mode("overwrite").parquet(paths["seen"])
+        _seen_urls(spark, n // 2, n + n // 2).repartition(64).write.mode("overwrite").parquet(paths["cand"])
+
+    order = [F.desc("priority"), F.asc("depth"), F.asc("discovered_at"), F.asc("canonical")]
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    def run_schedule() -> tuple[int, float]:
+        # fresh read per rep: a reused DataFrame would let AQE / the cache
+        # manager substitute materialized stages and fake the rerun
+        frontier = spark.read.parquet(paths["frontier"])
+        t0 = time.time()
+        admitted = top_per_key(
+            frontier, key="host", order_exprs=order, limit_col=F.lit(64),
+            salt_on="canonical", salt_buckets=8,
+            prune_col="priority", prune_max=64,
+        )
+        seq = with_global_seq(admitted, order, seq_col="seq")
+        cnt = seq.count()
+        dt = time.time() - t0
+        release_global_seq(seq)
+        return cnt, dt
+
+    def run_dedup() -> tuple[int, float]:
+        seen = spark.read.parquet(paths["seen"])
+        cand = spark.read.parquet(paths["cand"])
+        t0 = time.time()
+        cnt = cand.join(seen.hint("shuffle_hash"), ["url_hash", "canonical"], "left_anti").count()
+        return cnt, time.time() - t0
+
+    # best-of-reps: the sandbox VM is a noisy shared host; the minimum
+    # approximates quiet-host performance and is what two parallelism levels
+    # can be fairly compared on
+    sched_times, dedup_times = [], []
+    for _ in range(reps):
+        scheduled_cnt, dt = run_schedule()
+        sched_times.append(dt)
+        fresh_cnt, dt = run_dedup()
+        dedup_times.append(dt)
+    t_sched, t_dedup = min(sched_times), min(dedup_times)
+
+    total = t_sched + t_dedup
+    return {
+        "frontier_urls": n,
+        "scheduled": scheduled_cnt,
+        "deduped_candidates": n,
+        "fresh": fresh_cnt,
+        "schedule_sec": round(t_sched, 3),
+        "dedup_sec": round(t_dedup, 3),
+        "schedule_times": [round(t, 2) for t in sched_times],
+        "dedup_times": [round(t, 2) for t in dedup_times],
+        "urls_per_sec": round((scheduled_cnt + n) / total, 1),
+    }
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_frontier = int(os.environ.get("BENCH_FRONTIER_URLS", "4000000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from crawler_spark.queries import REGISTRY
+    from crawler_spark.sparkutils import get_spark
+
+    spark = get_spark("crawler-spark-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once so query timings measure the plan, not startup
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    queries: dict[str, float] = {}
+    if not os.environ.get("BENCH_SKIP_QUERIES"):  # scaling runs time only the frontier job
+        for name in HEADLINE:
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.time() - t0, 3)
+
+    frontier = bench_frontier(spark, n_frontier)
+    total = round(sum(queries.values()) + frontier["schedule_sec"] + frontier["dedup_sec"], 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "cpus": cpus,
+                "frontier": frontier,
+                "urls_scheduled_plus_deduped_per_sec": frontier["urls_per_sec"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

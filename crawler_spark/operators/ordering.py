@@ -30,7 +30,10 @@ def with_global_seq(df: DataFrame, order_exprs: list[Column], seq_col: str = "se
 
     The result is materialized from a cached intermediate; callers should
     write it out promptly (the round plan stages it to parquet immediately,
-    which also truncates lineage).
+    which also truncates lineage) and then call :func:`release_global_seq`
+    on the returned DataFrame — the cache entry otherwise outlives the
+    round AND lets Spark's CacheManager silently substitute it into later
+    semantically-equal plans.
     """
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -50,13 +53,22 @@ def with_global_seq(df: DataFrame, order_exprs: list[Column], seq_col: str = "se
         acc += counts[pid]
     mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_pid").orderBy(*order_exprs)
-    return (
+    out = (
         d.withColumn(
             seq_col,
             (F.element_at(mapping, F.col("_pid")) + F.row_number().over(w) - 1).cast("long"),
         )
         .drop("_pid")
     )
+    out._global_seq_cache = d  # handle for release_global_seq
+    return out
+
+
+def release_global_seq(df: DataFrame) -> None:
+    """Drop the cache with_global_seq left behind (call after materializing)."""
+    cached = getattr(df, "_global_seq_cache", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 def top_per_key(
@@ -67,6 +79,9 @@ def top_per_key(
     salt_on: str = "canonical",
     salt_buckets: int = 8,
     rank_col: str = "rn",
+    prune_col: str | None = None,
+    prune_desc: bool = True,
+    prune_max: int | None = None,
 ) -> DataFrame:
     """Keep the top-``limit_col`` rows per ``key`` in the given order.
 
@@ -75,8 +90,60 @@ def top_per_key(
     because each true per-key top-k row is within its own salt bucket's
     top-k. ``salt_on`` names a row-identity column whose xxhash64 provides
     a deterministic salt.
+
+    Optional threshold pruning (``prune_col`` + ``prune_max``): when the
+    LEADING sort key is a low-cardinality column (the frontier's priority,
+    ~10 values) and budgets are bounded by ``prune_max``, a cheap
+    map-side-combinable count aggregate per (key, salt, prune_col) computes
+    the cutoff value at which each group's cumulative count reaches
+    prune_max; rows strictly beyond the cutoff can never rank within the
+    budget and are filtered BEFORE the window sort. WindowExec is the round
+    plan's dominant cost (it buffers rows without codegen), so shrinking
+    its input ~5x is the single biggest win; pruning with an upper bound
+    stays exact because it always keeps a superset of the true top-k.
     """
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets)))
+    if prune_col is not None and prune_max is not None:
+        pv = F.col(prune_col) if prune_desc else -F.col(prune_col)
+        counts = (
+            salted.withColumn("_pv", pv)
+            .groupBy(key, "_salt", "_pv")
+            .agg(F.count("*").alias("_cnt"))
+        )
+        cutoff = (
+            counts.groupBy(key, "_salt")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("_pv")).alias("npv"), F.col("_cnt")))
+                ).alias("_arr")
+            )
+            .select(
+                key,
+                "_salt",
+                F.aggregate(
+                    F.col("_arr"),
+                    F.struct(
+                        F.lit(0).cast("long").alias("cum"),
+                        F.lit(None).cast("long").alias("v"),
+                    ),
+                    lambda acc, x: F.when(acc["cum"] >= prune_max, acc).otherwise(
+                        F.struct(
+                            (acc["cum"] + x["_cnt"]).alias("cum"),
+                            (-x["npv"]).cast("long").alias("v"),
+                        )
+                    ),
+                ).v.alias("_cutoff"),
+            )
+        )
+        # broadcast the cutoff dim (one row per (key, salt)): a shuffle join
+        # here would re-shuffle AND sort the full input just to apply the
+        # filter, erasing the win
+        salted = (
+            salted.withColumn("_pv", pv)
+            .join(F.broadcast(cutoff), [key, "_salt"])
+            .where(F.col("_pv") >= F.col("_cutoff"))
+            .drop("_pv", "_cutoff")
+        )
     w1 = Window.partitionBy(key, "_salt").orderBy(*order_exprs)
     survivors = (
         salted.withColumn("_rn1", F.row_number().over(w1))

@@ -41,7 +41,11 @@ from crawler_spark.functions.urls import (
     normalize_url_udf,
     resolve_link_udf,
 )
-from crawler_spark.operators.ordering import top_per_key, with_global_seq
+from crawler_spark.operators.ordering import (
+    release_global_seq,
+    top_per_key,
+    with_global_seq,
+)
 from crawler_spark.tables import SnapshotCatalog
 
 FRONTIER_COLS = [
@@ -151,6 +155,7 @@ def run_round(
     sched_path = commit.stage_append(
         "crawl_order", scheduled.select("round", "seq", *FRONTIER_COLS)
     )
+    release_global_seq(scheduled)  # staged to parquet; drop the seq cache
     sched = spark.read.parquet(sched_path)  # lineage truncation + single eval
     scheduled_cnt = sched.count()
 
@@ -223,9 +228,13 @@ def run_round(
         .drop("_r")
         .withColumn("url_hash", F.xxhash64(F.col("canonical")))
     )
+    # shuffled HASH join (not sort-merge): the anti-join needs no ordering,
+    # and skipping both 10^7..10^10-row sorts is a ~2x win measured at 32M
+    # rows; per-partition build side stays small under the host_bucket
+    # partitioning (10^10 urls / 4096 buckets ~ 150 MB of hashes+urls)
     fresh = (
         candidates.join(
-            url_seen,
+            url_seen.hint("shuffle_hash"),
             (candidates.url_hash == url_seen.url_hash)
             & (candidates.canonical == url_seen.canonical),
             "left_anti",

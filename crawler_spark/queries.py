@@ -392,6 +392,9 @@ def q_frontier_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit_col=F.lit(3),
         salt_on="o_orderkey",
         salt_buckets=4,
+        prune_col="prio",
+        prune_desc=False,
+        prune_max=3,
     )
     return out.select("o_custkey", "o_orderkey", F.col("rn").alias("rank"))
 

@@ -19,12 +19,19 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # local mode = one JVM: size the heap per worker thread (cluster analogy:
+    # fixed memory per executor core), or concurrent sort/agg tasks spill+GC
+    default_mem = f"{max(8, 2 * cores)}g"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
+        # shuffle spill dir on tmpfs: the VM's virtio disk serializes under
+        # concurrent shuffle writers (more cores -> slower); RAM-backed local
+        # dirs are the sandbox analog of executor-local NVMe
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/crawler-spark-local"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
