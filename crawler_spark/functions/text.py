@@ -143,3 +143,27 @@ def tokens(text: Column) -> Column:
 def link_spans(spans: Column) -> Column:
     """T5 feed — href spans in document order (kind='link', text=href)."""
     return F.filter(spans_sorted(spans), lambda s: s["kind"] == F.lit("link"))
+
+
+def metadata_map(spans: Column) -> Column:
+    """T4 — meta/JSON-LD span extraction (extractor.py:75-122, 387-424).
+
+    The corpus carries page metadata (og:*, twitter:*, JSON-LD flattened) as
+    JSON text in ``kind='meta'`` spans; this merges them, later spans winning
+    on key collision like the reference's sequential dict .update(). Returns
+    ``map<string,string>`` (empty map when the page has no meta spans).
+    """
+    metas = F.filter(spans_sorted(spans), lambda s: s["kind"] == F.lit("meta"))
+    parsed = F.transform(
+        metas, lambda s: F.from_json(s["text"], "map<string,string>")
+    )
+    empty = F.from_json(F.lit("{}"), "map<string,string>")
+    return F.aggregate(
+        parsed,
+        empty,
+        lambda acc, m: F.map_zip_with(
+            acc,
+            F.coalesce(m, empty),
+            lambda _, v1, v2: F.coalesce(v2, v1),
+        ),
+    )

@@ -324,6 +324,29 @@ FROM documents GROUP BY source ORDER BY n_docs DESC, source LIMIT 10
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 twin (jsonb metadata, migrations.py:121,292): extract a typed field
+    from a JSON string column and aggregate it — the reference stores page
+    metadata/headers as jsonb and aggregates over extracted fields."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 _TS_X0 = 1_704_000_000  # fixed epoch offset: keeps x^2 sums within int64
 
 
@@ -650,6 +673,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "queue_distribution": QuerySpec(q_queue_distribution, SQL_QUEUE_DISTRIBUTION),
     "top_sources": QuerySpec(q_top_sources, SQL_TOP_SOURCES),
     "trend_slope": QuerySpec(q_trend_slope, SQL_TREND_SLOPE),
+    "json_props": QuerySpec(q_json_props, SQL_JSON_PROPS),
     "frontier_ordering": QuerySpec(q_frontier_ordering, SQL_FRONTIER_ORDERING),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),

@@ -1,0 +1,129 @@
+"""Tests for sitemap parsing (S4), metadata extraction (T4), and the
+Structured Streaming surface (hourly rollup + streaming URL dedup)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.text import metadata_map
+from crawler_spark.sources.sitemap import extract_locs, sitemap_frontier_rows
+from crawler_spark.streaming.rollup import hourly_rollup, streaming_url_dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- S4: sitemap --------------------------------------------------------------
+
+SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://host0.test/</loc><lastmod>2024-01-01</lastmod></url>
+  <url><loc>  http://host0.test/page1  </loc></url>
+  <url><loc><![CDATA[http://host0.test/page2?a=1&amp;b=2]]></loc></url>
+</urlset>"""
+
+
+def test_sitemap_loc_extraction(spark):
+    df = spark.createDataFrame([(SITEMAP_XML,)], ["xml"])
+    locs = df.select(extract_locs(F.col("xml")).alias("locs")).collect()[0]["locs"]
+    assert locs == [
+        "http://host0.test/",
+        "http://host0.test/page1",
+        "http://host0.test/page2?a=1&amp;b=2",
+    ]
+
+
+def test_sitemap_frontier_rows_cap_and_constants(spark):
+    many = "".join(f"<url><loc>http://h.test/p{i}</loc></url>" for i in range(30))
+    df = spark.createDataFrame([(f"<urlset>{many}</urlset>",)], ["xml"])
+    rows = sitemap_frontier_rows(df, max_urls=10).collect()
+    assert len(rows) == 10  # max_urls cap (robots.py:363)
+    assert all(r["priority"] == 3 and r["depth"] == 1 for r in rows)  # engine.py:678-679
+    assert [r["sitemap_pos"] for r in rows] == list(range(10))
+
+
+# -- T4: metadata -------------------------------------------------------------
+
+def test_metadata_map_merges_meta_spans(spark):
+    spans = [
+        ("meta", '{"og:site_name": "a", "title": "first"}', "", 0),
+        ("text", "body", "", 1),
+        ("meta", '{"title": "second"}', "", 2),
+        ("meta", "not json at all", "", 3),  # malformed -> ignored
+    ]
+    df = spark.createDataFrame(
+        [("d1", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    m = df.select(metadata_map(F.col("spans")).alias("m")).collect()[0]["m"]
+    assert m["og:site_name"] == "a"
+    assert m["title"] == "second"  # later meta span wins, like dict.update
+
+
+def test_metadata_map_empty_when_no_meta(spark):
+    df = spark.createDataFrame(
+        [("d1", [("text", "x", "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    assert df.select(metadata_map(F.col("spans")).alias("m")).collect()[0]["m"] == {}
+
+
+# -- Streaming ----------------------------------------------------------------
+
+def _run_stream_to_memory(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if "dedup" in name else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    src_dir = str(src_dir)
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+
+    got = _run_stream_to_memory(spark, hourly_rollup(stream), "rollup_sink")
+    expected = (
+        batch.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long").alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_streaming_url_dedup_first_occurrence(spark, tmp_path):
+    import pandas as pd
+
+    src_dir = str(tmp_path / "urls_stream")
+    rows = pd.DataFrame(
+        {
+            "canonical": ["http://a.test/", "http://b.test/", "http://a.test/", "http://c.test/"],
+            "discovered_ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:10:00", "2024-01-01 00:20:00"]
+            ),
+        }
+    )
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("canonical string, discovered_ts timestamp").parquet(src_dir)
+    got = _run_stream_to_memory(spark, streaming_url_dedup(stream), "dedup_sink")
+    assert sorted(r["canonical"] for r in got.collect()) == [
+        "http://a.test/",
+        "http://b.test/",
+        "http://c.test/",
+    ]
