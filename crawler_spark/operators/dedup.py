@@ -123,7 +123,10 @@ def minhash_lsh_dedup(
     jaccard >= threshold. jaccard_pct is rounded to an integer percentage so
     the value-hash comparison with the oracle is float-safe.
     """
-    sh = doc_shingles(df, id_col, text_col, n)
+    # one materialization: shingles feed both the signature pass and the
+    # Jaccard verification — without it the corpus is scanned and
+    # re-tokenized four times (visible as 4 parquet scans in .explain)
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sig = minhash_signature(sh)
     cand = lsh_candidate_pairs(sig)
     j = _pair_jaccard(cand, sh)
@@ -167,7 +170,7 @@ def ngram_jaccard_pairs(
     cap is what keeps this runnable; LSH (minhash_lsh_dedup) is the true scale
     path.
     """
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     w = Window.partitionBy("sh")
     pruned = sh.withColumn("_df", F.count("*").over(w)).where(F.col("_df") <= df_cap).drop("_df")
     pairs = (
@@ -233,6 +236,7 @@ def simhash_pairs(
     (chunk_index, chunk_value) — never a cross join. Returns
     (doc_a, doc_b, hamming).
     """
+    sim = sim.localCheckpoint(eager=False)  # both sides of the self-join
     n_chunks = max_hamming + 1
     widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
     offs, acc = [], 0

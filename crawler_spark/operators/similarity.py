@@ -108,7 +108,8 @@ def ivf_topk(
     Returns (query_id, neighbor_id, rank). Approximate: recall vs brute force
     depends on the quantizer (nprobe=1 here); the join is cell-co-partitioned.
     """
-    assigned = ivf_assign(vectors, n_centroids, id_col, vec_col)
+    # materialized once: the assignment feeds both the query and corpus side
+    assigned = ivf_assign(vectors, n_centroids, id_col, vec_col).localCheckpoint(eager=False)
     q = queries.select(F.col(id_col).alias("query_id")).join(
         assigned.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"),
         "query_id",
