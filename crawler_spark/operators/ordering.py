@@ -46,7 +46,9 @@ def with_global_seq(df: DataFrame, order_exprs: list[Column], seq_col: str = "se
     counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
     if not counts:
         d.unpersist()
-        return df.withColumn(seq_col, F.lit(None).cast("long"))
+        out = df.withColumn(seq_col, F.lit(None).cast("long"))
+        out._global_seq_total = 0  # row count, free byproduct of the offsets pass
+        return out
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -61,6 +63,7 @@ def with_global_seq(df: DataFrame, order_exprs: list[Column], seq_col: str = "se
         .drop("_pid")
     )
     out._global_seq_cache = d  # handle for release_global_seq
+    out._global_seq_total = acc  # row count, free byproduct of the offsets pass
     return out
 
 

@@ -112,6 +112,7 @@ def run_round(
         with_rules.where(denied)
         .select(*[c for c in FRONTIER_COLS if c != "status"])
         .withColumn("status", F.lit("skipped"))
+        .persist()  # three consumers (touched, frontier union, metrics count)
     )
     allowed = with_rules.where(~denied).drop("prefixes")
 
@@ -131,7 +132,12 @@ def run_round(
         salt_buckets=cfg.salt_buckets,
     ).drop("budget", "crawl_delay", "rn")
 
-    admitted_cnt = admitted.count()
+    # with_global_seq's partition-offset pass doubles as the admitted count
+    # (and its cache backs the staging write), so the politeness window stack
+    # runs ONCE per round — counting admitted separately would execute the
+    # whole ranking pipeline twice
+    scheduled = with_global_seq(admitted, order_exprs(), seq_col="seq")
+    admitted_cnt = scheduled._global_seq_total
     if admitted_cnt == 0:
         # nothing admitted this round; if nothing is pending at all, stop —
         # otherwise rows are backoff-delayed past t0: advance the virtual
@@ -145,11 +151,10 @@ def run_round(
         return {"stopped": None, "scheduled": 0, "advanced": True}
 
     if admitted_cnt > remaining:
-        admitted = admitted.orderBy(*order_exprs()).limit(remaining)
-
-    scheduled = with_global_seq(admitted, order_exprs(), seq_col="seq").withColumn(
-        "round", F.lit(rnd)
-    )
+        # seq is the total crawl order, so the page budget is a seq cutoff —
+        # no extra global sort
+        scheduled = scheduled.where(F.col("seq") < remaining)
+    scheduled = scheduled.withColumn("round", F.lit(rnd))
 
     commit = catalog.begin(rnd)
     sched_path = commit.stage_append(
@@ -304,6 +309,7 @@ def run_round(
     commit.commit()
     fetched.unpersist()
     fresh.unpersist()
+    skipped.unpersist()
     return {
         "stopped": None,
         "scheduled": scheduled_cnt,
