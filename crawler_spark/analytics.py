@@ -1,0 +1,124 @@
+"""Post-hoc crawl analytics over the snapshot catalog (SURVEY.md A3-A11, §3.2-3.3).
+
+The reference's `analyze` / `report` paths issue SQL to PostgreSQL
+(storage/database.py:378-468, 635-692) and merge Counters in Python
+(reporting/analytics.py:286-335, 595-618). Here each becomes one DataFrame
+plan over the committed crawl tables; everything aggregates before any
+collect, so the same functions run unchanged over a 10^10-URL catalog (the
+only driver-side data is the final small result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.tables import SnapshotCatalog
+
+
+def _read(spark: SparkSession, workdir: str, table: str) -> DataFrame | None:
+    return SnapshotCatalog(workdir).read(spark, table)
+
+
+def frontier_distributions(spark: SparkSession, workdir: str) -> dict[str, DataFrame]:
+    """A8 (database.py:635-692): status / priority / depth / host counts."""
+    f = _read(spark, workdir, "frontier")
+    assert f is not None, "no committed frontier"
+    return {
+        dim: f.groupBy(dim).agg(F.count("*").alias("n")).orderBy(F.desc("n"), dim)
+        for dim in ("status", "priority", "depth", "host")
+    }
+
+
+def queue_health(spark: SparkSession, workdir: str) -> dict:
+    """A9 (database.py:756-822): one-row health summary of the frontier.
+
+    No 'stuck processing' detection exists by construction — rounds commit
+    atomically, so no row is ever left in a processing state (SURVEY.md X5).
+    """
+    f = _read(spark, workdir, "frontier")
+    assert f is not None, "no committed frontier"
+    row = f.agg(
+        F.count("*").alias("total_urls"),
+        F.count_if(F.col("status") == "pending").alias("pending"),
+        F.count_if(F.col("status") == "completed").alias("completed"),
+        F.count_if(F.col("status") == "failed").alias("failed"),
+        F.count_if(F.col("status") == "skipped").alias("skipped"),
+        F.round(F.avg("attempts"), 4).alias("avg_attempts"),
+        F.max("depth").alias("max_depth_seen"),
+        F.countDistinct("host").alias("n_hosts"),
+    ).collect()[0]
+    return row.asDict()
+
+
+def top_words(spark: SparkSession, workdir: str, limit: int = 20) -> DataFrame:
+    """A5/A11 (database.py:422-433; analytics.py:595-618): trending words
+    across the whole crawl — sum of per-page frequencies, page reach."""
+    wf = _read(spark, workdir, "word_frequencies")
+    assert wf is not None, "no committed word_frequencies"
+    return (
+        wf.groupBy("word")
+        .agg(
+            F.sum("frequency").alias("total_freq"),
+            F.countDistinct("canonical").alias("n_pages"),
+        )
+        .orderBy(F.desc("total_freq"), F.asc("word"))
+        .limit(limit)
+    )
+
+
+def session_summary(spark: SparkSession, workdir: str) -> dict:
+    """A3/A4 (session counters + stats): totals from pages + round metrics."""
+    pages = _read(spark, workdir, "pages")
+    catalog = SnapshotCatalog(workdir)
+    out: dict = {"rounds": catalog.current_round() + 1}
+    if pages is not None:
+        row = pages.agg(
+            F.count("*").alias("pages_scheduled"),
+            F.count_if(F.col("success")).alias("pages_crawled"),
+            F.count_if(~F.col("success")).alias("pages_failed"),
+            F.sum(F.when(F.col("success"), F.length("text")).otherwise(0)).alias("total_chars"),
+            F.countDistinct("host").alias("hosts_crawled"),
+            F.max("depth").alias("max_depth"),
+        ).collect()[0]
+        out.update(row.asDict())
+    wf = _read(spark, workdir, "word_frequencies")
+    if wf is not None:
+        row = wf.agg(
+            F.sum("frequency").alias("total_words"),
+            F.countDistinct("word").alias("unique_words"),
+        ).collect()[0]
+        out.update(row.asDict())
+    return out
+
+
+def per_round_metrics(spark: SparkSession, workdir: str) -> DataFrame:
+    """A7 analog: the per-round metrics series from commit manifests (the
+    engine's time axis is the round counter, not wall clock)."""
+    hist = SnapshotCatalog(workdir).metrics_history()
+    rows = [h for h in hist if "scheduled" in h]
+    return spark.createDataFrame(
+        [
+            (
+                int(h["round"]),
+                int(h.get("scheduled", 0)),
+                int(h.get("completed", 0)),
+                int(h.get("fresh", 0)),
+                int(h.get("skipped", 0)),
+            )
+            for h in rows
+        ],
+        "round int, scheduled int, completed int, fresh int, skipped int",
+    )
+
+
+def media_inventory(spark: SparkSession, workdir: str) -> DataFrame:
+    """Media-span rollup: refs per page and per host (interleaved corpus)."""
+    m = _read(spark, workdir, "media")
+    assert m is not None, "no committed media table"
+    host = F.parse_url(F.col("media_ref"), F.lit("HOST")).alias("media_host")
+    return m.groupBy(host).agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("media_ref").alias("n_unique"),
+        F.countDistinct("canonical").alias("n_pages"),
+    )

@@ -182,6 +182,27 @@ def run_round(
         ),
     )
 
+    # -- media refs (interleaved media spans -> media table) ------------------
+    # media spans carry media_ref only (input_hint span contract); the table
+    # keyed on (canonical, media_pos) feeds the multimodal payload pipeline
+    # (operators/multimodal.py) downstream of the crawl
+    media = (
+        fetched.where("success")
+        .select(
+            "canonical",
+            F.posexplode(
+                F.filter(X.spans_sorted(F.col("spans")), lambda s: s["kind"] == F.lit("media"))
+            ).alias("media_pos", "span"),
+        )
+        .select(
+            F.lit(rnd).alias("round"),
+            "canonical",
+            "media_pos",
+            F.col("span.media_ref").alias("media_ref"),
+        )
+    )
+    commit.stage_append("media", media)
+
     # -- word frequencies (A1/S9) ---------------------------------------------
     words = (
         fetched.where("success")

@@ -1,0 +1,77 @@
+"""Crawl-catalog analytics (A3-A11) + media sink over a real mini-crawl."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark import analytics
+from crawler_spark.config import CrawlConfig
+from crawler_spark.plans.engine import run_crawl
+from crawler_spark.sources.corpus import gen_corpus, to_documents_df, to_robots_df
+from crawler_spark.tables import SnapshotCatalog
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    documents, seeds, robots = gen_corpus(hosts=3, pages_per_host=10, seed=42)
+    workdir = str(tmp_path_factory.mktemp("analytics-crawl"))
+    cfg = CrawlConfig(max_pages=60, max_rounds=5, n_host_buckets=4)
+    run_crawl(
+        spark, workdir, to_documents_df(spark, documents), to_robots_df(spark, robots), seeds, cfg
+    )
+    return workdir, documents
+
+
+def test_frontier_distributions(spark, crawl):
+    workdir, _ = crawl
+    dists = analytics.frontier_distributions(spark, workdir)
+    statuses = {r["status"]: r["n"] for r in dists["status"].collect()}
+    assert statuses.get("completed", 0) > 0
+    assert set(statuses) <= {"pending", "completed", "failed", "skipped"}
+    hosts = [r["host"] for r in dists["host"].collect()]
+    assert any(h.startswith("host") for h in hosts)
+
+
+def test_queue_health(spark, crawl):
+    workdir, _ = crawl
+    h = analytics.queue_health(spark, workdir)
+    assert h["total_urls"] == h["pending"] + h["completed"] + h["failed"] + h["skipped"]
+    assert h["completed"] > 0 and h["n_hosts"] >= 3
+
+
+def test_top_words_and_session_summary(spark, crawl):
+    workdir, _ = crawl
+    top = analytics.top_words(spark, workdir, limit=5).collect()
+    assert len(top) == 5
+    assert top[0]["total_freq"] >= top[-1]["total_freq"]
+    s = analytics.session_summary(spark, workdir)
+    assert s["pages_crawled"] > 0
+    assert s["total_words"] > 0 and s["unique_words"] > 0
+    assert s["pages_scheduled"] == s["pages_crawled"] + s["pages_failed"]
+
+
+def test_per_round_metrics_match_manifests(spark, crawl):
+    workdir, _ = crawl
+    df = analytics.per_round_metrics(spark, workdir)
+    rows = {r["round"]: r for r in df.collect()}
+    total_sched = sum(r["scheduled"] for r in rows.values())
+    s = analytics.session_summary(spark, workdir)
+    assert total_sched == s["pages_scheduled"]
+
+
+def test_media_sink_matches_corpus(spark, crawl):
+    """Every crawled page's media refs equal its corpus media spans, in order."""
+    workdir, documents = crawl
+    media = SnapshotCatalog(workdir).read(spark, "media")
+    got: dict[str, list[str]] = {}
+    for r in media.orderBy("canonical", "media_pos").collect():
+        got.setdefault(r["canonical"], []).append(r["media_ref"])
+    corpus_media = {
+        d["doc_id"]: [s["media_ref"] for s in d["spans"] if s["kind"] == "media"]
+        for d in documents
+    }
+    assert len(got) > 0
+    for url, refs in got.items():
+        assert refs == corpus_media[url], url
+    inv = analytics.media_inventory(spark, workdir).collect()
+    assert sum(r["n_refs"] for r in inv) == sum(len(v) for v in got.values())
