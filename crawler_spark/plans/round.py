@@ -122,6 +122,10 @@ def run_round(
     ).otherwise(
         F.floor(F.lit(cfg.horizon) / F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay)))
     )
+    # capping the per-host budget at the remaining page budget is exact (the
+    # global seq cutoff can never admit more than `remaining` rows total) and
+    # bounds prune_max so priority-threshold pruning applies to every round
+    budget = F.least(budget, F.lit(remaining))
     with_budget = allowed.join(F.broadcast(delays), "host", "left").withColumn("budget", budget)
     admitted = top_per_key(
         with_budget,
@@ -130,6 +134,8 @@ def run_round(
         limit_col=F.col("budget"),
         salt_on="canonical",
         salt_buckets=cfg.salt_buckets,
+        prune_col="priority",
+        prune_max=remaining,
     ).drop("budget", "crawl_delay", "rn")
 
     # with_global_seq's partition-offset pass doubles as the admitted count
