@@ -136,7 +136,7 @@ def run_round(
         salt_buckets=cfg.salt_buckets,
         prune_col="priority",
         prune_max=remaining,
-    ).drop("budget", "crawl_delay", "rn")
+    ).drop("budget", "rn")
 
     # with_global_seq's partition-offset pass doubles as the admitted count
     # (and its cache backs the staging write), so the politeness window stack
@@ -160,11 +160,24 @@ def run_round(
         # seq is the total crawl order, so the page budget is a seq cutoff —
         # no extra global sort
         scheduled = scheduled.where(F.col("seq") < remaining)
-    scheduled = scheduled.withColumn("round", F.lit(rnd))
+    # virtual-time politeness slots (J2/X2, queue.py:282-304 virtualized):
+    # the k-th fetch of a host in this round happens at t0 + k*crawl_delay —
+    # the admitted set is budget-bounded, so this window is tiny
+    host_slot = Window.partitionBy("host").orderBy("seq")
+    scheduled = (
+        scheduled.withColumn("round", F.lit(rnd))
+        .withColumn(
+            "fetch_ts",
+            F.lit(t0)
+            + (F.row_number().over(host_slot) - 1)
+            * F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_delay)),
+        )
+        .drop("crawl_delay")
+    )
 
     commit = catalog.begin(rnd)
     sched_path = commit.stage_append(
-        "crawl_order", scheduled.select("round", "seq", *FRONTIER_COLS)
+        "crawl_order", scheduled.select("round", "seq", "fetch_ts", *FRONTIER_COLS)
     )
     release_global_seq(scheduled)  # staged to parquet; drop the seq cache
     sched = spark.read.parquet(sched_path)  # lineage truncation + single eval
@@ -187,6 +200,17 @@ def run_round(
             "round", "seq", "canonical", "url", "host", "depth", "success", "text"
         ),
     )
+
+    # -- error events (S10, storage/database.py:347-375) ----------------------
+    errors = fetched.where(~F.col("success")).select(
+        F.lit(rnd).alias("round"),
+        "canonical",
+        "host",
+        "depth",
+        (F.col("attempts") + 1).alias("attempt"),
+        F.lit("fetch_failed").alias("error_type"),  # missing-document analog of 4xx/5xx
+    )
+    commit.stage_append("errors", errors)
 
     # -- media refs (interleaved media spans -> media table) ------------------
     # media spans carry media_ref only (input_hint span contract); the table

@@ -127,3 +127,41 @@ def test_resume_equivalence(spark, corpus, oracle_result, tmp_path_factory):
     assert read_url_seen(spark, workdir) == oracle_result.url_seen
     statuses = read_frontier_statuses(spark, workdir)
     assert statuses == {c: e.status for c, e in oracle_result.frontier.items()}
+
+
+def test_fetch_ts_politeness_slots(spark, engine_result, corpus):
+    """Virtual fetch times: same-host fetches within a round are spaced by
+    at least the host's crawl_delay and stay inside the round horizon."""
+    from crawler_spark.functions.urls import host_of
+    from crawler_spark.tables import SnapshotCatalog
+
+    _, seeds, robots = corpus
+    delays = {r["host"]: r["crawl_delay"] for r in robots if r["crawl_delay"] is not None}
+    workdir, _ = engine_result
+    order = SnapshotCatalog(workdir).read(spark, "crawl_order")
+    rows = order.select("round", "canonical", "fetch_ts").collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault((r["round"], host_of(r["canonical"])), []).append(r["fetch_ts"])
+    for (rnd, host), ts in by_host.items():
+        ts.sort()
+        d = delays.get(host, CFG["default_delay"])  # 0.0 = unlimited (reference semantics)
+        t0 = rnd * CFG["horizon"]
+        assert ts[0] == t0
+        if d and d > 0:
+            assert all(abs((b - a) - d) < 1e-9 or (b - a) >= d for a, b in zip(ts, ts[1:]))
+            assert ts[-1] < t0 + CFG["horizon"]
+
+
+def test_error_events_match_failures(spark, engine_result, oracle_result):
+    """S10: one error row per failed fetch attempt; totals line up with the
+    oracle's scheduled-minus-completed accounting."""
+    from crawler_spark.tables import SnapshotCatalog
+
+    workdir, _ = engine_result
+    errors = SnapshotCatalog(workdir).read(spark, "errors")
+    pages = SnapshotCatalog(workdir).read(spark, "pages")
+    n_err = errors.count()
+    n_failed_fetches = pages.where("NOT success").count()
+    assert n_err == n_failed_fetches
+    assert errors.where("error_type != 'fetch_failed'").count() == 0
