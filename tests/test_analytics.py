@@ -75,3 +75,20 @@ def test_media_sink_matches_corpus(spark, crawl):
         assert refs == corpus_media[url], url
     inv = analytics.media_inventory(spark, workdir).collect()
     assert sum(r["n_refs"] for r in inv) == sum(len(v) for v in got.values())
+
+
+def test_report_generation(spark, crawl, tmp_path):
+    import json
+
+    from crawler_spark import reporting
+
+    workdir, _ = crawl
+    jpath = reporting.generate_session_report(spark, workdir, str(tmp_path / "r.json"), "json")
+    report = json.loads(open(jpath).read())
+    assert report["session"]["pages_crawled"] > 0
+    assert len(report["top_words"]) > 0
+    assert sum(report["status_distribution"].values()) == report["queue_health"]["total_urls"]
+    mpath = reporting.generate_session_report(spark, workdir, str(tmp_path / "r.md"), "md")
+    md = open(mpath).read()
+    assert md.startswith("# Crawl session report")
+    assert "## Top words" in md and "## Rounds" in md
