@@ -51,6 +51,12 @@ STOPWORDS = (
 MIN_WORD_LEN = 2   # analyzer.py:64
 MAX_WORD_LEN = 50  # analyzer.py:65
 
+# Simple alpha-token pattern on LOWERED text (analyzer.py:60 without the \b
+# anchors — equivalent on all-lowercase input, cheaper, and expressible
+# identically in DuckDB RE2). Shared by the dedup/textstats operators; the
+# worker-parity tokenizer below keeps the exact (?U)\b form.
+SIMPLE_WORD_RE = "[a-z]+"
+
 # Regexes shared by both _clean_text variants (processor.py:228-248,
 # extractor.py:306-330). Same pattern semantics in Java regex as in Python re.
 _RE_NONPRINTABLE = r"[^\x20-\x7E -￿]"

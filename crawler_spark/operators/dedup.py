@@ -36,8 +36,7 @@ from crawler_spark.functions.hashing import (
     hash60,
     minhash_term,
 )
-
-TOKEN_RE = "[a-z]+"  # analyzer.py:60 word pattern, lowercased input
+from crawler_spark.functions.text import SIMPLE_WORD_RE as TOKEN_RE
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

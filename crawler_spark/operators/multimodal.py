@@ -35,14 +35,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc", T.LongType(), False),
-        T.StructField("width", T.IntegerType(), True),
-        T.StructField("height", T.IntegerType(), True),
-        T.StructField("mean_byte", T.DoubleType(), True),
-    ]
-)
+def feature_schema(doc_type: T.DataType) -> T.StructType:
+    """Output schema of decode_features; ``doc`` keeps the input's key type
+    (long doc ids in the fixtures, canonical-URL strings in the crawl's
+    media table)."""
+    return T.StructType(
+        [
+            T.StructField("doc", doc_type, False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("mean_byte", T.DoubleType(), True),
+        ]
+    )
 
 
 def synth_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -80,7 +84,7 @@ def decode_features(media: DataFrame, backend: str = "fake") -> DataFrame:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
-                    "doc": pdf["doc"].astype("int64"),
+                    "doc": pdf["doc"],  # key passes through, whatever its type
                     "width": payloads.map(lambda b: int(b[0])).astype("int32"),
                     "height": payloads.map(lambda b: int(b[1])).astype("int32"),
                     "mean_byte": payloads.map(
@@ -89,4 +93,5 @@ def decode_features(media: DataFrame, backend: str = "fake") -> DataFrame:
                 }
             )
 
-    return media.select("doc", "payload").mapInPandas(_decode, FEATURE_SCHEMA)
+    schema = feature_schema(media.schema["doc"].dataType)
+    return media.select("doc", "payload").mapInPandas(_decode, schema)

@@ -20,9 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.hashing import hash60, minhash_term
+from crawler_spark.functions.text import SIMPLE_WORD_RE as TOKEN_RE
 from crawler_spark.functions.text import STOPWORDS
-
-TOKEN_RE = "[a-z]+"
 
 # English function-word profile used by the language-ID vote. Distinct from
 # the analyzer STOPWORDS (that set is a *filter*; this one is a *signal*).

@@ -141,14 +141,17 @@ def run_round(
     # with_global_seq's partition-offset pass doubles as the admitted count
     # (and its cache backs the staging write), so the politeness window stack
     # runs ONCE per round — counting admitted separately would execute the
-    # whole ranking pipeline twice
-    scheduled = with_global_seq(admitted, order_exprs(), seq_col="seq")
-    admitted_cnt = scheduled._global_seq_total
+    # whole ranking pipeline twice. `seqd` keeps the original handle: the
+    # cache-release marker does not survive .where()/.withColumn() rebinds.
+    seqd = with_global_seq(admitted, order_exprs(), seq_col="seq")
+    admitted_cnt = seqd._global_seq_total
     if admitted_cnt == 0:
         # nothing admitted this round; if nothing is pending at all, stop —
         # otherwise rows are backoff-delayed past t0: advance the virtual
         # clock without committing (the skipped round re-runs on resume,
         # deterministically and for free)
+        release_global_seq(seqd)
+        skipped.unpersist()
         any_pending = (
             frontier.where(F.col("status") == "pending").limit(1).count() > 0
         )
@@ -156,6 +159,7 @@ def run_round(
             return {"stopped": "frontier_empty"}
         return {"stopped": None, "scheduled": 0, "advanced": True}
 
+    scheduled = seqd
     if admitted_cnt > remaining:
         # seq is the total crawl order, so the page budget is a seq cutoff —
         # no extra global sort
@@ -179,7 +183,7 @@ def run_round(
     sched_path = commit.stage_append(
         "crawl_order", scheduled.select("round", "seq", "fetch_ts", *FRONTIER_COLS)
     )
-    release_global_seq(scheduled)  # staged to parquet; drop the seq cache
+    release_global_seq(seqd)  # staged to parquet; drop the seq cache
     sched = spark.read.parquet(sched_path)  # lineage truncation + single eval
     scheduled_cnt = sched.count()
 
@@ -303,10 +307,14 @@ def run_round(
             (F.col("parent_depth") + 1).alias("depth"),
             F.lit(5).alias("priority"),  # discovered-link priority (engine.py:613)
             F.col("src").alias("parent"),
+            # round-banded FIFO key: (round+1)*10^14 + parent_seq*10^6 + pos.
+            # Bands hold 10^8 scheduled/round x 10^6 links/page x 92k rounds
+            # inside int64; beyond-cap values clamp (ties then fall to the
+            # canonical ASC tiebreak of order_exprs, still deterministic)
             (
-                F.lit((rnd + 1) * 10**13)
-                + F.col("parent_seq") * F.lit(10**6)
-                + F.col("link_pos")
+                F.lit((rnd + 1) * 10**14)
+                + F.least(F.col("parent_seq"), F.lit(10**8 - 1)) * F.lit(10**6)
+                + F.least(F.col("link_pos"), F.lit(10**6 - 1))
             ).cast("long").alias("discovered_at"),
             F.lit(0).alias("attempts"),
             F.lit(float((rnd + 1) * cfg.horizon)).alias("scheduled_at"),

@@ -28,6 +28,7 @@ Coverage map (SURVEY.md §2):
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -384,7 +385,7 @@ WITH s AS (
   SELECT event_type, count(*) AS n,
          sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
   FROM (SELECT event_type,
-               CAST(epoch(ts) AS BIGINT) - {_TS_X0} AS x,
+               CAST(floor(epoch(ts)) AS BIGINT) - {_TS_X0} AS x,
                CAST(value AS DECIMAL(14,6)) AS y
         FROM events)
   GROUP BY event_type
@@ -639,7 +640,9 @@ def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.tables import SnapshotCatalog
 
     documents, seeds, robots = gen_corpus(hosts=3, pages_per_host=8, seed=42)
-    workdir = tempfile.mkdtemp(prefix="crawl-mini-")
+    # fixed workdir: repeat invocations RESUME the committed crawl (idempotent
+    # and deterministic) instead of leaking a fresh /tmp catalog per call
+    workdir = os.path.join(tempfile.gettempdir(), "crawler-spark-mini-crawl-v1")
     cfg = CrawlConfig(max_pages=60, max_rounds=6, n_host_buckets=4)
     run_crawl(
         spark,

@@ -62,5 +62,7 @@ def streaming_url_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     return (
         stream.withColumn("url_hash", F.xxhash64("canonical"))
         .withWatermark("discovered_ts", watermark)
-        .dropDuplicates(["url_hash"])
+        # hash AND string: hash-only equality would silently drop a distinct
+        # URL on a 64-bit collision (expected at 10^10-URL scale)
+        .dropDuplicates(["url_hash", "canonical"])
     )

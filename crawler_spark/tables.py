@@ -84,12 +84,24 @@ class SnapshotCatalog:
         return spark.read.parquet(*paths)
 
     def metrics_history(self) -> list[dict]:
+        """Metrics of COMMITTED rounds only.
+
+        Only manifests at or below CURRENT's round count: a kill between
+        manifest write and the CURRENT swap leaves an orphan manifest whose
+        round will re-run — counting it would double its metrics (and a
+        truncated orphan from a kill mid-write must not poison resume).
+        """
+        current = self.current_round()
         out = []
         commits = sorted(os.listdir(os.path.join(self.root, "_commits")))
         for name in commits:
-            with open(os.path.join(self.root, "_commits", name)) as f:
-                m = json.load(f)
-            out.append({"round": m["round"], **m.get("metrics", {})})
+            try:
+                with open(os.path.join(self.root, "_commits", name)) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue  # orphan from an interrupted commit; round will re-run
+            if m["round"] <= current:
+                out.append({"round": m["round"], **m.get("metrics", {})})
         return out
 
     # -- commit protocol ---------------------------------------------------
@@ -166,10 +178,13 @@ class RoundCommit:
             "lineage": self.lineage,
         }
         path = os.path.join(self.catalog.root, "_commits", name)
-        with open(path, "w") as f:
+        # manifest lands atomically too: a kill mid-write must leave either
+        # no file or a complete one, never a truncated orphan
+        with open(path + ".tmp", "w") as f:
             json.dump(manifest, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
+        os.replace(path + ".tmp", path)
         tmp = self.catalog._current_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(name)

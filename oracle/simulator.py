@@ -45,7 +45,7 @@ Round r:
  7. new URLs: normalize -> canonicalize -> first-occurrence dedup within the
     round (by parent rank, then link position) -> anti-join vs url_seen ->
     enqueued with depth=parent+1, priority=5, attempts=0,
-    discovered_at = (r+1)*10^13 + parent_rank*10^6 + link_pos,
+    discovered_at = (r+1)*10^14 + min(parent_rank, 10^8-1)*10^6 + min(link_pos, 10^6-1),
     scheduled_at = (r+1)*H; inserted into url_seen
  8. failure: attempts+1; if attempts < 3 -> priority-1, stays pending with
     scheduled_at = r*H + 2^attempts; else status='failed'
@@ -326,7 +326,9 @@ class CrawlSimulator:
                 frontier[canon] = Entry(
                     canonical=canon, url=norm, host=host_of(canon),
                     depth=parent.depth + 1, priority=5, parent=parent.canonical,
-                    discovered_at=(rnd + 1) * 10**13 + rank * 10**6 + pos,
+                    discovered_at=(rnd + 1) * 10**14
+                    + min(rank, 10**8 - 1) * 10**6
+                    + min(pos, 10**6 - 1),
                     scheduled_at=(rnd + 1) * cfg.horizon,
                 )
 
