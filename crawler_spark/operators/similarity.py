@@ -95,6 +95,39 @@ def ivf_assign(
     )
 
 
+def embedding_neardup(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_blocked: bool = False,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (vec_a, vec_b), a < b.
+
+    Exact mode compares all pairs — the verification baseline, quadratic.
+    ``cell_blocked=True`` is the scale path: candidates are limited to pairs
+    sharing an IVF cell (ivf_assign), turning N^2 into sum-of-cell^2 at the
+    cost of missing cross-cell pairs — the embedding analog of LSH banding.
+    Output carries no float column so oracle value-hashing is exact.
+    """
+    if cell_blocked:
+        assigned = ivf_assign(vectors, n_centroids, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
+        a = assigned.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"), "cell")
+        b = assigned.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"), "cell")
+        pairs = a.join(b, "cell").where(F.col("vec_a") < F.col("vec_b"))
+    else:
+        a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+        b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+        pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

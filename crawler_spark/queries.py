@@ -571,6 +571,20 @@ SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the scale
+    path is the IVF-cell-blocked variant, unit-tested separately)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_neardup(emb, threshold=0.4)
+
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ({_COS_SQL}) >= 0.4
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 20), n_centroids=8, k=5)
@@ -683,6 +697,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "knn_cosine": QuerySpec(q_knn_cosine, SQL_KNN_COSINE),
+    "dedup_embedding": QuerySpec(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),

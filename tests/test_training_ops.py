@@ -106,3 +106,58 @@ def test_media_real_backend_is_marked_stub(spark):
     media = multimodal.synth_media(df, "doc_id", "text")
     with pytest.raises(NotImplementedError):
         multimodal.decode_features(media, backend="real")
+
+
+def test_embedding_neardup_blocked_is_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ] + [(100 + i, [x + rng.gauss(0, 0.01) for x in [1.0] * 8]) for i in range(5)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_neardup(emb, threshold=0.9).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_neardup(
+            emb, threshold=0.9, cell_blocked=True, n_centroids=4
+        ).collect()
+    }
+    # the planted clones (ids 100..104) are near-identical: exact finds all
+    # 10 pairs, and blocking cannot invent pairs
+    planted = {(a, b) for a in range(100, 105) for b in range(100, 105) if a < b}
+    assert planted <= exact
+    assert blocked <= exact
+    assert planted <= blocked  # clones share a cell by construction
+
+
+def test_top_per_key_equals_naive_window(spark):
+    """Salted + threshold-pruned top_per_key is plan-level optimization only:
+    equal to the naive window on randomized data with ties and varied budgets."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.ordering import top_per_key
+
+    rng = random.Random(5)
+    rows = [
+        (f"k{rng.randint(0, 6)}", rng.randint(0, 3), rng.randint(0, 5), f"id{i:04d}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["key", "prio", "depth", "ident"])
+    order = [F.desc("prio"), F.asc("depth"), F.asc("ident")]
+    budget = (F.length("key") * 0 + 7)  # constant budget 7, as a column
+    got = top_per_key(
+        df, key="key", order_exprs=order, limit_col=budget,
+        salt_on="ident", salt_buckets=4, prune_col="prio", prune_max=7,
+    )
+    w = Window.partitionBy("key").orderBy(*order)
+    want = (
+        df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 7)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
