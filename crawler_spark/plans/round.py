@@ -29,6 +29,8 @@ Scale notes (the parts that must survive 1000 executors / 10^10 URLs):
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -89,6 +91,7 @@ def run_round(
     Returns {"stopped": reason} without committing when the crawl is done.
     """
     t0 = float(rnd) * cfg.horizon
+    wall_start = time.time()
     frontier = catalog.read(spark, "frontier")
     url_seen = catalog.read(spark, "url_seen")
     assert frontier is not None and url_seen is not None, "catalog not initialized"
@@ -364,6 +367,9 @@ def run_round(
         skipped=skipped_cnt,
         fresh=fresh_cnt,
         t0=t0,
+        # A6 analog (database.py:436-451): per-round wall time replaces the
+        # reference's per-URL network timings (fetch is a join here)
+        wall_sec=round(time.time() - wall_start, 3),
     )
     commit.commit()
     fetched.unpersist()

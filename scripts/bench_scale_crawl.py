@@ -1,0 +1,76 @@
+"""Engine-level scale bench: crawl a Spark-generated corpus end to end.
+
+bench.py measures the round's CORE ops (politeness top-k, dedup anti-join)
+in isolation; this script runs the WHOLE round pipeline — robots join,
+politeness, global sequencing, fetch join, span extraction regexes, word
+frequencies, link discovery + canonicalization pandas UDFs, dedup, frontier
+rewrite, snapshot commit — on a corpus of 10^5+ pages generated JVM-side
+(sources/corpus_spark.py; no driver data).
+
+Usage: python scripts/bench_scale_crawl.py [hosts] [pages_per_host] [rounds]
+Prints one JSON line with per-round metrics and pages/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    pages = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.plans.engine import run_crawl
+    from crawler_spark.sources.corpus_spark import corpus_df, seed_urls
+    from crawler_spark.sparkutils import get_spark
+
+    spark = get_spark("crawl-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = corpus_df(spark, hosts=hosts, pages_per_host=pages)
+    robots = spark.createDataFrame(
+        [(f"host{h}.test", "*", "/private", False, 0.5) for h in range(0, hosts, 3)],
+        "host string, user_agent string, path_prefix string, allow boolean, crawl_delay double",
+    )
+    seeds = seed_urls(hosts, every=2)
+
+    workdir = tempfile.mkdtemp(prefix="crawl-scale-", dir="/dev/shm")
+    cfg = CrawlConfig(
+        max_pages=hosts * pages,
+        max_rounds=rounds,
+        max_depth=6,
+        n_host_buckets=64,
+        horizon=30.0,
+    )
+    t0 = time.time()
+    summary = run_crawl(spark, workdir, docs, robots, seeds, cfg)
+    wall = time.time() - t0
+    scheduled = summary["scheduled_total"]
+    out = {
+        "corpus_pages": hosts * pages,
+        "seeds": len(seeds),
+        "rounds": [
+            {k: r[k] for k in ("round", "scheduled", "completed", "fresh")}
+            for r in summary["rounds"]
+        ],
+        "stopped": summary["stopped"],
+        "scheduled_total": scheduled,
+        "wall_sec": round(wall, 1),
+        "pages_per_sec": round(scheduled / wall, 1),
+    }
+    shutil.rmtree(workdir, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

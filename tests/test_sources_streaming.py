@@ -127,3 +127,28 @@ def test_streaming_url_dedup_first_occurrence(spark, tmp_path):
         "http://b.test/",
         "http://c.test/",
     ]
+
+
+# -- Spark-native corpus generator -------------------------------------------
+
+def test_corpus_spark_shape_and_determinism(spark):
+    from crawler_spark.sources.corpus import DOC_SCHEMA
+    from crawler_spark.sources.corpus_spark import corpus_df, seed_urls
+
+    df = corpus_df(spark, hosts=4, pages_per_host=5, links_per_page=3)
+    # same names/types as the fixture schema (nullability flags differ for
+    # expression-derived columns; the engine is indifferent)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in DOC_SCHEMA.fields
+    ]
+    assert df.count() == 20
+    a = sorted(map(str, df.collect()))
+    b = sorted(map(str, corpus_df(spark, hosts=4, pages_per_host=5, links_per_page=3).collect()))
+    assert a == b  # expression-generated: bit-identical across invocations
+    row = df.where("doc_id = 'http://host0.test/'").collect()[0]
+    kinds = [s["kind"] for s in row["spans"]]
+    assert kinds[:2] == ["title", "nav"] and "link" in kinds and "media" in kinds
+    assert seed_urls(4, every=2) == [
+        {"url": "http://host0.test/", "priority": 10, "depth": 0},
+        {"url": "http://host2.test/", "priority": 10, "depth": 0},
+    ]
