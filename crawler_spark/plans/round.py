@@ -271,9 +271,13 @@ def run_round(
         .drop("_r")
     )
     link_order = Window.partitionBy("src").orderBy("pos")
-    links = dedup_in_doc.withColumn(
-        "link_pos", (F.row_number().over(link_order) - 1).cast("long")
-    ).withColumn("round", F.lit(rnd))
+    links = (
+        dedup_in_doc.withColumn(
+            "link_pos", (F.row_number().over(link_order) - 1).cast("long")
+        )
+        .withColumn("round", F.lit(rnd))
+        .persist()  # consumed by the links sink AND the candidate pipeline
+    )
     commit.stage_append(
         "links", links.select("round", "src", "absolute", "link_pos")
     )
@@ -355,7 +359,14 @@ def run_round(
         .unionByName(skipped.select(*FRONTIER_COLS))
         .unionByName(fresh)
     )
-    commit.stage_replace("frontier", new_frontier, partition_by=["host_bucket"])
+    # co-locate rows with their bucket before the partitioned write — without
+    # this every task writes a sliver into every bucket dir (tasks x buckets
+    # tiny files), slowing both this commit and the next round's scan
+    commit.stage_replace(
+        "frontier",
+        new_frontier.repartition(cfg.n_host_buckets, "host_bucket"),
+        partition_by=["host_bucket"],
+    )
 
     completed_cnt = fetched.where("success").count()
     fresh_cnt = fresh.count()
@@ -375,6 +386,7 @@ def run_round(
     fetched.unpersist()
     fresh.unpersist()
     skipped.unpersist()
+    links.unpersist()
     return {
         "stopped": None,
         "scheduled": scheduled_cnt,
