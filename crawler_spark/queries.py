@@ -12,10 +12,12 @@ Coverage map (SURVEY.md §2):
   session_stats                                           -> A4 O8
   hourly_activity                                         -> A7 O9
   queue_distribution / top_sources                        -> A8 O3 A10
-  trend_slope                                             -> O7
-  frontier_ordering                                       -> O1 (salted top_per_key)
+  trend_slope                                             -> O7 (exact-sum form)
+  json_props                                              -> T4 (jsonb extraction)
+  frontier_ordering                                       -> O1 (salted + pruned
+                                                             top_per_key)
   dedup_exact / dedup_minhash_lsh / dedup_simhash /
-    dedup_ngram_jaccard                                   -> training-data dedup
+    dedup_ngram_jaccard / dedup_embedding                 -> training-data dedup
   knn_cosine / ann_ivf                                    -> similarity search
   lang_id / token_count / doc_fingerprint                 -> text analysis
   media_features                                          -> multimodal plumbing
