@@ -67,14 +67,26 @@ def order_exprs():
 
 
 def _robots_dims(robots_df: DataFrame):
-    """Split robots rules into a disallow-prefix dim and a crawl-delay dim."""
-    disallow = (
-        robots_df.where(~F.col("allow"))
-        .groupBy("host")
-        .agg(F.collect_list("path_prefix").alias("prefixes"))
+    """Robots rules dim: per host, rules ordered by file position, plus a
+    crawl-delay dim. Decision semantics are stdlib RobotFileParser's (the
+    reference delegates to it, robots.py:82): the FIRST rule whose prefix
+    matches the URL path decides allow/deny; no match or no rules = allow.
+    Rule text without a rule_order column (hand-built fixtures) is treated
+    as one unordered group, which is equivalent when every host has at most
+    one disallow rule.
+    """
+    order = (
+        F.col("rule_order") if "rule_order" in robots_df.columns else F.lit(0)
+    ).alias("o")
+    rules = robots_df.groupBy("host").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(order, F.col("path_prefix").alias("p"), F.col("allow").alias("a"))
+            )
+        ).alias("rules")
     )
     delays = robots_df.groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
-    return disallow, delays
+    return rules, delays
 
 
 def run_round(
@@ -104,20 +116,23 @@ def run_round(
         (F.col("status") == "pending") & (F.col("scheduled_at") <= F.lit(t0))
     )
 
-    # -- robots compliance (F7): broadcast dim join + prefix predicate -------
-    disallow, delays = _robots_dims(robots_df)
+    # -- robots compliance (F7): broadcast dim join + first-match predicate --
+    rules_dim, delays = _robots_dims(robots_df)
     path = F.regexp_replace(F.col("canonical"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
-    with_rules = pending.join(F.broadcast(disallow), "host", "left")
-    denied = F.col("prefixes").isNotNull() & F.exists(
-        "prefixes", lambda p: path.startswith(p)
+    with_rules = pending.join(F.broadcast(rules_dim), "host", "left")
+    # F.get, not element_at: ANSI mode (Spark 4 default) throws on an empty
+    # match array; get returns null, which coalesces to fail-open allow
+    first_match = F.get(
+        F.filter(F.col("rules"), lambda r: path.startswith(r["p"])), 0
     )
+    denied = F.col("rules").isNotNull() & ~F.coalesce(first_match["a"], F.lit(True))
     skipped = (
         with_rules.where(denied)
         .select(*[c for c in FRONTIER_COLS if c != "status"])
         .withColumn("status", F.lit("skipped"))
         .persist()  # three consumers (touched, frontier union, metrics count)
     )
-    allowed = with_rules.where(~denied).drop("prefixes")
+    allowed = with_rules.where(~denied).drop("rules")
 
     # -- politeness budget (X2/X3/J2): floor(horizon / crawl_delay) ----------
     budget = F.when(

@@ -68,6 +68,7 @@ ROBOTS_SCHEMA = T.StructType(
         T.StructField("path_prefix", T.StringType(), False),
         T.StructField("allow", T.BooleanType(), False),
         T.StructField("crawl_delay", T.DoubleType(), True),
+        T.StructField("rule_order", T.IntegerType(), False),
     ]
 )
 
@@ -181,8 +182,10 @@ def gen_corpus(
                     add("link", rng.choice(["mailto:a@b.com", "javascript:void(0)", "", "#top", "tel:+1234"]))
                 elif r < 0.90:  # link to a never-generated page (404 analog)
                     add("link", f"http://{_host(rng.randint(0, hosts - 1))}/missing{rng.randint(0, 10**6)}")
-                else:  # disallowed-by-robots path
+                elif r < 0.95:  # disallowed-by-robots path
                     add("link", f"http://{_host(rng.randint(0, hosts - 1))}/private/area{rng.randint(1, 9)}")
+                else:  # allow-exception path (robots first-match: allowed)
+                    add("link", f"http://{_host(rng.randint(0, hosts - 1))}/private/open/doc{rng.randint(1, 9)}")
 
             documents.append({"doc_id": url, "spans": spans})
 
@@ -196,13 +199,28 @@ def gen_corpus(
         rng = _rng(seed, f"robots:{h}")
         if rng.random() < 0.25:
             continue  # host with no robots.txt -> fail-open allow (robots.py:77-87)
+        delay = rng.choice([None, 0.0, 0.5, 2.0])
+        if rng.random() < 0.5:
+            # Allow exception listed BEFORE the broader Disallow — first
+            # match wins (stdlib RobotFileParser order semantics)
+            robots.append(
+                {
+                    "host": _host(h),
+                    "user_agent": "*",
+                    "path_prefix": "/private/open",
+                    "allow": True,
+                    "crawl_delay": None,
+                    "rule_order": 0,
+                }
+            )
         robots.append(
             {
                 "host": _host(h),
                 "user_agent": "*",
                 "path_prefix": "/private",
                 "allow": False,
-                "crawl_delay": rng.choice([None, 0.0, 0.5, 2.0]),
+                "crawl_delay": delay,
+                "rule_order": 1,
             }
         )
     return documents, seeds, robots
@@ -225,6 +243,9 @@ def to_seeds_df(spark: SparkSession, seeds):
 
 def to_robots_df(spark: SparkSession, robots):
     return spark.createDataFrame(
-        [(r["host"], r["user_agent"], r["path_prefix"], r["allow"], r["crawl_delay"]) for r in robots],
+        [
+            (r["host"], r["user_agent"], r["path_prefix"], r["allow"], r["crawl_delay"], r.get("rule_order", 0))
+            for r in robots
+        ],
         ROBOTS_SCHEMA,
     )

@@ -220,20 +220,29 @@ class CrawlSimulator:
         self.docs = {d["doc_id"]: d["spans"] for d in documents}
         self.seeds = seeds
         self.config = config or SimConfig()
-        self.disallow: dict[str, list[str]] = {}
+        # ordered rules per host: FIRST prefix match decides (stdlib
+        # RobotFileParser iteration order; engine twin plans/round._robots_dims)
+        self.rules: dict[str, list[tuple[int, str, bool]]] = {}
         self.delay: dict[str, float] = {}
-        for r in robots:
-            if not r["allow"]:
-                self.disallow.setdefault(r["host"], []).append(r["path_prefix"])
+        for i, r in enumerate(robots):
+            order = r.get("rule_order", 0)
+            self.rules.setdefault(r["host"], []).append(
+                (order, r["path_prefix"], bool(r["allow"]))
+            )
             if r["crawl_delay"] is not None:
                 self.delay[r["host"]] = r["crawl_delay"]
+        for host in self.rules:
+            self.rules[host].sort()
 
     def _robots_allowed(self, e: Entry) -> bool:
-        prefixes = self.disallow.get(e.host)
-        if not prefixes:
+        rules = self.rules.get(e.host)
+        if not rules:
             return True
         path = e.canonical.split(e.host, 1)[1] if e.host in e.canonical else "/"
-        return not any(path.startswith(p) for p in prefixes)
+        for _, prefix, allow in rules:
+            if path.startswith(prefix):
+                return allow
+        return True
 
     def _host_budget(self, host: str) -> int:
         d = self.delay.get(host, self.config.default_delay)
