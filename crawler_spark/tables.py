@@ -106,8 +106,32 @@ class SnapshotCatalog:
 
     # -- commit protocol ---------------------------------------------------
 
-    def begin(self, round_no: int) -> "RoundCommit":
-        return RoundCommit(self, round_no)
+    def begin(self, round_no: int, tag: str | None = None) -> "RoundCommit":
+        return RoundCommit(self, round_no, tag)
+
+    def compact_frontier(self, spark: SparkSession, partition_by: list[str] | None = None) -> int:
+        """X6 retention (reference cleanup worker, persistent_queue.py:263-296,
+        database.py:717-736): drop completed/failed/skipped rows from the
+        frontier in one maintenance commit.
+
+        Safe by construction: scheduling reads only pending rows, dedup reads
+        url_seen (not the frontier), and the crawl order is its own table —
+        so compaction never changes what a resumed crawl does, it only sheds
+        bookkeeping rows (at 10^10 URLs the completed set dwarfs pending).
+        Returns the number of rows dropped.
+        """
+        frontier = self.read(spark, "frontier")
+        if frontier is None:
+            return 0
+        keep = frontier.where(frontier["status"] == "pending")
+        dropped = frontier.count() - keep.count()
+        # tagged commit: the round's original manifest (with its scheduled
+        # metrics, needed by resume accounting) must survive
+        commit = self.begin(self.current_round(), tag="compact")
+        commit.stage_replace("frontier", keep, partition_by=partition_by or ["host_bucket"])
+        commit.set_metrics(compacted_rows=dropped, maintenance=True)
+        commit.commit()
+        return dropped
 
     def expire_orphans(self) -> int:
         """X6 maintenance: delete data dirs not referenced by CURRENT."""
@@ -132,9 +156,10 @@ class SnapshotCatalog:
 class RoundCommit:
     """One atomic commit group: stage writes, then commit() or abandon."""
 
-    def __init__(self, catalog: SnapshotCatalog, round_no: int):
+    def __init__(self, catalog: SnapshotCatalog, round_no: int, tag: str | None = None):
         self.catalog = catalog
         self.round_no = round_no
+        self.tag = tag
         prev = catalog.current_manifest()
         self.tables: dict[str, list[str]] = (
             {k: list(v) for k, v in prev["tables"].items()} if prev else {}
@@ -170,7 +195,8 @@ class RoundCommit:
 
     def commit(self) -> None:
         assert not self._committed
-        name = f"commit-{self.round_no:06d}.json"
+        suffix = f"-{self.tag}" if self.tag else ""
+        name = f"commit-{self.round_no:06d}{suffix}.json"
         manifest = {
             "round": self.round_no,
             "tables": self.tables,

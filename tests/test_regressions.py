@@ -98,3 +98,27 @@ def test_discovered_at_bands_are_monotone_across_rounds(spark, small, tmp_path):
     bands = sorted({r["discovered_at"] // 10**14 for r in rows})
     assert all(b >= 1 for b in bands)
     assert max(r["discovered_at"] for r in rows) < 2**62
+
+def test_compact_frontier_preserves_crawl_order(spark, small, tmp_path):
+    """X6 retention: dropping completed/failed/skipped rows between rounds
+    never changes what a resumed crawl schedules."""
+    docs_df, robots_df, seeds = small
+    cfg2 = CrawlConfig(max_pages=40, max_rounds=2, n_host_buckets=4)
+    cfg_full = CrawlConfig(max_pages=40, max_rounds=6, n_host_buckets=4)
+
+    ref = str(tmp_path / "ref")
+    run_crawl(spark, ref, docs_df, robots_df, seeds, cfg_full)
+    expected = read_crawl_order(spark, ref)
+
+    wd = str(tmp_path / "compacted")
+    run_crawl(spark, wd, docs_df, robots_df, seeds, cfg2)
+    cat = SnapshotCatalog(wd)
+    dropped = cat.compact_frontier(spark)
+    assert dropped > 0
+    statuses = {
+        r["status"]
+        for r in cat.read(spark, "frontier").select("status").distinct().collect()
+    }
+    assert statuses == {"pending"}
+    run_crawl(spark, wd, docs_df, robots_df, seeds, cfg_full)
+    assert read_crawl_order(spark, wd) == expected
