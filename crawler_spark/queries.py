@@ -204,6 +204,95 @@ FROM documents
 """
 
 
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf_idf_score of the reference's word_frequencies schema
+    (migrations.py:213-226): tf * ln(N/df) per (doc, word), top-5 words per
+    doc by score (ties by word) to keep output bounded."""
+    from pyspark.sql import Window
+
+    words = _tokens_df(spark, sf_dir)
+    n_docs = _docs(spark, sf_dir).count()
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "word").withColumn(
+        "tf_idf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "word", "tf", "tf_idf", F.col("rk").alias("rk"))
+    )
+
+
+SQL_TF_IDF = _WORDS_CTE + """
+, tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tf_idf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tf, tf_idf, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, word) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 (analytics.py:526-554): the reference defines only the 7-bucket
+    categorizer (its readability_score is never computed, processor.py:58);
+    the score here is standard Flesch reading-ease with vowel-group syllable
+    counting, then the reference's exact bucket boundaries."""
+    d = _docs(spark, sf_dir)
+    words = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    sylls = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)))
+    score = F.when(words > 0,
+        F.lit(206.835) - F.lit(1.015) * (words / sents) - F.lit(84.6) * (sylls / words)
+    ).otherwise(F.lit(0.0))
+    cat = (
+        F.when(score >= 90, "Very Easy")
+        .when(score >= 80, "Easy")
+        .when(score >= 70, "Fairly Easy")
+        .when(score >= 60, "Standard")
+        .when(score >= 50, "Fairly Difficult")
+        .when(score >= 30, "Difficult")
+        .otherwise("Very Difficult")
+    )
+    return d.select(cat.alias("category")).groupBy("category").agg(F.count("*").alias("n"))
+
+
+SQL_READABILITY = """
+WITH m AS (
+  SELECT len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sylls
+  FROM documents
+), s AS (
+  SELECT CASE WHEN words > 0 THEN
+           206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                   - 84.6 * (CAST(sylls AS DOUBLE) / words)
+         ELSE 0.0 END AS score
+  FROM m
+)
+SELECT CASE
+         WHEN score >= 90 THEN 'Very Easy'
+         WHEN score >= 80 THEN 'Easy'
+         WHEN score >= 70 THEN 'Fairly Easy'
+         WHEN score >= 60 THEN 'Standard'
+         WHEN score >= 50 THEN 'Fairly Difficult'
+         WHEN score >= 30 THEN 'Difficult'
+         ELSE 'Very Difficult'
+       END AS category, count(*) AS n
+FROM s GROUP BY 1
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -687,6 +776,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(q_lang_id, SQL_LANG_ID),
     "token_count": QuerySpec(q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "tf_idf": QuerySpec(q_tf_idf, SQL_TF_IDF),
+    "readability": QuerySpec(q_readability, SQL_READABILITY),
     "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
     "hourly_activity": QuerySpec(q_hourly_activity, SQL_HOURLY_ACTIVITY),
     "queue_distribution": QuerySpec(q_queue_distribution, SQL_QUEUE_DISTRIBUTION),
