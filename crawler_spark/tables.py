@@ -133,6 +133,25 @@ class SnapshotCatalog:
         commit.commit()
         return dropped
 
+    def compact_table(
+        self, spark: SparkSession, table: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Merge an append-table's accumulated per-round data dirs into one
+        (Iceberg rewrite_data_files analog). url_seen grows one dir per
+        round; after many rounds the multi-path scan pays per-file overhead.
+        Content-preserving by construction; returns dirs merged.
+        """
+        m = self.current_manifest()
+        if m is None or len(m["tables"].get(table, [])) <= 1:
+            return 0
+        n_dirs = len(m["tables"][table])
+        df = self.read(spark, table)
+        commit = self.begin(self.current_round(), tag=f"compact-{table}")
+        commit.stage_replace(table, df, partition_by=partition_by)
+        commit.set_metrics(compacted_dirs=n_dirs, maintenance=True)
+        commit.commit()
+        return n_dirs
+
     def expire_orphans(self) -> int:
         """X6 maintenance: delete data dirs not referenced by CURRENT."""
         m = self.current_manifest()

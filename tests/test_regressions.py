@@ -122,3 +122,27 @@ def test_compact_frontier_preserves_crawl_order(spark, small, tmp_path):
     assert statuses == {"pending"}
     run_crawl(spark, wd, docs_df, robots_df, seeds, cfg_full)
     assert read_crawl_order(spark, wd) == expected
+
+
+def test_compact_table_preserves_url_seen(spark, small, tmp_path):
+    """Merging url_seen's per-round dirs changes nothing downstream."""
+    docs_df, robots_df, seeds = small
+    wd = str(tmp_path / "crawl")
+    run_crawl(
+        spark, wd, docs_df, robots_df, seeds,
+        CrawlConfig(max_pages=40, max_rounds=3, n_host_buckets=4),
+    )
+    cat = SnapshotCatalog(wd)
+    before = {r["canonical"] for r in cat.read(spark, "url_seen").collect()}
+    merged = cat.compact_table(spark, "url_seen")
+    assert merged >= 2
+    after = {r["canonical"] for r in cat.read(spark, "url_seen").collect()}
+    assert after == before
+    assert len(cat.current_manifest()["tables"]["url_seen"]) == 1
+    # resume still works and dedups against the compacted set
+    run_crawl(
+        spark, wd, docs_df, robots_df, seeds,
+        CrawlConfig(max_pages=60, max_rounds=6, n_host_buckets=4),
+    )
+    seen2 = [r["canonical"] for r in cat.read(spark, "url_seen").collect()]
+    assert len(seen2) == len(set(seen2))
