@@ -19,3 +19,7 @@ class CrawlConfig:
     max_attempts: int = 3       # retry cap (queue.py:369)
     n_host_buckets: int = 16    # frontier partition buckets (4096 at 10^10 scale)
     salt_buckets: int = 8       # hot-host salting for the politeness window
+    # F1/F6 domain restrictions (validator.py:239-251, engine.py:581-589):
+    # blocked wins; a non-empty allowed tuple is exclusive
+    allowed_domains: tuple = ()
+    blocked_domains: tuple = ()

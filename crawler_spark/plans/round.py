@@ -310,6 +310,14 @@ def run_round(
         .drop("_r")
         .withColumn("url_hash", F.xxhash64(F.col("canonical")))
     )
+    # F6 domain restrictions (engine.py:581-589): blocked wins; a non-empty
+    # allowed set is exclusive. Applied at discovery like the reference's
+    # _add_links_to_queue -> _should_crawl_url path (seeds are exempt there).
+    cand_host = host_col(F.col("canonical"))
+    if cfg.blocked_domains:
+        candidates = candidates.where(~cand_host.isin(*cfg.blocked_domains))
+    if cfg.allowed_domains:
+        candidates = candidates.where(cand_host.isin(*cfg.allowed_domains))
     # shuffled HASH join (not sort-merge): the anti-join needs no ordering,
     # and skipping both 10^7..10^10-row sorts is a ~2x win measured at 32M
     # rows; per-partition build side stays small under the host_bucket

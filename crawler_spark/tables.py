@@ -48,6 +48,7 @@ import json
 import os
 import shutil
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -132,6 +133,30 @@ class SnapshotCatalog:
         commit.set_metrics(compacted_rows=dropped, maintenance=True)
         commit.commit()
         return dropped
+
+    def remove_host(
+        self, spark: SparkSession, host: str, partition_by: list[str] | None = None
+    ) -> int:
+        """E3 (queue.py:455-488): drop a host's PENDING frontier rows in one
+        tagged maintenance commit (completed bookkeeping rows stay; combine
+        with cfg.blocked_domains to stop re-discovery). Returns rows removed.
+        """
+        frontier = self.read(spark, "frontier")
+        if frontier is None:
+            return 0
+        doomed = (frontier["host"] == host) & (frontier["status"] == "pending")
+        removed = frontier.where(doomed).count()
+        if removed == 0:
+            return 0
+        commit = self.begin(
+            self.current_round(), tag=f"rmhost-{zlib.crc32(host.encode()) % 10**8}"
+        )
+        commit.stage_replace(
+            "frontier", frontier.where(~doomed), partition_by=partition_by or ["host_bucket"]
+        )
+        commit.set_metrics(removed_host=host, removed_rows=removed, maintenance=True)
+        commit.commit()
+        return removed
 
     def compact_table(
         self, spark: SparkSession, table: str, partition_by: list[str] | None = None

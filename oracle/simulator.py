@@ -183,6 +183,17 @@ class SimConfig:
     horizon: float = 30.0
     max_rounds: int = 50
     max_attempts: int = 3
+    # F1/F6 domain restrictions (validator.py:239-251, engine.py:581-589):
+    # blocked wins; a non-empty allowed set is exclusive
+    allowed_domains: tuple = ()
+    blocked_domains: tuple = ()
+
+    def domain_ok(self, host: str) -> bool:
+        if host in self.blocked_domains:
+            return False
+        if self.allowed_domains:
+            return host in self.allowed_domains
+        return True
 
 
 @dataclass
@@ -329,6 +340,8 @@ class CrawlSimulator:
                 if norm is None:
                     continue
                 canon = canonicalize_url(norm)
+                if not self.config.domain_ok(host_of(canon)):
+                    continue  # F6 domain restriction (engine.py:581-589)
                 if canon in res.url_seen:
                     continue
                 res.url_seen.add(canon)

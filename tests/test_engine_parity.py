@@ -165,3 +165,35 @@ def test_error_events_match_failures(spark, engine_result, oracle_result):
     n_failed_fetches = pages.where("NOT success").count()
     assert n_err == n_failed_fetches
     assert errors.where("error_type != 'fetch_failed'").count() == 0
+
+
+def test_blocked_domain_parity(spark, corpus, tmp_path_factory):
+    """F6 domain restriction: engine and oracle agree when a host is blocked."""
+    from crawler_spark.sources.corpus import to_documents_df, to_robots_df
+    from oracle.simulator import CrawlSimulator, SimConfig
+
+    documents, seeds, robots = corpus
+    blocked = ("host2.test",)
+    cfg = {**CFG, "max_rounds": 6}
+    oracle = CrawlSimulator(
+        documents, seeds, robots, SimConfig(**cfg, blocked_domains=blocked)
+    ).run()
+    workdir = str(tmp_path_factory.mktemp("blocked"))
+    run_crawl(
+        spark,
+        workdir,
+        to_documents_df(spark, documents),
+        to_robots_df(spark, robots),
+        seeds,
+        CrawlConfig(**cfg, blocked_domains=blocked),
+    )
+    got = read_crawl_order(spark, workdir)
+    assert got == oracle.crawl_order
+    # seeds are exempt (engine.py start_crawl has no domain check), but no
+    # DISCOVERED host2 URL may appear
+    from crawler_spark.functions.urls import host_of
+
+    seed_canon = {c for (_, _, c) in got[: len(seeds)]}
+    discovered_hosts = {host_of(c) for (_, _, c) in got if c not in seed_canon}
+    assert "host2.test" not in discovered_hosts
+    assert read_url_seen(spark, workdir) == oracle.url_seen

@@ -146,3 +146,30 @@ def test_compact_table_preserves_url_seen(spark, small, tmp_path):
     )
     seen2 = [r["canonical"] for r in cat.read(spark, "url_seen").collect()]
     assert len(seen2) == len(set(seen2))
+
+
+def test_remove_host_prunes_pending_only(spark, small, tmp_path):
+    """E3: removing a host drops its pending rows, keeps bookkeeping, and the
+    crawl continues without scheduling that host again."""
+    from crawler_spark.functions.urls import host_of
+
+    docs_df, robots_df, seeds = small
+    wd = str(tmp_path / "crawl")
+    run_crawl(spark, wd, docs_df, robots_df, seeds,
+              CrawlConfig(max_pages=40, max_rounds=2, n_host_buckets=4))
+    cat = SnapshotCatalog(wd)
+    victim = "host1.test"
+    before_done = cat.read(spark, "frontier").where(
+        (F.col("host") == victim) & (F.col("status") != "pending")
+    ).count()
+    removed = cat.remove_host(spark, victim)
+    assert removed > 0
+    f = cat.read(spark, "frontier")
+    assert f.where((F.col("host") == victim) & (F.col("status") == "pending")).count() == 0
+    assert f.where(F.col("host") == victim).count() == before_done
+    pre = len(read_crawl_order(spark, wd))
+    run_crawl(spark, wd, docs_df, robots_df, seeds,
+              CrawlConfig(max_pages=40, max_rounds=4, n_host_buckets=4,
+                          blocked_domains=(victim,)))
+    new = read_crawl_order(spark, wd)[pre:]
+    assert all(host_of(c) != victim for (_, _, c) in new)
