@@ -151,6 +151,36 @@ def link_spans(spans: Column) -> Column:
     return F.filter(spans_sorted(spans), lambda s: s["kind"] == F.lit("link"))
 
 
+def main_content(spans: Column) -> Column:
+    """F15/O4 — main-content selection (extractor.py:272-304).
+
+    The reference tries CSS selectors (main, article, [role=main], ...) and
+    falls back to the largest text block over 50 chars, else the whole page.
+    Span analog: 'main'-kind spans if present; else the single longest
+    'text' span > 50 chars (argmax via array_max over (len, -offset, text)
+    structs — unique offsets make the tiebreak deterministic); else the full
+    visible text (extract_text's own fallback, extractor.py:56-62).
+    """
+    mains = F.filter(spans_sorted(spans), lambda s: s["kind"] == F.lit("main"))
+    texts = F.filter(
+        spans_sorted(spans),
+        lambda s: (s["kind"] == F.lit("text")) & (F.length(s["text"]) > 50),
+    )
+    best = F.array_max(
+        F.transform(
+            texts,
+            lambda s: F.struct(
+                F.length(s["text"]).alias("l"), (-s["offset"]).alias("o"), s["text"].alias("t")
+            ),
+        )
+    )
+    return (
+        F.when(F.size(mains) > 0, F.array_join(F.transform(mains, lambda s: s["text"]), " "))
+        .when(F.size(texts) > 0, best["t"])
+        .otherwise(extract_text(spans))
+    )
+
+
 def metadata_map(spans: Column) -> Column:
     """T4 — meta/JSON-LD span extraction (extractor.py:75-122, 387-424).
 

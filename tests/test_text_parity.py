@@ -112,3 +112,28 @@ def test_link_extraction_matches(spark, unit_corpus):
     for d in documents:
         expected = O.extract_links(d["spans"], d["doc_id"], depth=0, max_depth=3)
         assert got.get(d["doc_id"], []) == expected, d["doc_id"]
+
+
+def test_main_content_selection(spark):
+    """F15/O4: main spans win; else longest text block > 50 chars; else the
+    full visible text."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.text import main_content
+
+    schema = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    long_a = "a" * 60
+    long_b = "b" * 80
+    rows = [
+        # main spans present -> joined main text
+        ("m", [("text", long_a, "", 0), ("main", "the main part", "", 1), ("main", "second", "", 2)]),
+        # no main -> longest text span > 50 chars wins
+        ("t", [("text", long_a, "", 0), ("text", long_b, "", 1), ("text", "short", "", 2)]),
+        # nothing over 50 chars -> whole visible text
+        ("f", [("title", "Hi", "", 0), ("text", "short one", "", 1)]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r["m"] for r in df.select("doc_id", main_content(F.col("spans")).alias("m")).collect()}
+    assert got["m"] == "the main part second"
+    assert got["t"] == long_b
+    assert got["f"] == "Hi short one"
