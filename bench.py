@@ -55,18 +55,21 @@ HEADLINE = [
 def synth_frontier(spark: SparkSession, n: int, n_hosts: int = 10_000) -> DataFrame:
     """Synthetic pending frontier, all JVM-side expressions.
 
-    ~25% of rows land on 8 hot hosts (the skew fixture of SURVEY.md §4);
-    the rest spread uniformly over ``n_hosts``.
+    ~25% of rows land on 8 hot hosts (the skew fixture of SURVEY.md §4); the
+    rest spread uniformly over ``n_hosts``. Each attribute hashes (id, salt)
+    with a DISTINCT salt — correlated pmods of one hash value would collapse
+    the hot set (h%4==0 forces h%8 into {0,4}) and starve every 4th host.
     """
-    base = spark.range(n).withColumn("h", F.xxhash64("id"))
-    host_id = F.when(
-        F.pmod(F.col("h"), 4) == 0, F.pmod(F.col("h"), 8)
-    ).otherwise(F.pmod(F.col("h"), n_hosts))
+    base = spark.range(n)
+    is_hot = F.pmod(F.xxhash64("id", F.lit(1)), 4) == 0
+    host_id = F.when(is_hot, F.pmod(F.xxhash64("id", F.lit(2)), 8)).otherwise(
+        F.pmod(F.xxhash64("id", F.lit(3)), n_hosts)
+    )
     return base.select(
         F.concat(F.lit("http://host"), host_id.cast("string"), F.lit(".test/p"), F.col("id").cast("string")).alias("canonical"),
         F.concat(F.lit("host"), host_id.cast("string"), F.lit(".test")).alias("host"),
-        F.pmod(F.col("h"), 10).cast("int").alias("priority"),
-        F.pmod(F.col("h"), 4).cast("int").alias("depth"),
+        F.pmod(F.xxhash64("id", F.lit(4)), 10).cast("int").alias("priority"),
+        F.pmod(F.xxhash64("id", F.lit(5)), 4).cast("int").alias("depth"),
         F.col("id").alias("discovered_at"),
     )
 
@@ -95,13 +98,18 @@ def bench_frontier(spark: SparkSession, n: int) -> dict:
     of the same plan (rerunning an identical plan lets Spark skip work, which
     fakes the number).
     """
-    from crawler_spark.operators.ordering import top_per_key, with_global_seq
 
-    from crawler_spark.operators.ordering import release_global_seq
+    from crawler_spark.operators.ordering import (
+        release_global_seq,
+        top_per_key,
+        with_global_seq,
+    )
 
     data_dir = os.environ.get("BENCH_DATA_DIR", f"/dev/shm/crawler_spark_bench/n{n}")
     paths = {t: f"{data_dir}/{t}.parquet" for t in ("frontier", "seen", "cand")}
-    if not all(os.path.exists(p) for p in paths.values()):
+    # _SUCCESS, not the dir: an interrupted write leaves a dir that exists
+    # but holds no committed files, poisoning every later run
+    if not all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()):
         # 64 files per table: map-side (scan + shuffle-write) parallelism is
         # bounded by input splits; fewer files would cap BOTH parallelism
         # levels at the writer's core count and fake a flat scaling curve
@@ -172,11 +180,12 @@ def main() -> None:
     spark = get_spark("crawler-spark-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen path once so query timings measure the plan, not startup
-    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-
     queries: dict[str, float] = {}
     if not os.environ.get("BENCH_SKIP_QUERIES"):  # scaling runs time only the frontier job
+        # warm the JVM/codegen path once so query timings measure the plan,
+        # not startup (inside the branch: the frontier-only scaling runs must
+        # not depend on the query dataset existing)
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         for name in HEADLINE:
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -6,6 +6,15 @@ The reference's `analyze` / `report` paths issue SQL to PostgreSQL
 plan over the committed crawl tables; everything aggregates before any
 collect, so the same functions run unchanged over a 10^10-URL catalog (the
 only driver-side data is the final small result).
+
+Counting semantics: the pages table holds one row PER FETCH ATTEMPT
+(retries included), mirroring the reference's per-worker-result counters
+(engine.py:512-525 increments pages_failed on every failed result). Fields
+are named accordingly (fetch_attempts / fetch_failures); pages_crawled
+counts successful fetches, exactly like the reference's counter.
+
+Missing tables (no round committed yet, or a compacted catalog) yield empty
+results, never exceptions.
 """
 
 from __future__ import annotations
@@ -20,10 +29,20 @@ def _read(spark: SparkSession, workdir: str, table: str) -> DataFrame | None:
     return SnapshotCatalog(workdir).read(spark, table)
 
 
+def was_compacted(workdir: str) -> bool:
+    """True when a maintenance commit dropped frontier rows — status
+    distributions then show pending-only and must be read as such."""
+    return any(
+        m.get("maintenance") and m.get("compacted_rows", 0) > 0
+        for m in SnapshotCatalog(workdir).metrics_history()
+    )
+
+
 def frontier_distributions(spark: SparkSession, workdir: str) -> dict[str, DataFrame]:
     """A8 (database.py:635-692): status / priority / depth / host counts."""
     f = _read(spark, workdir, "frontier")
-    assert f is not None, "no committed frontier"
+    if f is None:
+        return {}
     return {
         dim: f.groupBy(dim).agg(F.count("*").alias("n")).orderBy(F.desc("n"), dim)
         for dim in ("status", "priority", "depth", "host")
@@ -35,9 +54,13 @@ def queue_health(spark: SparkSession, workdir: str) -> dict:
 
     No 'stuck processing' detection exists by construction — rounds commit
     atomically, so no row is ever left in a processing state (SURVEY.md X5).
+    ``compacted`` flags that completed/failed/skipped rows were shed by
+    maintenance, so their counts reflect the post-compaction frontier, not
+    crawl history (use session_summary for history).
     """
     f = _read(spark, workdir, "frontier")
-    assert f is not None, "no committed frontier"
+    if f is None:
+        return {"total_urls": 0, "compacted": False}
     row = f.agg(
         F.count("*").alias("total_urls"),
         F.count_if(F.col("status") == "pending").alias("pending"),
@@ -48,14 +71,15 @@ def queue_health(spark: SparkSession, workdir: str) -> dict:
         F.max("depth").alias("max_depth_seen"),
         F.countDistinct("host").alias("n_hosts"),
     ).collect()[0]
-    return row.asDict()
+    return {**row.asDict(), "compacted": was_compacted(workdir)}
 
 
 def top_words(spark: SparkSession, workdir: str, limit: int = 20) -> DataFrame:
     """A5/A11 (database.py:422-433; analytics.py:595-618): trending words
     across the whole crawl — sum of per-page frequencies, page reach."""
     wf = _read(spark, workdir, "word_frequencies")
-    assert wf is not None, "no committed word_frequencies"
+    if wf is None:
+        return spark.createDataFrame([], "word string, total_freq bigint, n_pages bigint")
     return (
         wf.groupBy("word")
         .agg(
@@ -68,17 +92,20 @@ def top_words(spark: SparkSession, workdir: str, limit: int = 20) -> DataFrame:
 
 
 def session_summary(spark: SparkSession, workdir: str) -> dict:
-    """A3/A4 (session counters + stats): totals from pages + round metrics."""
+    """A3/A4 session counters, per-attempt like the reference's
+    (engine.py:512-525): fetch_attempts rows, pages_crawled successes,
+    fetch_failures failed attempts (a URL retried then crawled counts in
+    both failures and crawled, as in the reference)."""
     pages = _read(spark, workdir, "pages")
     catalog = SnapshotCatalog(workdir)
     out: dict = {"rounds": catalog.current_round() + 1}
     if pages is not None:
         row = pages.agg(
-            F.count("*").alias("pages_scheduled"),
+            F.count("*").alias("fetch_attempts"),
             F.count_if(F.col("success")).alias("pages_crawled"),
-            F.count_if(~F.col("success")).alias("pages_failed"),
+            F.count_if(~F.col("success")).alias("fetch_failures"),
             F.sum(F.when(F.col("success"), F.length("text")).otherwise(0)).alias("total_chars"),
-            F.countDistinct("host").alias("hosts_crawled"),
+            F.countDistinct(F.when(F.col("success"), F.col("host"))).alias("hosts_fetched"),
             F.max("depth").alias("max_depth"),
         ).collect()[0]
         out.update(row.asDict())
@@ -115,7 +142,10 @@ def per_round_metrics(spark: SparkSession, workdir: str) -> DataFrame:
 def media_inventory(spark: SparkSession, workdir: str) -> DataFrame:
     """Media-span rollup: refs per page and per host (interleaved corpus)."""
     m = _read(spark, workdir, "media")
-    assert m is not None, "no committed media table"
+    if m is None:
+        return spark.createDataFrame(
+            [], "media_host string, n_refs bigint, n_unique bigint, n_pages bigint"
+        )
     host = F.parse_url(F.col("media_ref"), F.lit("HOST")).alias("media_host")
     return m.groupBy(host).agg(
         F.count("*").alias("n_refs"),

@@ -17,7 +17,8 @@ from crawler_spark import analytics
 
 
 def build_report(spark: SparkSession, workdir: str, top_n: int = 20) -> dict:
-    """Collect the full session report as one plain dict."""
+    """Collect the full session report as one plain dict (tolerates catalogs
+    with no committed rounds: sections come back empty, never raise)."""
     dists = analytics.frontier_distributions(spark, workdir)
     return {
         "session": analytics.session_summary(spark, workdir),
@@ -29,10 +30,10 @@ def build_report(spark: SparkSession, workdir: str, top_n: int = 20) -> dict:
             r.asDict()
             for r in analytics.per_round_metrics(spark, workdir).orderBy("round").collect()
         ],
-        "status_distribution": {
-            r["status"]: r["n"] for r in dists["status"].collect()
-        },
-        "top_hosts": [r.asDict() for r in dists["host"].limit(10).collect()],
+        "status_distribution": (
+            {r["status"]: r["n"] for r in dists["status"].collect()} if dists else {}
+        ),
+        "top_hosts": [r.asDict() for r in dists["host"].limit(10).collect()] if dists else [],
     }
 
 
@@ -43,15 +44,20 @@ def render_json(report: dict) -> str:
 def render_markdown(report: dict) -> str:
     s = report["session"]
     h = report["queue_health"]
+    frontier_line = (
+        f"- frontier: {h['total_urls']} urls — {h.get('pending', 0)} pending,"
+        f" {h.get('completed', 0)} completed, {h.get('failed', 0)} failed,"
+        f" {h.get('skipped', 0)} skipped"
+        + (" (compacted: non-pending rows shed by maintenance)" if h.get("compacted") else "")
+    )
     lines = [
         "# Crawl session report",
         "",
         f"- rounds: {s.get('rounds')}  pages crawled: {s.get('pages_crawled')}"
-        f"  failed: {s.get('pages_failed')}",
+        f"  failed fetch attempts: {s.get('fetch_failures')}",
         f"- words: {s.get('total_words')} total / {s.get('unique_words')} unique"
-        f"  over {s.get('hosts_crawled')} hosts (max depth {s.get('max_depth')})",
-        f"- frontier: {h['total_urls']} urls — {h['pending']} pending,"
-        f" {h['completed']} completed, {h['failed']} failed, {h['skipped']} skipped",
+        f"  over {s.get('hosts_fetched')} hosts (max depth {s.get('max_depth')})",
+        frontier_line,
         "",
         "## Top words",
         "",

@@ -41,6 +41,7 @@ RULES_SCHEMA = T.ArrayType(
             T.StructField("allow", T.BooleanType(), False),
             T.StructField("crawl_delay", T.DoubleType(), True),
             T.StructField("rule_order", T.IntegerType(), False),
+            T.StructField("entry_id", T.IntegerType(), False),
         ]
     )
 )
@@ -60,7 +61,7 @@ def parse_robots_entries(text: str) -> list[dict]:
     entries = list(rfp.entries)
     if rfp.default_entry is not None:
         entries.append(rfp.default_entry)
-    for entry in entries:
+    for entry_id, entry in enumerate(entries):
         delay = float(entry.delay) if entry.delay is not None else None
         for agent in entry.useragents:
             for line in entry.rulelines:
@@ -71,6 +72,7 @@ def parse_robots_entries(text: str) -> list[dict]:
                         "allow": bool(line.allowance),
                         "crawl_delay": delay,
                         "rule_order": order,
+                        "entry_id": entry_id,
                     }
                 )
                 order += 1
@@ -83,6 +85,7 @@ def parse_robots_entries(text: str) -> list[dict]:
                         "allow": True,
                         "crawl_delay": delay,
                         "rule_order": order,
+                        "entry_id": entry_id,
                     }
                 )
                 order += 1
@@ -98,7 +101,10 @@ def parse_robots_df(
     def _parse(texts: pd.Series) -> pd.Series:
         return texts.map(
             lambda t: [
-                (r["user_agent"], r["path_prefix"], r["allow"], r["crawl_delay"], r["rule_order"])
+                (
+                    r["user_agent"], r["path_prefix"], r["allow"],
+                    r["crawl_delay"], r["rule_order"], r["entry_id"],
+                )
                 for r in parse_robots_entries(t if isinstance(t, str) else "")
             ]
         )
@@ -113,16 +119,32 @@ def parse_robots_df(
             F.col("r.allow").alias("allow"),
             F.col("r.crawl_delay").alias("crawl_delay"),
             F.col("r.rule_order").alias("rule_order"),
+            F.col("r.entry_id").alias("entry_id"),
         )
     )
 
 
 def rules_for_agent(rules: DataFrame, agent: str) -> DataFrame:
-    """stdlib best-entry selection (single-token agents): a host's
-    exact-agent rows if it has any, otherwise its '*' rows."""
-    specific_hosts = rules.where(F.col("user_agent") == agent).select("host").distinct()
-    exact = rules.where(F.col("user_agent") == agent)
-    fallback = rules.where(F.col("user_agent") == "*").join(
-        specific_hosts, "host", "left_anti"
+    """stdlib best-entry selection: per host, the rows of the FIRST entry
+    whose agent token matches.
+
+    RobotFileParser.Entry.applies_to lowercases both sides, takes the
+    crawler UA's first token (before '/'), and substring-matches the robots
+    token inside it; entries are checked in file order and only the first
+    match applies ('*' entries parse into default_entry, which our parser
+    appends last, so specific entries naturally win on rule_order). A second
+    matching group for the same agent is ignored, like stdlib.
+    """
+    from pyspark.sql import Window
+
+    a0 = agent.split("/")[0].lower()
+    matching = rules.where(
+        (F.col("user_agent") == "*")
+        | F.lit(a0).contains(F.lower(F.col("user_agent")))
     )
-    return exact.unionByName(fallback)
+    w = Window.partitionBy("host")
+    return (
+        matching.withColumn("_best", F.min("entry_id").over(w))
+        .where(F.col("entry_id") == F.col("_best"))
+        .drop("_best")
+    )

@@ -63,6 +63,10 @@ def streaming_url_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFra
         stream.withColumn("url_hash", F.xxhash64("canonical"))
         .withWatermark("discovered_ts", watermark)
         # hash AND string: hash-only equality would silently drop a distinct
-        # URL on a 64-bit collision (expected at 10^10-URL scale)
-        .dropDuplicates(["url_hash", "canonical"])
+        # URL on a 64-bit collision (expected at 10^10-URL scale).
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+        # dropDuplicates only evicts state when the event-time column is in
+        # the key subset — without it state grows one entry per distinct URL
+        # forever, the exact failure this design must avoid
+        .dropDuplicatesWithinWatermark(["url_hash", "canonical"])
     )

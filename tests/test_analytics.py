@@ -47,7 +47,7 @@ def test_top_words_and_session_summary(spark, crawl):
     s = analytics.session_summary(spark, workdir)
     assert s["pages_crawled"] > 0
     assert s["total_words"] > 0 and s["unique_words"] > 0
-    assert s["pages_scheduled"] == s["pages_crawled"] + s["pages_failed"]
+    assert s["fetch_attempts"] == s["pages_crawled"] + s["fetch_failures"]
 
 
 def test_per_round_metrics_match_manifests(spark, crawl):
@@ -56,7 +56,7 @@ def test_per_round_metrics_match_manifests(spark, crawl):
     rows = {r["round"]: r for r in df.collect()}
     total_sched = sum(r["scheduled"] for r in rows.values())
     s = analytics.session_summary(spark, workdir)
-    assert total_sched == s["pages_scheduled"]
+    assert total_sched == s["fetch_attempts"]
 
 
 def test_media_sink_matches_corpus(spark, crawl):
@@ -92,3 +92,34 @@ def test_report_generation(spark, crawl, tmp_path):
     md = open(mpath).read()
     assert md.startswith("# Crawl session report")
     assert "## Top words" in md and "## Rounds" in md
+
+
+def test_report_on_empty_catalog(spark, tmp_path):
+    """A catalog with no committed rounds yields an empty report, not a crash."""
+    from crawler_spark import reporting
+    from crawler_spark.tables import SnapshotCatalog
+
+    wd = str(tmp_path / "empty")
+    SnapshotCatalog(wd)  # directory exists, nothing committed
+    report = reporting.build_report(spark, wd)
+    assert report["queue_health"]["total_urls"] == 0
+    assert report["top_words"] == [] and report["status_distribution"] == {}
+    path = reporting.generate_session_report(spark, wd, str(tmp_path / "r.md"), "md")
+    assert open(path).read().startswith("# Crawl session report")
+
+
+def test_queue_health_flags_compaction(spark, crawl):
+    workdir, _ = crawl
+    import shutil
+    import tempfile
+
+    wd2 = tempfile.mkdtemp(prefix="compact-health-")
+    shutil.copytree(workdir, wd2, dirs_exist_ok=True)
+    from crawler_spark.tables import SnapshotCatalog
+
+    cat = SnapshotCatalog(wd2)
+    assert not analytics.queue_health(spark, wd2)["compacted"]
+    cat.compact_frontier(spark)
+    h = analytics.queue_health(spark, wd2)
+    assert h["compacted"] and h["completed"] == 0
+    shutil.rmtree(wd2, ignore_errors=True)

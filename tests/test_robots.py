@@ -82,3 +82,21 @@ def test_parse_robots_df_and_agent_selection(spark):
     assert all(not p.startswith("/priv") or h == "h1.test" for h, p, _, _ in got)
     special = rules_for_agent(rules, "special-bot").where("host = 'h1.test'").collect()
     assert [r["path_prefix"] for r in special] == ["/"]  # exact agent wins
+
+def test_rules_for_agent_stdlib_substring_and_first_group(spark):
+    """Case-insensitive substring match on the UA's first token; only the
+    FIRST matching group applies (stdlib applies_to / first-entry)."""
+    txt = (
+        "User-agent: Crawler\nDisallow: /a\n\n"
+        "User-agent: crawler\nDisallow: /b\n\n"  # second group for same agent: ignored
+        "User-agent: *\nDisallow: /c\n"
+    )
+    df = spark.createDataFrame([("h.test", txt)], ["host", "robots_txt"])
+    rules = parse_robots_df(df)
+    got = rules_for_agent(rules, "Crawler-Spark/1.0")
+    prefixes = sorted(r["path_prefix"] for r in got.collect())
+    # 'crawler' (lowered) is a substring of 'crawler-spark' -> first matching
+    # group only; '*' fallback not used; second group ignored
+    assert prefixes == ["/a"]
+    star = rules_for_agent(rules, "unrelated-bot")
+    assert sorted(r["path_prefix"] for r in star.collect()) == ["/c"]
