@@ -490,6 +490,61 @@ FROM s
 """
 
 
+def q_queue_join_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 twin (database.py:788-800): sessions LEFT JOIN queue + GROUP BY,
+    on the orders/lineitem analog — per order status: orders, items, value.
+    The left join preserves item-less orders like the reference preserves
+    queue-less sessions."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("l_linenumber").alias("n_items"),
+            F.round(F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0)).cast("decimal(18,6)")).cast("double"), 4).alias("sum_qty"),
+        )
+    )
+
+
+SQL_QUEUE_JOIN_HEALTH = """
+SELECT o_orderstatus,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(l_linenumber) AS n_items,
+       round(CAST(sum(CAST(coalesce(l_quantity, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join rollup (customer -> nation -> orders): exercises join
+    reordering + broadcast of the small dims, a shape absent from the
+    reference's SQL (SURVEY.md §4) but core to Catalyst coverage."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_frontier_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 — the crawl-ordering contract (queue.py:48-56) on an orders-shaped
     frontier: per key (customer ~ host) keep the top-3 in
@@ -785,6 +840,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "trend_slope": QuerySpec(q_trend_slope, SQL_TREND_SLOPE),
     "json_props": QuerySpec(q_json_props, SQL_JSON_PROPS),
     "frontier_ordering": QuerySpec(q_frontier_ordering, SQL_FRONTIER_ORDERING),
+    "queue_join_health": QuerySpec(q_queue_join_health, SQL_QUEUE_JOIN_HEALTH),
+    "revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
