@@ -211,11 +211,15 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     words = _tokens_df(spark, sf_dir)
-    n_docs = _docs(spark, sf_dir).count()
+    # N-docs stays in-plan (one-row broadcast cross join) — no eager driver
+    # .count() action / extra scan, mirroring the SQL twin's CROSS JOIN n
+    n = _docs(spark, sf_dir).agg(F.count("*").cast("double").alias("_n_docs"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df_, "word").withColumn(
-        "tf_idf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tf_idf", F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), F.asc("word"))
     return (
@@ -411,7 +415,7 @@ def q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TOP_SOURCES = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source ORDER BY n_docs DESC, source LIMIT 10
 """
 
@@ -432,7 +436,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_PROPS = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
@@ -458,7 +462,9 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # x*x fits int64 per-row (~7e12) but the SUM does not at large SF;
+        # sum in exact decimal so ANSI mode never overflows (ADVICE r1)
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,0)")).alias("sxx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x").cast("decimal(12,0)") * F.col("y")).alias("sxy"),
     )
@@ -474,7 +480,7 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TREND_SLOPE = f"""
 WITH s AS (
   SELECT event_type, count(*) AS n,
-         sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
+         sum(x) AS sx, sum(CAST(x * x AS DECIMAL(30,0))) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
   FROM (SELECT event_type,
                CAST(floor(epoch(ts)) AS BIGINT) - {_TS_X0} AS x,
                CAST(value AS DECIMAL(14,6)) AS y
@@ -799,10 +805,18 @@ def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from crawler_spark.tables import SnapshotCatalog
 
+    import hashlib
+
+    import crawler_spark
+
     documents, seeds, robots = gen_corpus(hosts=3, pages_per_host=8, seed=42)
-    # fixed workdir: repeat invocations RESUME the committed crawl (idempotent
-    # and deterministic) instead of leaking a fresh /tmp catalog per call
-    workdir = os.path.join(tempfile.gettempdir(), "crawler-spark-mini-crawl-v1")
+    # workdir keyed by corpus params + engine version: repeat invocations
+    # RESUME the committed crawl (idempotent and deterministic), while a code
+    # change or different params gets a fresh catalog instead of silently
+    # resuming a stale one (ADVICE r1)
+    params = f"v={crawler_spark.__version__};hosts=3;pph=8;seed=42;mp=60;mr=6;nb=4"
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
+    workdir = os.path.join(tempfile.gettempdir(), f"crawler-spark-mini-{tag}")
     cfg = CrawlConfig(max_pages=60, max_rounds=6, n_host_buckets=4)
     run_crawl(
         spark,
