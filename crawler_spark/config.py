@@ -23,3 +23,12 @@ class CrawlConfig:
     # blocked wins; a non-empty allowed tuple is exclusive
     allowed_domains: tuple = ()
     blocked_domains: tuple = ()
+    # F8/F9 content filters (worker.py:235-264): a response whose
+    # content-type contains none of these substrings, or whose size exceeds
+    # max_page_size, raises ContentError -> the ordinary failure/retry path
+    allowed_content_types: tuple = ("text/html",)
+    max_page_size: int = 10_485_760  # content.max_page_size default
+    # S3/S4 sitemap budget (engine.py:662): at most max_pages//4 sitemap URLs
+    # are enqueued, at priority 3 / depth 1
+    sitemap_priority: int = 3
+    sitemap_depth: int = 1

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.config import CrawlConfig
+from crawler_spark.functions import fetch as FM
 from crawler_spark.functions import text as X
 from crawler_spark.functions.urls import (
     canonicalize_url_udf,
@@ -206,9 +207,24 @@ def run_round(
     scheduled_cnt = sched.count()
 
     # -- simulated fetch (J8/S1): left join against the documents table ------
+    # F8/F9 (worker.py:235-264): a found document can still be REJECTED for
+    # content-type or size; rejections take the same failure/retry path as a
+    # missing document (ContentError == NetworkError to the engine), with a
+    # distinct error_type in the errors sink. Corpora without the outcome
+    # columns (plain input_hint shape) fail open: everything is text/html.
+    has_meta = "content_type" in documents_df.columns
+    ct = F.col("content_type") if has_meta else F.lit(None).cast("string")
+    sz = (F.col("size_bytes") if has_meta else F.lit(None)).cast("long")
+    found = F.col("doc_id").isNotNull()
+    reject = (
+        FM.fetch_outcome(found, ct, sz, cfg.allowed_content_types, cfg.max_page_size)
+        if has_meta
+        else F.when(~found, F.lit(FM.FETCH_FAILED))
+    )
     fetched = (
         sched.join(documents_df, sched.canonical == documents_df.doc_id, "left")
-        .withColumn("success", F.col("doc_id").isNotNull())
+        .withColumn("error_type", reject)
+        .withColumn("success", F.col("error_type").isNull())
         .withColumn(
             "text", F.when(F.col("success"), X.worker_clean_text(F.col("spans")))
         )
@@ -219,7 +235,8 @@ def run_round(
     commit.stage_append(
         "pages",
         fetched.select(
-            "round", "seq", "canonical", "url", "host", "depth", "success", "text"
+            "round", "seq", "canonical", "url", "host", "depth", "success", "text",
+            ct.alias("content_type"), sz.alias("size_bytes"),
         ),
     )
 
@@ -230,7 +247,7 @@ def run_round(
         "host",
         "depth",
         (F.col("attempts") + 1).alias("attempt"),
-        F.lit("fetch_failed").alias("error_type"),  # missing-document analog of 4xx/5xx
+        F.col("error_type"),
     )
     commit.stage_append("errors", errors)
 

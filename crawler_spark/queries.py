@@ -420,6 +420,65 @@ FROM documents GROUP BY source ORDER BY n_docs DESC, source LIMIT 10
 """
 
 
+def q_fetch_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 — fetch-outcome classification (worker.py:235-264) under the
+    oracle gate: deterministic content-type/size metadata is derived from
+    doc_id (hash60, decorrelated salts — the same shape the corpus
+    generators emit), then classified by the SAME column expressions the
+    round plan applies after its fetch join (functions/fetch.py)."""
+    from crawler_spark.functions import fetch as FM
+    from crawler_spark.functions.hashing import hash60
+
+    d = _docs(spark, sf_dir)
+    hct = hash60(F.concat(F.col("doc_id"), F.lit(":ct")))
+    hsz = hash60(F.concat(F.col("doc_id"), F.lit(":sz")))
+    ct = F.when(
+        F.pmod(hct, 100) < 4,
+        F.element_at(
+            F.array(
+                F.lit("application/pdf"), F.lit("image/png"), F.lit("application/json")
+            ),
+            (F.pmod(hct, 3) + 1).cast("int"),
+        ),
+    ).otherwise(F.lit("text/html; charset=utf-8"))
+    size = (
+        F.when(F.pmod(hsz, 100) < 2, F.lit(10_485_760) + F.pmod(hsz, 1_000_000) + 1)
+        .otherwise(F.lit(500) + F.pmod(hsz, 50_000))
+        .cast("long")
+    )
+    outcome = F.coalesce(
+        FM.fetch_outcome(F.lit(True), ct, size, ("text/html",), 10_485_760),
+        F.lit("ok"),
+    )
+    return (
+        d.select(outcome.alias("outcome"), size.alias("size_bytes"))
+        .groupBy("outcome")
+        .agg(F.count("*").alias("n"), F.sum("size_bytes").alias("total_bytes"))
+    )
+
+
+SQL_FETCH_OUTCOMES = """
+WITH m AS (
+  SELECT CASE WHEN (hct % 100) < 4
+              THEN ['application/pdf','image/png','application/json'][CAST(hct % 3 AS INT) + 1]
+              ELSE 'text/html; charset=utf-8' END AS ct,
+         CASE WHEN (hsz % 100) < 2 THEN 10485760 + (hsz % 1000000) + 1
+              ELSE 500 + (hsz % 50000) END AS size_bytes
+  FROM (
+    SELECT CAST(('0x' || substr(md5(doc_id || ':ct'), 1, 15)) AS BIGINT) AS hct,
+           CAST(('0x' || substr(md5(doc_id || ':sz'), 1, 15)) AS BIGINT) AS hsz
+    FROM documents
+  )
+)
+SELECT CASE WHEN NOT contains(lower(ct), 'text/html') THEN 'content_type_rejected'
+            WHEN size_bytes > 10485760 THEN 'content_too_large'
+            ELSE 'ok' END AS outcome,
+       count(*) AS n,
+       CAST(sum(size_bytes) AS BIGINT) AS total_bytes
+FROM m GROUP BY 1
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 twin (jsonb metadata, migrations.py:121,292): extract a typed field
     from a JSON string column and aggregate it — the reference stores page
@@ -851,6 +910,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "hourly_activity": QuerySpec(q_hourly_activity, SQL_HOURLY_ACTIVITY),
     "queue_distribution": QuerySpec(q_queue_distribution, SQL_QUEUE_DISTRIBUTION),
     "top_sources": QuerySpec(q_top_sources, SQL_TOP_SOURCES),
+    "fetch_outcomes": QuerySpec(q_fetch_outcomes, SQL_FETCH_OUTCOMES),
     "trend_slope": QuerySpec(q_trend_slope, SQL_TREND_SLOPE),
     "json_props": QuerySpec(q_json_props, SQL_JSON_PROPS),
     "frontier_ordering": QuerySpec(q_frontier_ordering, SQL_FRONTIER_ORDERING),

@@ -50,6 +50,11 @@ DOC_SCHEMA = T.StructType(
             ),
             False,
         ),
+        # F8/F9 fetch-outcome columns (worker.py:235-264): the simulated
+        # fetch surfaces deterministic content-type / size responses so the
+        # round plan's rejection path is exercised (SURVEY S1)
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), False),
     ]
 )
 
@@ -187,7 +192,31 @@ def gen_corpus(
                 else:  # allow-exception path (robots first-match: allowed)
                     add("link", f"http://{_host(rng.randint(0, hosts - 1))}/private/open/doc{rng.randint(1, 9)}")
 
-            documents.append({"doc_id": url, "spans": spans})
+            # F8/F9 fetch-outcome attributes, drawn from a SEPARATE rng
+            # stream so span/link generation is unchanged: ~4% non-HTML
+            # content types (rejected by substring match vs 'text/html'),
+            # ~2% oversized bodies; the passing case includes a charset
+            # suffix to exercise containment (not equality) semantics
+            frng = _rng(seed, f"fetch:{url}")
+            if p > 0 and frng.random() < 0.04:
+                content_type = frng.choice(
+                    ["application/pdf", "image/png", "application/json"]
+                )
+            else:
+                content_type = "text/html; charset=utf-8"
+            if p > 0 and frng.random() < 0.02:
+                size_bytes = 10_485_760 + frng.randint(1, 1_000_000)
+            else:
+                size_bytes = frng.randint(500, 50_000)
+
+            documents.append(
+                {
+                    "doc_id": url,
+                    "spans": spans,
+                    "content_type": content_type,
+                    "size_bytes": size_bytes,
+                }
+            )
 
     seeds = []
     seed_hosts = min(hosts, 4)
@@ -231,6 +260,8 @@ def to_documents_df(spark: SparkSession, documents):
         (
             d["doc_id"],
             [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]],
+            d.get("content_type", "text/html"),
+            d.get("size_bytes", 0),
         )
         for d in documents
     ]

@@ -117,7 +117,37 @@ def corpus_df(
         ),
         *[_span("link", link(j), 5 + j) for j in range(links_per_page)],
     )
-    return base.select(_page_url(F.col("host"), F.col("page")).alias("doc_id"), spans.alias("spans"))
+    # F8/F9 fetch-outcome columns, expression-only (twin of gen_corpus):
+    # ~4% non-HTML content types and ~2% oversized bodies on non-root pages
+    # (roots stay fetchable so seeded crawls always start); distinct hash
+    # salts keep the draws decorrelated from each other and from the graph
+    ct_roll = F.pmod(F.xxhash64(F.col("id"), F.lit(101)), 100)
+    content_type = (
+        F.when((F.col("page") == 0) | (ct_roll >= 4), F.lit("text/html; charset=utf-8"))
+        .otherwise(
+            F.element_at(
+                F.array(
+                    F.lit("application/pdf"), F.lit("image/png"), F.lit("application/json")
+                ),
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(102)), 3) + 1).cast("int"),
+            )
+        )
+    )
+    size_roll = F.pmod(F.xxhash64(F.col("id"), F.lit(103)), 100)
+    size_bytes = (
+        F.when(
+            (F.col("page") > 0) & (size_roll < 2),
+            F.lit(10_485_760) + F.pmod(F.xxhash64(F.col("id"), F.lit(104)), 1_000_000) + 1,
+        )
+        .otherwise(F.lit(500) + F.pmod(F.xxhash64(F.col("id"), F.lit(105)), 49_500))
+        .cast("long")
+    )
+    return base.select(
+        _page_url(F.col("host"), F.col("page")).alias("doc_id"),
+        spans.alias("spans"),
+        content_type.alias("content_type"),
+        size_bytes.alias("size_bytes"),
+    )
 
 
 def seed_urls(hosts: int, every: int = 1) -> list[dict]:

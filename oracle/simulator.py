@@ -38,7 +38,10 @@ Round r:
  4. global budget: admit at most (max_pages - previously scheduled) rows in
     global rank order (same key). Admitted rows, in that order, form the
     round's crawl-order segment.
- 5. fetch = lookup canonical URL in documents; miss -> failure
+ 5. fetch = lookup canonical URL in documents; miss -> failure; a found doc
+    whose content_type lacks every allowed substring, or whose size_bytes
+    exceeds max_page_size, is REJECTED -> same failure path (F8/F9,
+    worker.py:235-264; content-type precedes size)
  6. success: worker text/word/link pipeline; links resolved against the
     canonical URL, validated, ordered-distinct; dropped if link depth
     (parent+1) > max_depth or parent depth >= max_depth
@@ -187,6 +190,11 @@ class SimConfig:
     # blocked wins; a non-empty allowed set is exclusive
     allowed_domains: tuple = ()
     blocked_domains: tuple = ()
+    # F8/F9 content filters (worker.py:235-264): substring containment on
+    # lowercased content-type, then body-size cap; either rejection is an
+    # ordinary fetch failure (retry w/ backoff)
+    allowed_content_types: tuple = ("text/html",)
+    max_page_size: int = 10_485_760
 
     def domain_ok(self, host: str) -> bool:
         if host in self.blocked_domains:
@@ -229,6 +237,11 @@ class SimResult:
 class CrawlSimulator:
     def __init__(self, documents, seeds, robots, config: SimConfig | None = None):
         self.docs = {d["doc_id"]: d["spans"] for d in documents}
+        # F8/F9 fetch-outcome attributes; docs without them fail open
+        self.fetch_meta = {
+            d["doc_id"]: (d.get("content_type", "text/html"), d.get("size_bytes", 0))
+            for d in documents
+        }
         self.seeds = seeds
         self.config = config or SimConfig()
         # ordered rules per host: FIRST prefix match decides (stdlib
@@ -315,7 +328,17 @@ class CrawlSimulator:
             for rank, e in enumerate(admitted):
                 res.crawl_order.append((rnd, rank, e.canonical))
                 spans = self.docs.get(e.canonical)
-                if spans is None:
+                rejected = False
+                if spans is not None:
+                    # F8/F9 (worker.py:235-264): content-type containment
+                    # check first, then size cap; either -> ordinary failure
+                    ct, size = self.fetch_meta[e.canonical]
+                    ct = (ct or "").lower()
+                    if not any(t.lower() in ct for t in cfg.allowed_content_types):
+                        rejected = True
+                    elif (size or 0) > cfg.max_page_size:
+                        rejected = True
+                if spans is None or rejected:
                     e.attempts += 1
                     if e.attempts < cfg.max_attempts:
                         e.priority -= 1

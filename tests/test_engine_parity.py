@@ -153,9 +153,10 @@ def test_fetch_ts_politeness_slots(spark, engine_result, corpus):
             assert ts[-1] < t0 + CFG["horizon"]
 
 
-def test_error_events_match_failures(spark, engine_result, oracle_result):
+def test_error_events_match_failures(spark, engine_result, oracle_result, corpus):
     """S10: one error row per failed fetch attempt; totals line up with the
-    oracle's scheduled-minus-completed accounting."""
+    oracle's scheduled-minus-completed accounting. F8/F9: rejection error
+    types appear exactly for scheduled docs with bad content-type/size."""
     from crawler_spark.tables import SnapshotCatalog
 
     workdir, _ = engine_result
@@ -164,7 +165,84 @@ def test_error_events_match_failures(spark, engine_result, oracle_result):
     n_err = errors.count()
     n_failed_fetches = pages.where("NOT success").count()
     assert n_err == n_failed_fetches
-    assert errors.where("error_type != 'fetch_failed'").count() == 0
+    labels = {
+        r["error_type"]
+        for r in errors.select("error_type").distinct().collect()
+    }
+    assert labels <= {"fetch_failed", "content_type_rejected", "content_too_large"}
+    # cross-check each rejection label against the corpus ground truth
+    documents, _, _ = corpus
+    meta = {d["doc_id"]: d for d in documents}
+    for r in errors.select("canonical", "error_type").collect():
+        d = meta.get(r["canonical"])
+        if r["error_type"] == "fetch_failed":
+            assert d is None
+        elif r["error_type"] == "content_type_rejected":
+            assert d is not None and "text/html" not in d["content_type"]
+        else:  # content_too_large
+            assert d is not None and "text/html" in d["content_type"]
+            assert d["size_bytes"] > 10_485_760
+
+
+def test_content_filter_fixtures_present(corpus):
+    """The parity corpus actually exercises F8/F9: it contains at least one
+    non-HTML doc and one oversized doc (otherwise the parity above is vacuous)."""
+    documents, _, _ = corpus
+    assert any("text/html" not in d["content_type"] for d in documents)
+    assert any(d["size_bytes"] > 10_485_760 for d in documents)
+
+
+def test_content_filter_parity_explicit(spark, tmp_path_factory):
+    """F8/F9 end-to-end: a hand-built corpus where specific linked pages are
+    non-HTML or oversized; engine and oracle agree on order, statuses, and
+    the rejected pages never contribute words or links."""
+    from crawler_spark.sources.corpus import to_documents_df, to_robots_df
+    from oracle.simulator import CrawlSimulator, SimConfig
+
+    def doc(url, links, content_type="text/html; charset=utf-8", size=1000):
+        spans = [
+            {"kind": "title", "text": "t", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "alpha beta gamma", "media_ref": "", "offset": 1},
+        ] + [
+            {"kind": "link", "text": l, "media_ref": "", "offset": 2 + i}
+            for i, l in enumerate(links)
+        ]
+        return {
+            "doc_id": url, "spans": spans,
+            "content_type": content_type, "size_bytes": size,
+        }
+
+    root = "http://hostf.test/"
+    documents = [
+        doc(root, ["/html", "/pdf", "/big", "/fine"]),
+        doc("http://hostf.test/html", ["/late"]),
+        doc("http://hostf.test/pdf", ["/never"], content_type="application/pdf"),
+        doc("http://hostf.test/big", ["/never2"], size=20_000_000),
+        doc("http://hostf.test/fine", []),
+        doc("http://hostf.test/late", []),
+    ]
+    seeds = [{"url": root, "priority": 10, "depth": 0}]
+    cfg = dict(max_depth=3, max_pages=50, default_delay=1.0, horizon=30.0, max_rounds=10)
+    oracle = CrawlSimulator(documents, seeds, [], SimConfig(**cfg)).run()
+    workdir = str(tmp_path_factory.mktemp("ctfilter"))
+    run_crawl(
+        spark, workdir, to_documents_df(spark, documents),
+        to_robots_df(spark, []), seeds, CrawlConfig(**cfg),
+    )
+    assert read_crawl_order(spark, workdir) == oracle.crawl_order
+    statuses = read_frontier_statuses(spark, workdir)
+    assert statuses == {c: e.status for c, e in oracle.frontier.items()}
+    # rejected pages retried to exhaustion -> failed; their links never enqueued
+    assert statuses["http://hostf.test/pdf"] == "failed"
+    assert statuses["http://hostf.test/big"] == "failed"
+    seen = read_url_seen(spark, workdir)
+    assert "http://hostf.test/never" not in seen
+    assert "http://hostf.test/never2" not in seen
+    # and they contribute no word frequencies
+    wf = read_word_frequencies(spark, workdir)
+    assert "http://hostf.test/pdf" not in wf
+    assert "http://hostf.test/big" not in wf
+    assert "http://hostf.test/fine" in wf
 
 
 def test_blocked_domain_parity(spark, corpus, tmp_path_factory):
