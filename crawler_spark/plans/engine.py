@@ -16,9 +16,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.sql import Window
+
 from crawler_spark.config import CrawlConfig
-from crawler_spark.functions.urls import canonicalize_url, host_of, normalize_url
+from crawler_spark.functions.urls import (
+    canonicalize_url,
+    canonicalize_url_udf,
+    host_col,
+    host_of,
+    is_valid_url_udf,
+    normalize_url,
+    normalize_url_udf,
+)
 from crawler_spark.plans.round import FRONTIER_COLS, run_round
+from crawler_spark.sources.sitemap import sitemap_frontier_rows
 from crawler_spark.tables import SnapshotCatalog
 
 _SEED_SCHEMA = T.StructType(
@@ -38,13 +49,30 @@ _SEED_SCHEMA = T.StructType(
 
 
 def init_state(
-    spark: SparkSession, catalog: SnapshotCatalog, seeds: list[dict], cfg: CrawlConfig
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    seeds: list[dict],
+    cfg: CrawlConfig,
+    sitemaps_df: DataFrame | None = None,
 ) -> None:
-    """Seed the frontier (priority 10, depth 0 — engine.py:249-257).
+    """Seed the frontier (priority 10, depth 0 — engine.py:249-257), with an
+    optional sitemap leg (S3/S4 -> E2, engine.py:636-679).
 
     Seeds are normalized, canonicalized and first-occurrence-deduped on the
     driver (a seed list is CLI-sized by nature); hashes/buckets are computed
     by the same Spark expressions the rounds use.
+
+    ``sitemaps_df`` rows are sitemap XML documents (``xml`` column, optional
+    ``sitemap_ord`` for multi-file order); their ``<loc>`` URLs — at most
+    ``max_pages // 4`` per sitemap file (engine.py:662) — enter the frontier
+    at priority 3 / depth 1 Spark-side (a sitemap can be huge; expansion,
+    normalization and dedup stay distributed). The reference enqueues
+    sitemaps BEFORE the start URLs (engine.py:245-249) and the queue keeps
+    the first put of a canonical URL, so on collision the sitemap row wins
+    and the seed is skipped. Deviation from the reference noted: URLs whose
+    normalization fails are dropped here (the reference enqueues the raw
+    string, which then deterministically fails at its fetch-validation step
+    — dropping earlier yields the same crawl effects without the junk rows).
     """
     rows, seen = [], set()
     for i, s in enumerate(seeds):
@@ -59,9 +87,46 @@ def init_state(
             (norm, canon, host_of(canon), s.get("depth", 0), s.get("priority", 10),
              None, i, 0, 0.0, "pending")
         )
+    base = spark.createDataFrame(rows, _SEED_SCHEMA)
+
+    sitemap_cap = cfg.max_pages // 4
+    if sitemaps_df is not None and sitemap_cap > 0:
+        sm = (
+            sitemap_frontier_rows(sitemaps_df, max_urls=sitemap_cap)
+            .withColumn("norm", normalize_url_udf(F.col("url")))
+            .where(F.col("norm").isNotNull())
+            .where(is_valid_url_udf(F.col("norm")))
+            .withColumn("canonical", canonicalize_url_udf(F.col("norm")))
+        )
+        first = Window.partitionBy("canonical").orderBy("sitemap_ord", "sitemap_pos")
+        sm_rows = (
+            sm.withColumn("_r", F.row_number().over(first))
+            .where(F.col("_r") == 1)
+            .select(
+                F.col("norm").alias("url"),
+                F.col("canonical"),
+                host_col(F.col("canonical")).alias("host"),
+                F.col("depth"),
+                F.col("priority"),
+                F.lit(None).cast("string").alias("parent"),
+                # (file, position) flattened collision-free: pos < cap+1
+                (
+                    F.col("sitemap_ord").cast("long") * F.lit(sitemap_cap + 1)
+                    + F.col("sitemap_pos")
+                ).alias("discovered_at"),
+                F.lit(0).alias("attempts"),
+                F.lit(0.0).alias("scheduled_at"),
+                F.lit("pending").alias("status"),
+            )
+        )
+        # sitemap-first dedup (queue first-put-wins + enqueue order)
+        base = sm_rows.unionByName(
+            base.join(sm_rows.select("canonical"), "canonical", "left_anti")
+            .select(*[f.name for f in _SEED_SCHEMA.fields])
+        )
+
     df = (
-        spark.createDataFrame(rows, _SEED_SCHEMA)
-        .withColumn("url_hash", F.xxhash64(F.col("canonical")))
+        base.withColumn("url_hash", F.xxhash64(F.col("canonical")))
         .withColumn(
             "host_bucket",
             F.pmod(F.xxhash64(F.col("host")), F.lit(cfg.n_host_buckets)).cast("int"),
@@ -82,12 +147,17 @@ def run_crawl(
     robots_df: DataFrame,
     seeds: list[dict],
     cfg: CrawlConfig | None = None,
+    sitemaps_df: DataFrame | None = None,
 ) -> dict:
-    """Run (or resume) a crawl to completion. Returns summary stats."""
+    """Run (or resume) a crawl to completion. Returns summary stats.
+
+    ``sitemaps_df`` (optional): sitemap XML documents whose URLs join the
+    initial frontier at priority 3 / depth 1 — see :func:`init_state`.
+    """
     cfg = cfg or CrawlConfig()
     catalog = SnapshotCatalog(workdir)
     if catalog.current_manifest() is None:
-        init_state(spark, catalog, seeds, cfg)
+        init_state(spark, catalog, seeds, cfg, sitemaps_df=sitemaps_df)
 
     scheduled_total = sum(
         m.get("scheduled", 0) for m in catalog.metrics_history()

@@ -308,10 +308,16 @@ def run_round(
             "link_pos", (F.row_number().over(link_order) - 1).cast("long")
         )
         .withColumn("round", F.lit(rnd))
+        # J4 (processor.py:289-320): internal = link netloc equals the base
+        # page's netloc — RAW netloc equality, so a www./:80 spelling of the
+        # same host counts as external, exactly like the reference's urlparse
+        .withColumn(
+            "is_internal", host_col(F.col("absolute")) == host_col(F.col("src"))
+        )
         .persist()  # consumed by the links sink AND the candidate pipeline
     )
     commit.stage_append(
-        "links", links.select("round", "src", "absolute", "link_pos")
+        "links", links.select("round", "src", "absolute", "link_pos", "is_internal")
     )
 
     # -- new frontier candidates (F2/F3 -> J1 dedup anti-join) ----------------

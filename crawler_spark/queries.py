@@ -420,6 +420,74 @@ FROM documents GROUP BY source ORDER BY n_docs DESC, source LIMIT 10
 """
 
 
+def q_link_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — internal/external link rollup (processor.py:289-320 categorize,
+    database.py:292-297 store): a deterministic link graph is derived from
+    doc_id (hash60, decorrelated salts; ~40% same-host), classified by the
+    SAME raw-netloc-equality expression the round plan's links stage uses
+    (host_col), then rolled up per source host."""
+    from crawler_spark.functions.hashing import hash60
+    from crawler_spark.functions.urls import host_col
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc"))
+    h1 = hash60(F.concat(F.col("doc"), F.lit(":src")))
+    h2 = hash60(F.concat(F.col("doc"), F.lit(":dst")))
+    src = F.concat(
+        F.lit("http://host"), F.pmod(h1, 20).cast("string"),
+        F.lit(".test/page"), F.pmod(h1, 97).cast("string"),
+    )
+    same = F.pmod(h2, 100) < 40
+    # www-variant spelling of a same-host target stays EXTERNAL under raw
+    # netloc equality — include some to pin that semantic
+    www = F.pmod(h2, 97) < 10
+    dst_host = F.when(same, F.pmod(h1, 20)).otherwise(F.pmod(h2, 20))
+    absolute = F.concat(
+        F.lit("http://"),
+        F.when(same & www, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("host"), dst_host.cast("string"),
+        F.lit(".test/page"), F.pmod(h2, 89).cast("string"),
+    )
+    link = d.select(src.alias("src"), absolute.alias("absolute"))
+    is_internal = host_col(F.col("absolute")) == host_col(F.col("src"))
+    return (
+        link.withColumn("is_internal", is_internal)
+        .groupBy(host_col(F.col("src")).alias("src_host"))
+        .agg(
+            F.count("*").alias("n_links"),
+            F.count_if(F.col("is_internal")).alias("n_internal"),
+            F.count_if(~F.col("is_internal")).alias("n_external"),
+        )
+    )
+
+
+_HOST_RE_SQL = "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)'"
+
+SQL_LINK_CLASSIFICATION = f"""
+WITH g AS (
+  SELECT {hash60_sql("CAST(doc_id AS VARCHAR) || ':src'")} AS h1,
+         {hash60_sql("CAST(doc_id AS VARCHAR) || ':dst'")} AS h2
+  FROM documents
+), links AS (
+  SELECT 'http://host' || CAST(h1 % 20 AS VARCHAR) || '.test/page' || CAST(h1 % 97 AS VARCHAR) AS src,
+         'http://' ||
+         CASE WHEN (h2 % 100) < 40 AND (h2 % 97) < 10 THEN 'www.' ELSE '' END ||
+         'host' ||
+         CAST(CASE WHEN (h2 % 100) < 40 THEN h1 % 20 ELSE h2 % 20 END AS VARCHAR) ||
+         '.test/page' || CAST(h2 % 89 AS VARCHAR) AS absolute
+  FROM g
+), cls AS (
+  SELECT lower(regexp_extract(src, {_HOST_RE_SQL}, 1)) AS src_host,
+         lower(regexp_extract(absolute, {_HOST_RE_SQL}, 1))
+           = lower(regexp_extract(src, {_HOST_RE_SQL}, 1)) AS is_internal
+  FROM links
+)
+SELECT src_host, count(*) AS n_links,
+       count(*) FILTER (WHERE is_internal) AS n_internal,
+       count(*) FILTER (WHERE NOT is_internal) AS n_external
+FROM cls GROUP BY src_host
+"""
+
+
 def q_fetch_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8/F9 — fetch-outcome classification (worker.py:235-264) under the
     oracle gate: deterministic content-type/size metadata is derived from
@@ -911,6 +979,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "queue_distribution": QuerySpec(q_queue_distribution, SQL_QUEUE_DISTRIBUTION),
     "top_sources": QuerySpec(q_top_sources, SQL_TOP_SOURCES),
     "fetch_outcomes": QuerySpec(q_fetch_outcomes, SQL_FETCH_OUTCOMES),
+    "link_classification": QuerySpec(q_link_classification, SQL_LINK_CLASSIFICATION),
     "trend_slope": QuerySpec(q_trend_slope, SQL_TREND_SLOPE),
     "json_props": QuerySpec(q_json_props, SQL_JSON_PROPS),
     "frontier_ordering": QuerySpec(q_frontier_ordering, SQL_FRONTIER_ORDERING),

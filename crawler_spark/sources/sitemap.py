@@ -36,16 +36,25 @@ def sitemap_frontier_rows(
 ) -> DataFrame:
     """Explode sitemap documents into frontier candidate rows (S4 -> E2).
 
-    Returns (url, priority, depth, sitemap_pos) ready to union with seeds and
-    discovered links; the caller applies normalization/validation (F1-F3) and
-    the per-crawl ``max_pages // 4`` budget with a limit, exactly like
-    discovered links.
+    Returns (url, priority, depth, sitemap_ord, sitemap_pos) ready to union
+    with seeds and discovered links; the caller applies normalization/
+    validation (F1-F3). ``max_urls`` is the PER-SITEMAP cap — the reference
+    passes ``max_pages // 4`` to each ``parse_sitemap`` call (engine.py:662).
+    ``sitemap_ord`` (the file's position in the reference's sitemap_urls
+    iteration, engine.py:656-662) is taken from the input when present so
+    multi-sitemap enqueue order is deterministic; single-file inputs may omit
+    it.
     """
+    ord_col = (
+        F.col("sitemap_ord") if "sitemap_ord" in sitemaps.columns else F.lit(0)
+    ).cast("int")
     return sitemaps.select(
-        F.posexplode(extract_locs(F.col(xml_col), max_urls)).alias("sitemap_pos", "url")
+        ord_col.alias("sitemap_ord"),
+        F.posexplode(extract_locs(F.col(xml_col), max_urls)).alias("sitemap_pos", "url"),
     ).select(
         "url",
         F.lit(SITEMAP_PRIORITY).alias("priority"),
         F.lit(SITEMAP_DEPTH).alias("depth"),
+        "sitemap_ord",
         "sitemap_pos",
     )

@@ -99,6 +99,8 @@ _RE_URL = re.compile(
 )
 _RE_EMAIL = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b")
 _RE_WORD = re.compile(r"\b[a-zA-Z]+\b")
+# S4 sitemap <loc> extraction — same pattern as sources/sitemap.py
+_RE_LOC = re.compile(r"<loc>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>")
 
 
 def extract_text(spans) -> str:
@@ -230,12 +232,22 @@ class SimResult:
     word_freq: dict = field(default_factory=dict)  # canonical -> {word: n}
     texts: dict = field(default_factory=dict)  # canonical -> cleaned text
     links: dict = field(default_factory=dict)  # canonical -> [absolute urls]
+    # J4 (processor.py:289-320): canonical -> [is_internal] aligned with links
+    links_internal: dict = field(default_factory=dict)
     frontier: dict = field(default_factory=dict)  # canonical -> Entry
     rounds_run: int = 0
 
 
 class CrawlSimulator:
-    def __init__(self, documents, seeds, robots, config: SimConfig | None = None):
+    def __init__(
+        self,
+        documents,
+        seeds,
+        robots,
+        config: SimConfig | None = None,
+        sitemaps: list[str] | None = None,
+    ):
+        self.sitemaps = sitemaps or []  # sitemap XML documents, file order
         self.docs = {d["doc_id"]: d["spans"] for d in documents}
         # F8/F9 fetch-outcome attributes; docs without them fail open
         self.fetch_meta = {
@@ -278,6 +290,27 @@ class CrawlSimulator:
         cfg = self.config
         res = SimResult()
         frontier: dict[str, Entry] = {}
+
+        # sitemap URLs enqueue BEFORE seeds (engine.py:245-249) at priority 3
+        # / depth 1, max_pages//4 per sitemap file (engine.py:662,678-679);
+        # first put of a canonical wins, so a colliding seed is skipped below
+        sitemap_cap = cfg.max_pages // 4
+        if sitemap_cap > 0:
+            for ordn, xml in enumerate(self.sitemaps):
+                for pos, loc in enumerate(_RE_LOC.findall(xml)[:sitemap_cap]):
+                    norm = normalize_url(loc)
+                    if norm is None or not is_valid_url(norm):
+                        continue
+                    canon = canonicalize_url(norm)
+                    if canon in res.url_seen:
+                        continue
+                    res.url_seen.add(canon)
+                    frontier[canon] = Entry(
+                        canonical=canon, url=norm, host=host_of(canon), depth=1,
+                        priority=3, parent=None,
+                        discovered_at=ordn * (sitemap_cap + 1) + pos,
+                        scheduled_at=0.0,
+                    )
 
         for i, s in enumerate(self.seeds):
             norm = normalize_url(s["url"])
@@ -352,6 +385,10 @@ class CrawlSimulator:
                 res.word_freq[e.canonical] = word_frequencies(spans)
                 links = extract_links(spans, e.canonical, e.depth, cfg.max_depth)
                 res.links[e.canonical] = links
+                base_host = host_of(e.canonical)
+                res.links_internal[e.canonical] = [
+                    host_of(l) == base_host for l in links
+                ]
                 if e.depth + 1 <= cfg.max_depth:
                     for pos, link in enumerate(links):
                         new_candidates.append((rank, pos, e, link))

@@ -245,6 +245,88 @@ def test_content_filter_parity_explicit(spark, tmp_path_factory):
     assert "http://hostf.test/fine" in wf
 
 
+def test_link_classification_parity(spark, engine_result, oracle_result):
+    """J4: per-link internal/external flags match the oracle's raw-netloc
+    equality (processor.py:289-320), position by position."""
+    from crawler_spark.tables import SnapshotCatalog
+
+    workdir, _ = engine_result
+    links = SnapshotCatalog(workdir).read(spark, "links")
+    got: dict = {}
+    for r in links.select("src", "link_pos", "is_internal").collect():
+        got.setdefault(r["src"], {})[r["link_pos"]] = r["is_internal"]
+    for src, flags in oracle_result.links_internal.items():
+        assert got.get(src, {}) == dict(enumerate(flags)), src
+    # the fixture exercises BOTH classes (www-variant spellings -> external)
+    all_flags = [f for flags in oracle_result.links_internal.values() for f in flags]
+    assert any(all_flags) and not all(all_flags)
+
+
+def test_sitemap_parity(spark, tmp_path_factory):
+    """S3/S4/E2: sitemap URLs enter the frontier at priority 3 / depth 1,
+    before seeds in enqueue order (first-put-wins on collision), and
+    interleave with priority-10 seeds and priority-5 discovered links in the
+    crawl-ordering contract. Engine and oracle agree on the full order."""
+    from crawler_spark.sources.corpus import gen_corpus, to_documents_df, to_robots_df
+    from oracle.simulator import CrawlSimulator, SimConfig
+
+    documents, seeds, robots = gen_corpus(hosts=4, pages_per_host=10, seed=7)
+    locs0 = [
+        "http://www.host0.test:80/page2",      # canonicalization-variant spelling
+        "http://host0.test/page3?utm_source=x",
+        "http://host1.test/",                   # collides with a seed -> sitemap wins
+        "http://host2.test/private/area5",      # robots-disallowed path
+        "http://host0.test/missing999999",      # fetch-miss path
+        "http://host0.test/page2",              # duplicate within the sitemap
+        "javascript:void(0)",                   # invalid -> dropped by both
+    ]
+    xml0 = "<urlset>" + "".join(
+        f"<url><loc>{u}</loc></url>" for u in locs0
+    ) + "</urlset>"
+    xml1 = (
+        "<urlset><url><loc>  http://host3.test/page4  </loc></url>"
+        "<url><loc><![CDATA[http://host3.test/page5]]></loc></url></urlset>"
+    )
+    cfg = dict(max_depth=2, max_pages=100, default_delay=1.0, horizon=30.0, max_rounds=10)
+    oracle = CrawlSimulator(
+        documents, seeds, robots, SimConfig(**cfg), sitemaps=[xml0, xml1]
+    ).run()
+    workdir = str(tmp_path_factory.mktemp("sitemap"))
+    sitemaps_df = spark.createDataFrame(
+        [(0, xml0), (1, xml1)], "sitemap_ord int, xml string"
+    )
+    run_crawl(
+        spark, workdir, to_documents_df(spark, documents),
+        to_robots_df(spark, robots), seeds, CrawlConfig(**cfg),
+        sitemaps_df=sitemaps_df,
+    )
+    assert read_crawl_order(spark, workdir) == oracle.crawl_order
+    assert read_url_seen(spark, workdir) == oracle.url_seen
+    statuses = read_frontier_statuses(spark, workdir)
+    assert statuses == {c: e.status for c, e in oracle.frontier.items()}
+    # sitemap-only URLs really were crawled (CDATA/whitespace parse included)
+    crawled = {c for (_, _, c) in oracle.crawl_order}
+    assert "http://host3.test/page4" in crawled
+    assert "http://host3.test/page5" in crawled
+    # the colliding seed took the sitemap leg: depth 1, priority-3 class
+    assert oracle.frontier["http://host1.test/"].depth == 1
+
+
+def test_sitemap_cap(spark):
+    """The max_pages//4 cap applies PER SITEMAP FILE (engine.py:662)."""
+    from crawler_spark.sources.sitemap import sitemap_frontier_rows
+
+    xml = "<urlset>" + "".join(
+        f"<url><loc>http://h.test/p{i}</loc></url>" for i in range(30)
+    ) + "</urlset>"
+    df = spark.createDataFrame([(0, xml), (1, xml)], "sitemap_ord int, xml string")
+    rows = sitemap_frontier_rows(df, max_urls=10).collect()
+    assert len(rows) == 20
+    assert all(r["sitemap_pos"] < 10 for r in rows)
+    assert {r["priority"] for r in rows} == {3}
+    assert {r["depth"] for r in rows} == {1}
+
+
 def test_blocked_domain_parity(spark, corpus, tmp_path_factory):
     """F6 domain restriction: engine and oracle agree when a host is blocked."""
     from crawler_spark.sources.corpus import to_documents_df, to_robots_df
