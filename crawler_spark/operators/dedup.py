@@ -185,13 +185,21 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """Per-doc SimHash (Charikar 2002) over token frequencies.
 
     For each bit position b: sum over tokens of freq * (+1 if bit b of
     hash60(token) set else -1); simhash bit b = 1 iff the sum > 0.
     Plan: tokenize -> explode -> (doc, token) counts -> explode bit positions
     -> one groupBy(doc). Returns (doc, simhash:long).
+
+    Default width is 60 bits — the full hash60 width, the widest that stays
+    exactly portable to the DuckDB BIGINT oracle (a 16th hex nibble would
+    overflow the signed cast) and keeps every shiftleft positive. At 10^10
+    docs this kills the random fingerprint collisions a 32-bit hash suffers;
+    candidate volume in the pigeonhole join is governed by the per-chunk
+    width (bits/(d+1) = 15 here vs 8 at 32 bits — a 2^7x cut per chunk
+    class).
     """
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
     tf = (
@@ -225,7 +233,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def simhash_pairs(
-    sim: DataFrame, max_hamming: int = 3, bits: int = 32
+    sim: DataFrame, max_hamming: int = 3, bits: int = 60
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 

@@ -808,7 +808,7 @@ WITH tf AS (
 ), bits AS (
   SELECT doc, b.b AS b,
          sum(CASE WHEN (th >> b.b) & 1 = 1 THEN freq ELSE -freq END) AS s
-  FROM tf, LATERAL unnest(range(0, 32)) AS b(b)
+  FROM tf, LATERAL unnest(range(0, 60)) AS b(b)
   GROUP BY doc, b.b
 ), sim AS (
   SELECT doc, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
@@ -860,6 +860,33 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_EMBEDDING = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ({_COS_SQL}) >= 0.4
+"""
+
+
+def q_ann_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of embedding near-dup: candidates restricted to pairs
+    sharing an IVF cell (deterministic centroids), so the quadratic
+    all-pairs stage of ``dedup_embedding`` never materializes — this is the
+    plan you'd run at 10^10 vectors, here under the same oracle gate."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_neardup(
+        emb, threshold=0.4, cell_blocked=True, n_centroids=8
+    )
+
+
+SQL_ANN_NEARDUP_BLOCKED = f"""
+WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT a.vec_id, a.embedding, b.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY ({_COS_SQL}) DESC, b.cell) AS r
+    FROM embeddings a JOIN cent b ON true
+  ) WHERE r = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE ({_COS_SQL}) >= 0.4
 """
 
@@ -992,6 +1019,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_cosine": QuerySpec(q_knn_cosine, SQL_KNN_COSINE),
     "dedup_embedding": QuerySpec(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),
+    "ann_neardup_blocked": QuerySpec(q_ann_neardup_blocked, SQL_ANN_NEARDUP_BLOCKED),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
 }
