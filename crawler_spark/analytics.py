@@ -139,6 +139,22 @@ def per_round_metrics(spark: SparkSession, workdir: str) -> DataFrame:
     )
 
 
+def stage_timing_summary(workdir: str) -> dict:
+    """A6 (database.py:436-451 analog): average per-round wall seconds per
+    pipeline stage (schedule / fetch+extract / links / commit), plus totals.
+    Driver-side over the manifest history — the metrics are already tiny."""
+    hist = [h for h in SnapshotCatalog(workdir).metrics_history() if "wall_sec" in h]
+    if not hist:
+        return {"rounds": 0}
+    out: dict = {"rounds": len(hist)}
+    for key in ("wall_sec", "sched_sec", "extract_sec", "links_sec", "commit_sec"):
+        vals = [float(h[key]) for h in hist if key in h]
+        if vals:
+            out[f"avg_{key}"] = round(sum(vals) / len(vals), 3)
+            out[f"total_{key}"] = round(sum(vals), 3)
+    return out
+
+
 def media_inventory(spark: SparkSession, workdir: str) -> DataFrame:
     """Media-span rollup: refs per page and per host (interleaved corpus)."""
     m = _read(spark, workdir, "media")

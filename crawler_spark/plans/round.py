@@ -205,6 +205,10 @@ def run_round(
     release_global_seq(seqd)  # staged to parquet; drop the seq cache
     sched = spark.read.parquet(sched_path)  # lineage truncation + single eval
     scheduled_cnt = sched.count()
+    # A6 per-stage timings (database.py:436-451 analog): network timings do
+    # not exist for a simulated fetch, so the honored contract is wall time
+    # per pipeline stage per round (schedule / fetch+extract / links / commit)
+    t_sched_done = time.time()
 
     # -- simulated fetch (J8/S1): left join against the documents table ------
     # F8/F9 (worker.py:235-264): a found document can still be REJECTED for
@@ -281,6 +285,7 @@ def run_round(
         .withColumn("round", F.lit(rnd))
     )
     commit.stage_append("word_frequencies", words)
+    t_extract_done = time.time()
 
     # -- link discovery (T5/O6) -----------------------------------------------
     parents = fetched.where(F.col("success") & (F.col("depth") < cfg.max_depth))
@@ -379,6 +384,7 @@ def run_round(
     )
 
     commit.stage_append("url_seen", fresh.select("canonical", "url_hash"))
+    t_links_done = time.time()
 
     # -- outcome rows for the scheduled set (X4 retry / completed / failed) ---
     new_attempts = F.col("attempts") + 1
@@ -417,6 +423,7 @@ def run_round(
     completed_cnt = fetched.where("success").count()
     fresh_cnt = fresh.count()
     skipped_cnt = skipped.count()
+    t_now = time.time()
     commit.set_metrics(
         scheduled=scheduled_cnt,
         completed=completed_cnt,
@@ -424,9 +431,13 @@ def run_round(
         skipped=skipped_cnt,
         fresh=fresh_cnt,
         t0=t0,
-        # A6 analog (database.py:436-451): per-round wall time replaces the
-        # reference's per-URL network timings (fetch is a join here)
-        wall_sec=round(time.time() - wall_start, 3),
+        # A6 analog (database.py:436-451): per-round per-stage wall times
+        # replace the reference's per-URL network timings (fetch is a join)
+        wall_sec=round(t_now - wall_start, 3),
+        sched_sec=round(t_sched_done - wall_start, 3),
+        extract_sec=round(t_extract_done - t_sched_done, 3),
+        links_sec=round(t_links_done - t_extract_done, 3),
+        commit_sec=round(t_now - t_links_done, 3),
     )
     commit.commit()
     fetched.unpersist()

@@ -2,14 +2,18 @@
 
 The reference renders HTML/JSON/CSV/MD/PDF from collected aggregates; here
 the report is driver-side plain Python over the small results of the
-analytics layer (everything heavy already aggregated cluster-side). JSON and
-Markdown cover the machine- and human-readable cases; other formats are
-renderings of the same dict.
-"""
+analytics layer (everything heavy already aggregated cluster-side). JSON,
+Markdown, HTML (self-contained, tables-only, no JS — the reference's primary
+format, reporting/generator.py:52-60) and CSV are renderings of the same
+dict; PDF is intentionally out of scope (the reference shells out to a
+renderer this sandbox does not ship, and the HTML page prints to PDF)."""
 
 from __future__ import annotations
 
+import csv
+import io
 import json
+from html import escape
 
 from pyspark.sql import SparkSession
 
@@ -75,14 +79,91 @@ def render_markdown(report: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _html_table(headers: list[str], rows: list[list]) -> str:
+    head = "".join(f"<th>{escape(str(h))}</th>" for h in headers)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{escape(str(v))}</td>" for v in row) + "</tr>"
+        for row in rows
+    )
+    return f"<table><thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>"
+
+
+def render_html(report: dict) -> str:
+    """Self-contained HTML page (no JS, inline CSS): the S13 primary format."""
+    s = report["session"]
+    h = report["queue_health"]
+    summary_rows = [[k, v] for k, v in {**s, **h}.items()]
+    words = _html_table(
+        ["word", "freq", "pages"],
+        [[w["word"], w["total_freq"], w["n_pages"]] for w in report["top_words"]],
+    )
+    rounds = _html_table(
+        ["round", "scheduled", "completed", "fresh", "skipped"],
+        [
+            [r["round"], r["scheduled"], r["completed"], r["fresh"], r["skipped"]]
+            for r in report["per_round"]
+        ],
+    )
+    hosts = _html_table(
+        list(report["top_hosts"][0].keys()) if report["top_hosts"] else ["host"],
+        [list(r.values()) for r in report["top_hosts"]],
+    )
+    status = _html_table(
+        ["status", "n"], [[k, v] for k, v in report["status_distribution"].items()]
+    )
+    return f"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8"/>
+<title>Crawl session report</title>
+<style>
+body {{ font-family: system-ui, sans-serif; margin: 2rem; color: #1a1a2e; }}
+h1, h2 {{ border-bottom: 1px solid #ddd; padding-bottom: .3rem; }}
+table {{ border-collapse: collapse; margin: 1rem 0; }}
+th, td {{ border: 1px solid #ccc; padding: .35rem .6rem; text-align: left; }}
+th {{ background: #f0f0f5; }}
+tbody tr:nth-child(even) {{ background: #fafafa; }}
+</style></head><body>
+<h1>Crawl session report</h1>
+<h2>Session</h2>{_html_table(["metric", "value"], summary_rows)}
+<h2>Status distribution</h2>{status}
+<h2>Top words</h2>{words}
+<h2>Rounds</h2>{rounds}
+<h2>Top hosts</h2>{hosts}
+</body></html>
+"""
+
+
+def render_csv(report: dict) -> str:
+    """Flat CSV: one section column + key/value rows for scalars, then the
+    tabular sections (the reference's CSV export is similarly denormalized)."""
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    w.writerow(["section", "key", "value"])
+    for k, v in {**report["session"], **report["queue_health"]}.items():
+        w.writerow(["session", k, v])
+    for k, v in report["status_distribution"].items():
+        w.writerow(["status", k, v])
+    for r in report["top_words"]:
+        w.writerow(["top_word", r["word"], r["total_freq"]])
+    for r in report["per_round"]:
+        w.writerow(["round", r["round"], json.dumps(r, default=str)])
+    return buf.getvalue()
+
+
+_RENDERERS = {
+    "json": render_json,
+    "md": render_markdown,
+    "markdown": render_markdown,
+    "html": render_html,
+    "csv": render_csv,
+}
+
+
 def generate_session_report(
     spark: SparkSession, workdir: str, path: str, fmt: str = "json", top_n: int = 20
 ) -> str:
     """S13 entry point: build + render + write; returns the output path."""
     report = build_report(spark, workdir, top_n)
-    rendered = {"json": render_json, "md": render_markdown, "markdown": render_markdown}[
-        fmt
-    ](report)
+    rendered = _RENDERERS[fmt](report)
     with open(path, "w") as f:
         f.write(rendered)
     return path

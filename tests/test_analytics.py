@@ -94,6 +94,48 @@ def test_report_generation(spark, crawl, tmp_path):
     assert "## Top words" in md and "## Rounds" in md
 
 
+def test_html_and_csv_reports(spark, crawl, tmp_path):
+    """S13: the HTML render is a well-formed, self-contained page carrying
+    the same sections; CSV is parseable and covers the scalar sections."""
+    import csv
+    from xml.etree import ElementTree
+
+    from crawler_spark import reporting
+
+    workdir, _ = crawl
+    hpath = reporting.generate_session_report(spark, workdir, str(tmp_path / "r.html"), "html")
+    html = open(hpath).read()
+    assert html.startswith("<!DOCTYPE html>")
+    for section in ("Session", "Status distribution", "Top words", "Rounds", "Top hosts"):
+        assert f"<h2>{section}</h2>" in html
+    # well-formedness: the page (minus doctype) parses as XML — tables-only,
+    # no JS, every tag closed
+    ElementTree.fromstring(html.split("\n", 1)[1])
+    assert "<script" not in html
+
+    cpath = reporting.generate_session_report(spark, workdir, str(tmp_path / "r.csv"), "csv")
+    rows = list(csv.reader(open(cpath)))
+    assert rows[0] == ["section", "key", "value"]
+    sections = {r[0] for r in rows[1:]}
+    assert {"session", "status", "top_word", "round"} <= sections
+
+
+def test_stage_timing_summary(spark, crawl):
+    """A6: per-stage round timings recorded in every round manifest and
+    averaged; stages sum to (approximately) the round wall time."""
+    workdir, _ = crawl
+    t = analytics.stage_timing_summary(workdir)
+    assert t["rounds"] > 0
+    for k in ("avg_wall_sec", "avg_sched_sec", "avg_extract_sec",
+              "avg_links_sec", "avg_commit_sec"):
+        assert t[k] >= 0.0, k
+    stage_sum = (
+        t["total_sched_sec"] + t["total_extract_sec"]
+        + t["total_links_sec"] + t["total_commit_sec"]
+    )
+    assert abs(stage_sum - t["total_wall_sec"]) <= 0.05 * t["rounds"] + 0.2
+
+
 def test_report_on_empty_catalog(spark, tmp_path):
     """A catalog with no committed rounds yields an empty report, not a crash."""
     from crawler_spark import reporting
