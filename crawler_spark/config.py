@@ -32,3 +32,7 @@ class CrawlConfig:
     # are enqueued, at priority 3 / depth 1
     sitemap_priority: int = 3
     sitemap_depth: int = 1
+    # F7 robots group selection (crawler.user_agent, config.py:36): which
+    # user-agent's rule group applies; parse_robots_df output gets stdlib
+    # best-entry selection, hand-built tables get exact-agent-else-'*'
+    user_agent: str = "*"

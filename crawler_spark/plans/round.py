@@ -67,17 +67,55 @@ def order_exprs():
     ]
 
 
-def _robots_dims(robots_df: DataFrame):
+def _robots_dims(robots_df: DataFrame, user_agent: str = "*"):
     """Robots rules dim: per host, rules ordered by file position, plus a
     crawl-delay dim. Decision semantics are stdlib RobotFileParser's (the
     reference delegates to it, robots.py:82): the FIRST rule whose prefix
     matches the URL path decides allow/deny; no match or no rules = allow.
-    Rule text without a rule_order column (hand-built fixtures) is treated
-    as one unordered group, which is equivalent when every host has at most
-    one disallow rule.
+
+    Group selection happens HERE, so no caller can forget it: tables from
+    parse_robots_df (they carry entry_id) get stdlib best-entry selection
+    via rules_for_agent; hand-built tables with a user_agent column get
+    exact-agent-else-'*' per host (the oracle simulator's documented twin).
+
+    A table without rule_order is rejected when any host has more than one
+    rule: sorting such rules by (path_prefix, allow) silently inverts
+    first-match semantics whenever an Allow exception precedes a broader
+    Disallow (e.g. 'Allow: /private/open' before 'Disallow: /private').
     """
+    cols = robots_df.columns
+    orig = robots_df  # memo target: the caller passes the same object per round
+    if "entry_id" in cols:
+        from crawler_spark.sources.robots import rules_for_agent
+
+        robots_df = rules_for_agent(robots_df, user_agent)
+    elif "user_agent" in cols:
+        a0 = (user_agent or "*").split("/")[0].lower()
+        matching = robots_df.where(
+            (F.col("user_agent") == "*")
+            | F.lit(a0).contains(F.lower(F.col("user_agent")))
+        )
+        w_host = Window.partitionBy("host")
+        has_specific = F.max((F.col("user_agent") != "*").cast("int")).over(w_host)
+        robots_df = (
+            matching.withColumn("_hs", has_specific)
+            .where((F.col("user_agent") != "*").cast("int") == F.col("_hs"))
+            .drop("_hs")
+        )
+    if "rule_order" not in cols and not getattr(orig, "_rule_order_ok", False):
+        multi = (
+            robots_df.groupBy("host").agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1).limit(1).count()
+        )
+        if multi:
+            raise ValueError(
+                "robots table has hosts with multiple rules but no rule_order "
+                "column; first-match semantics need the file order — add "
+                "rule_order (parse_robots_df emits it)"
+            )
+        orig._rule_order_ok = True  # skip the probe on later rounds
     order = (
-        F.col("rule_order") if "rule_order" in robots_df.columns else F.lit(0)
+        F.col("rule_order") if "rule_order" in cols else F.lit(0)
     ).alias("o")
     rules = robots_df.groupBy("host").agg(
         F.array_sort(
@@ -118,7 +156,7 @@ def run_round(
     )
 
     # -- robots compliance (F7): broadcast dim join + first-match predicate --
-    rules_dim, delays = _robots_dims(robots_df)
+    rules_dim, delays = _robots_dims(robots_df, user_agent=cfg.user_agent)
     path = F.regexp_replace(F.col("canonical"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
     with_rules = pending.join(F.broadcast(rules_dim), "host", "left")
     # F.get, not element_at: ANSI mode (Spark 4 default) throws on an empty

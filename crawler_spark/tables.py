@@ -63,12 +63,24 @@ class SnapshotCatalog:
     def _current_path(self) -> str:
         return os.path.join(self.root, "CURRENT")
 
-    def current_manifest(self) -> dict | None:
+    def _current_name(self) -> str | None:
         cur = self._current_path()
         if not os.path.exists(cur):
             return None
         with open(cur) as f:
-            name = f.read().strip()
+            return f.read().strip()
+
+    def _load_manifest(self, name: str) -> dict | None:
+        try:
+            with open(os.path.join(self.root, "_commits", name)) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return None
+
+    def current_manifest(self) -> dict | None:
+        name = self._current_name()
+        if name is None:
+            return None
         with open(os.path.join(self.root, "_commits", name)) as f:
             return json.load(f)
 
@@ -85,23 +97,35 @@ class SnapshotCatalog:
         return spark.read.parquet(*paths)
 
     def metrics_history(self) -> list[dict]:
-        """Metrics of COMMITTED rounds only.
+        """Metrics of COMMITTED rounds only, oldest first.
 
-        Only manifests at or below CURRENT's round count: a kill between
-        manifest write and the CURRENT swap leaves an orphan manifest whose
-        round will re-run — counting it would double its metrics (and a
-        truncated orphan from a kill mid-write must not poison resume).
+        Walks the parent-manifest chain from CURRENT: every manifest records
+        the manifest it superseded, so an ORPHAN manifest — written by a kill
+        between manifest write and the CURRENT swap, including a maintenance
+        commit whose round equals CURRENT's — is simply never reached and
+        never counted (a round-number filter cannot tell such an orphan from
+        the real commit at the same round). Pre-chain manifests (no
+        ``parent`` key) fall back to the legacy round<=current scan.
         """
+        name = self._current_name()
+        chain, seen = [], set()
+        while name and name not in seen:
+            seen.add(name)
+            m = self._load_manifest(name)
+            if m is None:
+                break
+            if "parent" not in m:  # legacy manifest: finish with the old scan
+                return self._metrics_history_legacy()
+            chain.append({"round": m["round"], **m.get("metrics", {})})
+            name = m["parent"]
+        return list(reversed(chain))
+
+    def _metrics_history_legacy(self) -> list[dict]:
         current = self.current_round()
         out = []
-        commits = sorted(os.listdir(os.path.join(self.root, "_commits")))
-        for name in commits:
-            try:
-                with open(os.path.join(self.root, "_commits", name)) as f:
-                    m = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                continue  # orphan from an interrupted commit; round will re-run
-            if m["round"] <= current:
+        for name in sorted(os.listdir(os.path.join(self.root, "_commits"))):
+            m = self._load_manifest(name)
+            if m is not None and m["round"] <= current:
                 out.append({"round": m["round"], **m.get("metrics", {})})
         return out
 
@@ -204,6 +228,7 @@ class RoundCommit:
         self.catalog = catalog
         self.round_no = round_no
         self.tag = tag
+        self.parent = catalog._current_name()  # manifest this commit supersedes
         prev = catalog.current_manifest()
         self.tables: dict[str, list[str]] = (
             {k: list(v) for k, v in prev["tables"].items()} if prev else {}
@@ -239,10 +264,16 @@ class RoundCommit:
 
     def commit(self) -> None:
         assert not self._committed
-        suffix = f"-{self.tag}" if self.tag else ""
+        # tagged (maintenance) commits get a unique name: two compactions at
+        # the same round must not overwrite each other's manifest, or the
+        # parent chain would self-reference and drop the earlier metrics.
+        # Untagged round commits keep the stable name on purpose — a re-run
+        # of a killed round supersedes its own orphan file.
+        suffix = f"-{self.tag}-{uuid.uuid4().hex[:6]}" if self.tag else ""
         name = f"commit-{self.round_no:06d}{suffix}.json"
         manifest = {
             "round": self.round_no,
+            "parent": self.parent,
             "tables": self.tables,
             "metrics": self.metrics,
             "lineage": self.lineage,

@@ -197,6 +197,8 @@ class SimConfig:
     # ordinary fetch failure (retry w/ backoff)
     allowed_content_types: tuple = ("text/html",)
     max_page_size: int = 10_485_760
+    # F7 robots group selection — twin of plans/round._robots_dims
+    user_agent: str = "*"
 
     def domain_ok(self, host: str) -> bool:
         if host in self.blocked_domains:
@@ -258,15 +260,33 @@ class CrawlSimulator:
         self.config = config or SimConfig()
         # ordered rules per host: FIRST prefix match decides (stdlib
         # RobotFileParser iteration order; engine twin plans/round._robots_dims)
+        # Group selection first (same twin): rows matching our agent (exact
+        # token containment or '*'); a host with any specific-agent match
+        # ignores its '*' rows (exact-else-'*').
+        a0 = ((self.config.user_agent if config else "*") or "*").split("/")[0].lower()
+
+        def _matches(ua: str) -> bool:
+            return ua == "*" or ua.lower() in a0
+
+        by_host: dict[str, list[dict]] = {}
+        for r in robots:
+            if _matches(r.get("user_agent", "*")):
+                by_host.setdefault(r["host"], []).append(r)
         self.rules: dict[str, list[tuple[int, str, bool]]] = {}
         self.delay: dict[str, float] = {}
-        for i, r in enumerate(robots):
-            order = r.get("rule_order", 0)
-            self.rules.setdefault(r["host"], []).append(
-                (order, r["path_prefix"], bool(r["allow"]))
-            )
-            if r["crawl_delay"] is not None:
-                self.delay[r["host"]] = r["crawl_delay"]
+        for host, rows in by_host.items():
+            specific = [r for r in rows if r.get("user_agent", "*") != "*"]
+            selected = specific if specific else rows
+            for r in selected:
+                self.rules[host] = self.rules.get(host, [])
+                self.rules[host].append(
+                    (r.get("rule_order", 0), r["path_prefix"], bool(r["allow"]))
+                )
+                if r["crawl_delay"] is not None:
+                    # engine twin uses max() over the selected rows
+                    self.delay[host] = max(
+                        self.delay.get(host, r["crawl_delay"]), r["crawl_delay"]
+                    )
         for host in self.rules:
             self.rules[host].sort()
 

@@ -29,7 +29,14 @@ def main() -> None:
     p = argparse.ArgumentParser(description="Run (or resume) a frontier crawl")
     p.add_argument("--workdir", required=True, help="snapshot catalog root")
     p.add_argument("--documents", help="parquet path: interleaved-docs table (doc_id, spans)")
-    p.add_argument("--robots", help="parquet path: robots rules table")
+    p.add_argument(
+        "--robots",
+        help="parquet path: robots rules table (host, user_agent, path_prefix,"
+        " allow, crawl_delay, rule_order) — rule_order is REQUIRED for hosts"
+        " with multiple rules (first-match semantics); parse_robots_df emits it",
+    )
+    p.add_argument("--sitemaps", help="parquet path: sitemap XML docs (sitemap_ord, xml)")
+    p.add_argument("--user-agent", default="*", help="robots group to obey")
     p.add_argument("--seeds", help="json file: [{url, priority, depth}, ...]")
     p.add_argument("--hosts", type=int, default=10, help="synthetic corpus: hosts")
     p.add_argument("--pages-per-host", type=int, default=20)
@@ -61,7 +68,8 @@ def main() -> None:
             if args.robots
             else spark.createDataFrame(
                 [],
-                "host string, user_agent string, path_prefix string, allow boolean, crawl_delay double",
+                "host string, user_agent string, path_prefix string, "
+                "allow boolean, crawl_delay double, rule_order int",
             )
         )
         with open(args.seeds) as f:
@@ -84,8 +92,13 @@ def main() -> None:
         max_depth=args.max_depth,
         max_rounds=args.max_rounds,
         n_host_buckets=args.host_buckets,
+        user_agent=args.user_agent,
     )
-    summary = run_crawl(spark, args.workdir, documents_df, robots_df, seeds, cfg)
+    sitemaps_df = spark.read.parquet(args.sitemaps) if args.sitemaps else None
+    summary = run_crawl(
+        spark, args.workdir, documents_df, robots_df, seeds, cfg,
+        sitemaps_df=sitemaps_df,
+    )
     print(json.dumps(summary))
 
 

@@ -357,3 +357,44 @@ def test_blocked_domain_parity(spark, corpus, tmp_path_factory):
     discovered_hosts = {host_of(c) for (_, _, c) in got if c not in seed_canon}
     assert "host2.test" not in discovered_hosts
     assert read_url_seen(spark, workdir) == oracle.url_seen
+
+
+def test_multi_agent_robots_parity(spark, tmp_path_factory):
+    """ADVICE r1: a robots table with a specific-agent group plus '*' rows is
+    now group-selected INSIDE the engine (exact-agent-else-'*' per host) —
+    engine and oracle agree for both a specific UA and the default, and the
+    two agents genuinely see different crawls."""
+    from crawler_spark.sources.corpus import gen_corpus, to_documents_df, to_robots_df
+    from oracle.simulator import CrawlSimulator, SimConfig
+
+    documents, seeds, robots = gen_corpus(hosts=3, pages_per_host=8, seed=11)
+    robots = [r for r in robots if r["host"] != "host0.test"]
+    robots += [
+        # specific group: spider is banned from /page*; '*' group only bans /private
+        {"host": "host0.test", "user_agent": "spider", "path_prefix": "/page",
+         "allow": False, "crawl_delay": None, "rule_order": 0},
+        {"host": "host0.test", "user_agent": "*", "path_prefix": "/private",
+         "allow": False, "crawl_delay": None, "rule_order": 1},
+    ]
+    cfg = dict(max_depth=2, max_pages=80, default_delay=1.0, horizon=30.0, max_rounds=8)
+    orders = {}
+    for ua in ("spider/1.0", "*"):
+        oracle = CrawlSimulator(
+            documents, seeds, robots, SimConfig(**cfg, user_agent=ua)
+        ).run()
+        workdir = str(tmp_path_factory.mktemp(f"ua-{ua[0]}"))
+        run_crawl(
+            spark, workdir, to_documents_df(spark, documents),
+            to_robots_df(spark, robots), seeds,
+            CrawlConfig(**cfg, user_agent=ua),
+        )
+        assert read_crawl_order(spark, workdir) == oracle.crawl_order
+        statuses = read_frontier_statuses(spark, workdir)
+        assert statuses == {c: e.status for c, e in oracle.frontier.items()}
+        orders[ua] = oracle.crawl_order
+    assert orders["spider/1.0"] != orders["*"]
+    # spider never crawls a host0 /page URL; '*' does
+    spider_urls = {c for (_, _, c) in orders["spider/1.0"]}
+    star_urls = {c for (_, _, c) in orders["*"]}
+    assert not any(u.startswith("http://host0.test/page") for u in spider_urls)
+    assert any(u.startswith("http://host0.test/page") for u in star_urls)

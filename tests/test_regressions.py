@@ -173,3 +173,58 @@ def test_remove_host_prunes_pending_only(spark, small, tmp_path):
                           blocked_domains=(victim,)))
     new = read_crawl_order(spark, wd)[pre:]
     assert all(host_of(c) != victim for (_, _, c) in new)
+
+
+def test_maintenance_orphan_not_counted(spark, small, tmp_path):
+    """ADVICE r1: a compaction killed between manifest write and the CURRENT
+    swap leaves an orphan manifest at round == current; the parent-chain walk
+    must skip it — was_compacted()/metrics_history report nothing."""
+    from crawler_spark import analytics
+
+    docs_df, robots_df, seeds = small
+    wd = str(tmp_path / "crawl")
+    run_crawl(
+        spark, wd, docs_df, robots_df, seeds,
+        CrawlConfig(max_pages=30, max_rounds=2, n_host_buckets=4),
+    )
+    cat = SnapshotCatalog(wd)
+    cur_before = cat._current_name()
+    hist_before = cat.metrics_history()
+    assert not analytics.was_compacted(wd)
+    cat.compact_frontier(spark)
+    assert analytics.was_compacted(wd)  # committed normally -> visible
+    # simulate the kill: revert CURRENT to the pre-compaction manifest, the
+    # compaction manifest file stays behind as an orphan
+    with open(cat._current_path() + ".tmp", "w") as f:
+        f.write(cur_before)
+    os.replace(cat._current_path() + ".tmp", cat._current_path())
+    assert cat.metrics_history() == hist_before
+    assert not analytics.was_compacted(wd)
+
+
+def test_rule_order_guard(spark, small, tmp_path):
+    """ADVICE r1: a robots table where some host has multiple rules but no
+    rule_order column must be rejected loudly, not silently mis-sorted."""
+    docs_df, _, seeds = small
+    bad_robots = spark.createDataFrame(
+        [
+            ("host0.test", "*", "/private/open", True, None),
+            ("host0.test", "*", "/private", False, None),
+        ],
+        "host string, user_agent string, path_prefix string, allow boolean, crawl_delay double",
+    )
+    with pytest.raises(ValueError, match="rule_order"):
+        run_crawl(
+            spark, str(tmp_path / "bad"), docs_df, bad_robots, seeds,
+            CrawlConfig(max_pages=10, max_rounds=1, n_host_buckets=4),
+        )
+    # single rule per host without rule_order stays fine (unambiguous)
+    ok_robots = spark.createDataFrame(
+        [("host0.test", "*", "/private", False, None)],
+        "host string, user_agent string, path_prefix string, allow boolean, crawl_delay double",
+    )
+    summary = run_crawl(
+        spark, str(tmp_path / "ok"), docs_df, ok_robots, seeds,
+        CrawlConfig(max_pages=10, max_rounds=1, n_host_buckets=4),
+    )
+    assert summary["scheduled_total"] > 0
