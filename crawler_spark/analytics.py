@@ -139,6 +139,29 @@ def per_round_metrics(spark: SparkSession, workdir: str) -> DataFrame:
     )
 
 
+def structure_summary(spark: SparkSession, workdir: str) -> dict:
+    """T6 rollup (processor.py:322-336 analog): average span-kind counts per
+    successfully crawled page."""
+    from crawler_spark.operators.textstats import SPAN_KINDS
+
+    pages = _read(spark, workdir, "pages")
+    if pages is None or "structure" not in pages.columns:
+        return {"pages": 0}
+    row = (
+        pages.where("success")
+        .agg(
+            F.count("*").alias("pages"),
+            F.round(F.avg("structure.n_spans"), 4).alias("avg_spans"),
+            *[
+                F.round(F.avg(f"structure.n_{k}"), 4).alias(f"avg_{k}")
+                for k in SPAN_KINDS
+            ],
+        )
+        .collect()[0]
+    )
+    return row.asDict()
+
+
 def stage_timing_summary(workdir: str) -> dict:
     """A6 (database.py:436-451 analog): average per-round wall seconds per
     pipeline stage (schedule / fetch+extract / links / commit), plus totals.

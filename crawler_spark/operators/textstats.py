@@ -97,6 +97,40 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# T6 — span-kind structure counts, the interleaved-span analog of the
+# reference's per-page HTML tag counts (processor.py:322-336 counts total
+# tags plus a fixed tag list; our documents are pre-segmented spans, so the
+# kinds below are the tag vocabulary).
+SPAN_KINDS = ("title", "nav", "script", "meta", "text", "main", "media", "link")
+
+
+def _kind_pred(k: str):
+    # a one-arg lambda per kind: a default-arg (s, k=k) signature would make
+    # F.filter pass the ARRAY INDEX as the second argument
+    return lambda s: s["kind"] == F.lit(k)
+
+
+def span_structure(spans_col: Column) -> Column:
+    """Struct of per-kind span counts + total, all JVM-side array filters."""
+    return F.struct(
+        F.size(spans_col).alias("n_spans"),
+        *[
+            F.size(F.filter(spans_col, _kind_pred(k))).alias(f"n_{k}")
+            for k in SPAN_KINDS
+        ],
+    )
+
+
+def span_structure_counts(
+    df: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """(doc, n_spans, n_title, ..., n_link) per document (T6)."""
+    s = span_structure(F.col(spans_col))
+    return df.select(F.col(id_col).alias("doc"), s.alias("_s")).select(
+        "doc", "_s.*"
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive 60-bit doc fingerprint + MinHash-style sketch value.
 

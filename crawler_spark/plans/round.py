@@ -49,6 +49,7 @@ from crawler_spark.operators.ordering import (
     top_per_key,
     with_global_seq,
 )
+from crawler_spark.operators.textstats import span_structure
 from crawler_spark.tables import SnapshotCatalog
 
 FRONTIER_COLS = [
@@ -279,6 +280,8 @@ def run_round(
         fetched.select(
             "round", "seq", "canonical", "url", "host", "depth", "success", "text",
             ct.alias("content_type"), sz.alias("size_bytes"),
+            # T6 (processor.py:322-336): per-page span-kind counts
+            F.when(F.col("success"), span_structure(F.col("spans"))).alias("structure"),
         ),
     )
 

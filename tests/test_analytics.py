@@ -165,3 +165,28 @@ def test_queue_health_flags_compaction(spark, crawl):
     h = analytics.queue_health(spark, wd2)
     assert h["compacted"] and h["completed"] == 0
     shutil.rmtree(wd2, ignore_errors=True)
+
+
+def test_structure_counts_match_corpus(spark, crawl):
+    """T6: per-page span-kind counts in the pages sink equal the corpus's
+    actual span histogram; the rollup averages reconcile."""
+    from collections import Counter
+
+    from crawler_spark.operators.textstats import SPAN_KINDS
+
+    workdir, documents = crawl
+    pages = SnapshotCatalog(workdir).read(spark, "pages").where("success")
+    got = {
+        r["canonical"]: r["structure"].asDict()
+        for r in pages.select("canonical", "structure").collect()
+    }
+    corpus = {d["doc_id"]: Counter(s["kind"] for s in d["spans"]) for d in documents}
+    assert len(got) > 0
+    for url, s in got.items():
+        expect = corpus[url]
+        assert s["n_spans"] == sum(expect.values()), url
+        for k in SPAN_KINDS:
+            assert s[f"n_{k}"] == expect.get(k, 0), (url, k)
+    summary = analytics.structure_summary(spark, workdir)
+    assert summary["pages"] == len(got)
+    assert summary["avg_text"] > 0 and summary["avg_link"] > 0
