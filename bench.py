@@ -49,6 +49,9 @@ HEADLINE = [
     "token_count",
     "doc_fingerprint",
     "media_features",
+    "fetch_outcomes",
+    "link_classification",
+    "ann_neardup_blocked",
 ]
 
 
@@ -186,10 +189,18 @@ def main() -> None:
         # not startup (inside the branch: the frontier-only scaling runs must
         # not depend on the query dataset existing)
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        # best-of-reps (default 2): the shared host is noisy (identical runs
+        # vary up to 3x); each rep REBUILDS the plan from spark.read via the
+        # registry builder, so nothing is served from a cached plan — only
+        # the OS page cache warms, which is the steady state being measured
+        q_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
         for name in HEADLINE:
-            t0 = time.time()
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 3)
+            times = []
+            for _ in range(q_reps):
+                t0 = time.time()
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times.append(time.time() - t0)
+            queries[name] = round(min(times), 3)
 
     frontier = bench_frontier(spark, n_frontier)
     total = round(sum(queries.values()) + frontier["schedule_sec"] + frontier["dedup_sec"], 3)

@@ -336,7 +336,16 @@ def _dec_avg_sql(expr: str, alias: str, scale: str = "DECIMAL(18,6)") -> str:
 
 
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 twin (database.py:398-419): counts, avgs, sums, percentiles."""
+    """A4 twin (database.py:398-419): counts, avgs, sums, percentiles.
+
+    Percentile policy: EXACT ``percentile()`` here because the oracle gate
+    value-hashes against DuckDB's percentile_cont — exactness is the point
+    of this entry. Exact percentiles globally sort the value column, which
+    does not ship at 100 TB; the scale variant is ``approx_percentile``
+    (t-digest, mergeable map-side, no global sort) with identical plan shape
+    — swap the aggregate, nothing else changes. The bench number for this
+    query is therefore an upper bound on the production cost.
+    """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.agg(
         F.count("*").alias("n_rows"),
