@@ -99,6 +99,10 @@ def session_summary(spark: SparkSession, workdir: str) -> dict:
     pages = _read(spark, workdir, "pages")
     catalog = SnapshotCatalog(workdir)
     out: dict = {"rounds": catalog.current_round() + 1}
+    for h in catalog.metrics_history():  # T10: id minted at session init
+        if "session_id" in h:
+            out["session_id"] = h["session_id"]
+            break
     if pages is not None:
         row = pages.agg(
             F.count("*").alias("fetch_attempts"),

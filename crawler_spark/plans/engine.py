@@ -12,6 +12,8 @@ no re-fetching, no politeness violation, because rounds are atomic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -136,7 +138,16 @@ def init_state(
     commit = catalog.begin(-1)
     commit.stage_replace("frontier", df, partition_by=["host_bucket"])
     commit.stage_replace("url_seen", df.select("canonical", "url_hash"))
-    commit.set_metrics(seeds=len(rows))
+    # T10 (engine.py:221): session id = md5(name + start time); here the
+    # name is the workdir (one catalog == one session) and the time is the
+    # wall clock at init, recorded once in the init manifest
+    import hashlib
+    import time as _time
+
+    session_id = hashlib.md5(
+        f"{os.path.basename(catalog.root)}_{_time.time()}".encode()
+    ).hexdigest()
+    commit.set_metrics(seeds=len(rows), session_id=session_id)
     commit.commit()
 
 

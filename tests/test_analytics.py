@@ -48,6 +48,8 @@ def test_top_words_and_session_summary(spark, crawl):
     assert s["pages_crawled"] > 0
     assert s["total_words"] > 0 and s["unique_words"] > 0
     assert s["fetch_attempts"] == s["pages_crawled"] + s["fetch_failures"]
+    # T10 (engine.py:221): md5 session id minted once at catalog init
+    assert len(s["session_id"]) == 32
 
 
 def test_per_round_metrics_match_manifests(spark, crawl):
