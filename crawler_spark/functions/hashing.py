@@ -29,11 +29,25 @@ from pyspark.sql import functions as F
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
 # Deterministic MinHash parameters (seedless — fixed literals shared with the
-# oracle SQL). K=8 permutations, banded 4 x 2 for LSH.
+# oracle SQL). Defaults: K=8 permutations banded 4 x 2 — small on purpose,
+# because the DuckDB oracle re-derives every permutation; the operators take
+# k/band_size knobs (the _a/_b formulas extend to any i) and a production
+# near-dup pass at 10^10 docs would run K=128+, bands sized to its
+# similarity threshold, with the identical plan shape.
 MINHASH_K = 8
 LSH_BAND_SIZE = 2
-MINHASH_A = [(i * 2_654_435_761 + 1) % MERSENNE_P for i in range(MINHASH_K)]
-MINHASH_B = [(i * 1_013_904_223 + 12_345) % MERSENNE_P for i in range(MINHASH_K)]
+
+
+def _perm_a(i: int) -> int:
+    return (i * 2_654_435_761 + 1) % MERSENNE_P
+
+
+def _perm_b(i: int) -> int:
+    return (i * 1_013_904_223 + 12_345) % MERSENNE_P
+
+
+MINHASH_A = [_perm_a(i) for i in range(MINHASH_K)]
+MINHASH_B = [_perm_b(i) for i in range(MINHASH_K)]
 
 
 def hash60(col: Column) -> Column:
@@ -47,9 +61,9 @@ def hash60_sql(expr: str) -> str:
 
 
 def minhash_term(i: int, reduced: Column) -> Column:
-    """h_i over a column already reduced mod MERSENNE_P."""
-    return F.pmod(F.lit(MINHASH_A[i]) * reduced + F.lit(MINHASH_B[i]), F.lit(MERSENNE_P))
+    """h_i over a column already reduced mod MERSENNE_P (any i >= 0)."""
+    return F.pmod(F.lit(_perm_a(i)) * reduced + F.lit(_perm_b(i)), F.lit(MERSENNE_P))
 
 
 def minhash_term_sql(i: int, reduced_expr: str) -> str:
-    return f"(({MINHASH_A[i]} * {reduced_expr} + {MINHASH_B[i]}) % {MERSENNE_P})"
+    return f"(({_perm_a(i)} * {reduced_expr} + {_perm_b(i)}) % {MERSENNE_P})"

@@ -76,32 +76,37 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
-def minhash_signature(shingles: DataFrame) -> DataFrame:
+def minhash_signature(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """K-permutation MinHash signature per doc: (doc, mh0..mh{K-1}).
 
     One shuffle: groupBy(doc) with K min-aggregates (map-side partial aggs).
+    ``k`` is the recall knob: 8 keeps the DuckDB oracle cheap; production at
+    10^10 docs runs 128+ with the same single-shuffle plan.
     """
-    aggs = [minhash_term(i, F.col("sh")).alias(f"_h{i}") for i in range(MINHASH_K)]
+    aggs = [minhash_term(i, F.col("sh")).alias(f"_h{i}") for i in range(k)]
     return (
         shingles.select("doc", *aggs)
         .groupBy("doc")
-        .agg(*[F.min(f"_h{i}").alias(f"mh{i}") for i in range(MINHASH_K)])
+        .agg(*[F.min(f"_h{i}").alias(f"mh{i}") for i in range(k)])
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = MINHASH_K, band_size: int = LSH_BAND_SIZE
+) -> DataFrame:
     """Candidate pairs (a < b) sharing at least one LSH band signature.
 
-    Bands of LSH_BAND_SIZE rows; the shuffle key is the band signature string
+    Bands of ``band_size`` rows; the shuffle key is the band signature string
     so each reduce group is one candidate bucket. Buckets are deduped into
     ordered pairs. At 10^10 docs a runaway bucket (pathological corpus) is
     bounded by AQE skew split; the per-bucket pair expansion is the standard
-    LSH cost model.
+    LSH cost model. (k // band_size bands, r = band_size: the s-curve
+    threshold is (1/b)^(1/r) — size the bands to the target similarity.)
     """
-    n_bands = MINHASH_K // LSH_BAND_SIZE
+    n_bands = k // band_size
     bands = []
     for b in range(n_bands):
-        cols = [F.col(f"mh{b * LSH_BAND_SIZE + j}") for j in range(LSH_BAND_SIZE)]
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
         bands.append(F.concat_ws(":", F.lit(str(b)), *[c.cast("string") for c in cols]))
     keyed = signatures.select("doc", F.explode(F.array(*bands)).alias("band"))
     a = keyed.alias("a")
@@ -114,20 +119,29 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_dedup(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    band_size: int = LSH_BAND_SIZE,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     Returns (doc_a, doc_b, jaccard_pct) with doc_a < doc_b and
     jaccard >= threshold. jaccard_pct is rounded to an integer percentage so
-    the value-hash comparison with the oracle is float-safe.
+    the value-hash comparison with the oracle is float-safe. ``k`` /
+    ``band_size`` tune the candidate-recall s-curve; the exact-Jaccard
+    verify stage makes the OUTPUT identical for any knob setting that
+    reaches the same candidates — more signatures only raise recall.
     """
     # one materialization: shingles feed both the signature pass and the
     # Jaccard verification — without it the corpus is scanned and
     # re-tokenized four times (visible as 4 parquet scans in .explain)
     sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
-    sig = minhash_signature(sh)
-    cand = lsh_candidate_pairs(sig)
+    sig = minhash_signature(sh, k)
+    cand = lsh_candidate_pairs(sig, k, band_size)
     j = _pair_jaccard(cand, sh)
     return (
         j.where(F.col("jaccard") >= F.lit(threshold))

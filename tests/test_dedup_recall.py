@@ -73,3 +73,27 @@ def test_simhash_separates_planted_dups(spark, planted):
     random_h = [ham(*rng.sample(ids, 2)) for _ in range(50)]
     # 2-token edits move few bits; random pairs should sit near 16/32
     assert sum(planted_h) / len(planted_h) < sum(random_h) / len(random_h) - 4
+
+def test_minhash_k16_recall_at_least_k8(spark, planted):
+    """The k/band_size knobs work: K=16 (8 bands x 2) is the production-ish
+    setting; banding with more bands can only ADD candidates at fixed r, so
+    recall must be >= the K=8 run on the same fixture and precision still
+    holds (the Jaccard verify stage is knob-independent)."""
+    from crawler_spark.operators.dedup import minhash_lsh_dedup
+
+    df, pairs = planted
+    got8 = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    got16 = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(
+            df, "doc_id", "text", threshold=0.5, k=16, band_size=2
+        ).collect()
+    }
+    planted_set = set(pairs)
+    assert len(got16 & planted_set) >= len(got8 & planted_set)
+    assert got16 - planted_set == set()  # verify stage still exact
+    recall16 = len(got16 & planted_set) / len(planted_set)
+    assert recall16 >= 0.97, recall16
