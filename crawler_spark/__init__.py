@@ -13,4 +13,4 @@ SURVEY.md) on an idiomatic Spark substrate:
   pure column expressions / vectorized pandas UDFs — no per-row Python.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.2.1"

@@ -969,15 +969,25 @@ def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.tables import SnapshotCatalog
 
     import hashlib
+    import inspect
 
-    import crawler_spark
+    from crawler_spark import tables
+    from crawler_spark.functions import text, urls
+    from crawler_spark.plans import engine as _eng
+    from crawler_spark.plans import round as _rnd
+    from crawler_spark.sources import corpus as _corpus
 
     documents, seeds, robots = gen_corpus(hosts=3, pages_per_host=8, seed=42)
-    # workdir keyed by corpus params + engine version: repeat invocations
-    # RESUME the committed crawl (idempotent and deterministic), while a code
-    # change or different params gets a fresh catalog instead of silently
-    # resuming a stale one (ADVICE r1)
-    params = f"v={crawler_spark.__version__};hosts=3;pph=8;seed=42;mp=60;mr=6;nb=4"
+    # workdir keyed by corpus params + a digest of the ENGINE SOURCE itself:
+    # repeat invocations RESUME the committed crawl (idempotent and
+    # deterministic), while ANY code change to the modules that determine
+    # crawl order gets a fresh catalog instead of silently resuming a stale
+    # one (ADVICE r1 — a manually-bumped version string proved forgettable
+    # within a single working session)
+    src = "".join(
+        inspect.getsource(m) for m in (_eng, _rnd, tables, text, urls, _corpus)
+    )
+    params = "hosts=3;pph=8;seed=42;mp=60;mr=6;nb=4;" + hashlib.md5(src.encode()).hexdigest()
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     workdir = os.path.join(tempfile.gettempdir(), f"crawler-spark-mini-{tag}")
     cfg = CrawlConfig(max_pages=60, max_rounds=6, n_host_buckets=4)
