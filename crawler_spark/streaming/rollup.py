@@ -70,3 +70,77 @@ def streaming_url_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFra
         # forever, the exact failure this design must avoid
         .dropDuplicatesWithinWatermark(["url_hash", "canonical"])
     )
+
+
+def politeness_gate(
+    stream: DataFrame,
+    default_delay: float = 1.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator (X2/X3 streaming twin): per-host virtual-time
+    fetch slots over a stream of discovered candidates.
+
+    Input: (host:string, canonical:string, event_ts:timestamp[, crawl_delay:
+    double]). For each host the operator assigns ``fetch_ts`` = max(arrival,
+    last_fetch + delay) — the same slotting rule the batch round plan applies
+    inside one round (plans/round.py J2/X2), but with the per-host
+    ``last_fetch`` carried ACROSS micro-batches in keyed state via
+    ``applyInPandasWithState`` (Arrow-batched; the per-host loop is python,
+    but groups arrive as whole pandas frames, never row-at-a-time UDF calls).
+
+    State is one double per host and is evicted by event-time timeout once a
+    host has been idle past the watermark — bounded state at web scale
+    (active hosts only), which is what makes this operator viable where a
+    naive global window would accrete every host ever seen.
+
+    Output: (host, canonical, fetch_ts:double epoch seconds), append mode.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    has_delay = "crawl_delay" in stream.columns
+    _UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+              "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+    amount, unit = watermark.split()
+    timeout_s = float(amount) * _UNITS[unit]
+
+    def gate(key, pdfs, state):
+        import pandas as pd
+
+        (host,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames) if frames else None
+        out = []
+        if rows is not None and len(rows):
+            rows = rows.sort_values(["event_ts", "canonical"])
+            for r in rows.itertuples(index=False):
+                ts = r.event_ts.timestamp()
+                delay = (
+                    float(r.crawl_delay)
+                    if has_delay and r.crawl_delay == r.crawl_delay  # not NaN
+                    else default_delay
+                )
+                eff = ts if last is None else max(ts, last + delay)
+                out.append((host, r.canonical, eff))
+                last = eff
+        if last is not None:
+            state.update((float(last),))
+            # evict once the host is idle past the watermark horizon
+            state.setTimeoutTimestamp(int((last + timeout_s) * 1000))
+        yield pd.DataFrame(out, columns=["host", "canonical", "fetch_ts"])
+
+    return (
+        stream.withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        .withWatermark("event_ts", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            gate,
+            outputStructType="host string, canonical string, fetch_ts double",
+            stateStructType="last_ts double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -152,3 +152,73 @@ def test_corpus_spark_shape_and_determinism(spark):
         {"url": "http://host0.test/", "priority": 10, "depth": 0},
         {"url": "http://host2.test/", "priority": 10, "depth": 0},
     ]
+
+
+def test_politeness_gate_stateful_stream(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-host fetch
+    slots spaced >= crawl_delay, with last-fetch state carried across
+    micro-batches. Output must equal the pure-Python twin of the slotting
+    rule; file-2 events arrive in a later batch and must still respect the
+    state left by file 1."""
+    import pandas as pd
+
+    from crawler_spark.streaming.rollup import politeness_gate
+
+    delay = 2.0
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def ev(host, url, sec):
+        return (host, url, (base + pd.Timedelta(seconds=sec)).to_pydatetime())
+
+    # file 1: minute 0; file 2: minute 2 — later in event time, so any
+    # batch split yields the same virtual-time schedule
+    file1 = [
+        ev("a.test", "http://a.test/1", 0.0),
+        ev("a.test", "http://a.test/2", 0.5),   # burst: must be pushed to +2s
+        ev("a.test", "http://a.test/3", 0.6),
+        ev("b.test", "http://b.test/1", 0.0),
+    ]
+    file2 = [
+        ev("a.test", "http://a.test/4", 120.0),  # idle gap: scheduled at arrival
+        ev("b.test", "http://b.test/2", 120.0),
+        ev("b.test", "http://b.test/3", 120.1),  # pushed to 122.0
+    ]
+    src = str(tmp_path / "src")
+    schema = "host string, canonical string, event_ts timestamp"
+    spark.createDataFrame(file1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        politeness_gate(stream, default_delay=delay)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["canonical"]: r["fetch_ts"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # pure-Python twin of the slotting rule over the globally sorted stream
+    expected, last = {}, {}
+    for host, url, ts in sorted(file1 + file2, key=lambda e: (e[2], e[1])):
+        t = ts.timestamp()
+        eff = t if host not in last else max(t, last[host] + delay)
+        expected[url] = eff
+        last[host] = eff
+    assert got == expected
+    # burst spacing explicit: a.test rows 1-3 at 0, 2, 4 seconds
+    t0 = base.timestamp()
+    assert got["http://a.test/1"] == t0
+    assert got["http://a.test/2"] == t0 + 2.0
+    assert got["http://a.test/3"] == t0 + 4.0
+    assert got["http://b.test/3"] == t0 + 122.0
