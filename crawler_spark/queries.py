@@ -947,6 +947,81 @@ FROM documents d
 """
 
 
+def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL STREAMING politeness gate (X2/X3 twin,
+    streaming/rollup.politeness_gate) under the full value oracle: the
+    events table becomes a candidate stream (host = event_type, canonical =
+    event_id, second-truncated arrival times), processed by
+    applyInPandasWithState with availableNow. The gate's recurrence
+    eff_i = max(t_i, eff_{i-1} + d) unrolls to the closed form
+    eff_i = i*d + running_max(t_j - j*d), which the DuckDB twin computes as
+    a running-max window — so a keyed-state streaming operator gets an
+    exact SQL value check. All quantities are multiples of d=0.5 below
+    2^52, so the iterative and closed forms are bit-identical doubles.
+    Output staging is content-addressed (sf_dir + operator source digest):
+    repeat invocations reuse the finished run; a code change regenerates.
+    """
+    import hashlib
+    import inspect
+
+    from crawler_spark.streaming import rollup as R
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = hashlib.md5((sf_dir + inspect.getsource(R)).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"crawler-spark-gate-{tag}")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    cp = os.path.join(base, "cp")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (
+            ev.select(
+                F.col("event_type").alias("host"),
+                F.col("event_id").cast("string").alias("canonical"),
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                .cast("long").cast("timestamp").alias("event_ts"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = spark.readStream.schema(
+            "host string, canonical string, event_ts timestamp"
+        ).parquet(src)
+        q = (
+            R.politeness_gate(stream, default_delay=0.5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    return spark.read.parquet(out).select(
+        "host", "canonical", F.round(F.col("fetch_ts"), 2).alias("fetch_ts")
+    )
+
+
+SQL_STREAM_POLITENESS_GATE = """
+WITH e AS (
+  SELECT event_type AS host, CAST(event_id AS VARCHAR) AS canonical,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS t
+  FROM events
+), r AS (
+  SELECT host, canonical, t,
+         row_number() OVER (PARTITION BY host ORDER BY t, canonical) AS rn
+  FROM e
+)
+SELECT host, canonical,
+       round(rn * 0.5 + max(t - rn * 0.5) OVER (
+         PARTITION BY host ORDER BY rn ROWS UNBOUNDED PRECEDING), 2) AS fetch_ts
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # flagship end-to-end crawl (no SQL twin: iterative multi-round dataflow;
 # correctness is covered by the oracle-simulator parity suite in tests/)
@@ -1040,5 +1115,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),
     "ann_neardup_blocked": QuerySpec(q_ann_neardup_blocked, SQL_ANN_NEARDUP_BLOCKED),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES),
+    "stream_politeness_gate": QuerySpec(
+        q_stream_politeness_gate, SQL_STREAM_POLITENESS_GATE
+    ),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
 }

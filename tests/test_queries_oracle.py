@@ -92,6 +92,8 @@ def test_registry_builders_are_lazy(spark):
         "ann_ivf", "ann_neardup_blocked",
     }
     for name in SQL_CHECKED:
+        if name == "stream_politeness_gate":
+            continue  # runs a streaming job by design (stateful operator)
         before = sql_executions()
         REGISTRY[name].fn(spark, SF_DIR)
         _t.sleep(0.3)  # the status store is fed asynchronously
