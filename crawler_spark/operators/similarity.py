@@ -128,6 +128,81 @@ def embedding_neardup(
     )
 
 
+def srp_planes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes.
+
+    w[j][d] = ((md5-hash60("srp:j:d") % 2001) - 1000) / 1000 — pure Python,
+    reproducible digit-for-digit inside the DuckDB oracle SQL (both engines
+    parse the same 3-decimal literal to the same double). Seedless on
+    purpose, like the MinHash permutation constants.
+    """
+    import hashlib
+
+    out = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"srp:{j}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(((h % 2001) - 1000) / 1000)
+        out.append(row)
+    return out
+
+
+def srp_neardup(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    band_size: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs via signed-random-projection LSH (Charikar 2002) —
+    the LSH-BUCKETED cosine scale path, complementing the IVF-cell one.
+
+    Signature bit j = sign(v . h_j) over deterministic hyperplanes; bits
+    group into ``n_planes // band_size`` bands and candidates are pairs
+    sharing a band code — an equality-join shuffle keyed on the code, never
+    a cross join (P[bit match] = 1 - theta/pi, so a band of r bits hits with
+    (1 - theta/pi)^r; production stacks more bands/tables for low-threshold
+    recall — here the EXACT cosine verify stage makes the output precise for
+    whatever the bands surface). Signatures are static column expressions
+    (literal weight arrays, no shuffle); unlike IVF there is no centroid
+    assignment pass at all. Returns (vec_a, vec_b), a < b.
+    """
+    planes = srp_planes(n_planes, dim)
+    bits = [
+        F.when(
+            dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])) > 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    n_bands = n_planes // band_size
+    band_keys = [
+        F.concat(F.lit(f"{b}:"), *bits[b * band_size : (b + 1) * band_size])
+        for b in range(n_bands)
+    ]
+    keyed = vectors.select(
+        F.col(id_col).alias("vid"), F.explode(F.array(*band_keys)).alias("bucket")
+    )
+    a = keyed.select(F.col("vid").alias("vec_a"), "bucket")
+    b = keyed.select(F.col("vid").alias("vec_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

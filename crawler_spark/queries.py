@@ -900,6 +900,50 @@ WHERE ({_COS_SQL}) >= 0.4
 """
 
 
+def q_ann_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH cosine scale path (srp_neardup) under the oracle:
+    16 deterministic planes, 4 bands x 4 bits, exact-cosine verify at 0.4."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.srp_neardup(emb, threshold=0.4, n_planes=16, band_size=4)
+
+
+def _srp_sql() -> str:
+    """DuckDB twin of q_ann_neardup_srp, weights inlined from the shared
+    deterministic generator (3-decimal literals parse to identical doubles
+    in both engines)."""
+    planes = similarity.srp_planes(16, 64)
+    bit_exprs = []
+    for j, p in enumerate(planes):
+        weights = ", ".join(f"{w:.3f}" for w in p)
+        bit_exprs.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(embedding, [{weights}]),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2])) > 0 THEN '1' ELSE '0' END) AS b{j}"
+        )
+    bands = ", ".join(
+        "'{b}:' || b{i} || b{j} || b{k} || b{l}".format(
+            b=b, i=4 * b, j=4 * b + 1, k=4 * b + 2, l=4 * b + 3
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, {", ".join(bit_exprs)} FROM embeddings
+), bands AS (
+  SELECT vec_id, unnest([{bands}]) AS bucket FROM sig
+), cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b
+FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a
+            JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE ({_COS_SQL}) >= 0.4
+"""
+
+
+SQL_ANN_NEARDUP_SRP = _srp_sql()
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 20), n_centroids=8, k=5)
@@ -1114,6 +1158,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding": QuerySpec(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),
     "ann_neardup_blocked": QuerySpec(q_ann_neardup_blocked, SQL_ANN_NEARDUP_BLOCKED),
+    "ann_neardup_srp": QuerySpec(q_ann_neardup_srp, SQL_ANN_NEARDUP_SRP),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES),
     "stream_politeness_gate": QuerySpec(
         q_stream_politeness_gate, SQL_STREAM_POLITENESS_GATE

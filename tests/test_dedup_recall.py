@@ -97,3 +97,38 @@ def test_minhash_k16_recall_at_least_k8(spark, planted):
     assert got16 - planted_set == set()  # verify stage still exact
     recall16 = len(got16 & planted_set) / len(planted_set)
     assert recall16 >= 0.97, recall16
+
+
+def test_srp_neardup_recovers_planted_high_sim_pairs(spark):
+    """Hyperplane-LSH: planted near-identical vectors (cosine ~0.99) land in
+    the same band with high probability (P[bit]=1-theta/pi ~0.97, so one
+    4-bit band hits ~0.88 and any-of-4 ~0.9998); unrelated random vectors
+    that collide in a band are killed by the exact-cosine verify stage."""
+    import random
+
+    from crawler_spark.operators.similarity import srp_neardup
+
+    rng = random.Random(13)
+    rows, planted = [], []
+    vid = 0
+    for base in range(200):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((vid, v))
+        if base % 10 == 0:
+            dup = [x + rng.gauss(0, 0.02) for x in v]  # tiny perturbation
+            rows.append((vid + 1, dup))
+            planted.append((vid, vid + 1))
+            vid += 2
+        else:
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in srp_neardup(df, threshold=0.9).collect()
+    }
+    planted_set = set(planted)
+    recall = len(got & planted_set) / len(planted_set)
+    assert recall >= 0.9, recall
+    # verify stage exact: random 64-d gaussians essentially never reach
+    # cosine 0.9, so nothing unplanted survives the verify join
+    assert got - planted_set == set()
