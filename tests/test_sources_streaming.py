@@ -222,3 +222,52 @@ def test_politeness_gate_stateful_stream(spark, tmp_path):
     assert got["http://a.test/2"] == t0 + 2.0
     assert got["http://a.test/3"] == t0 + 4.0
     assert got["http://b.test/3"] == t0 + 122.0
+
+
+def test_discover_sitemaps_probe_order_and_dedup(spark, tmp_path):
+    """S3: robots-declared sitemaps probe before the 5 common paths, in seed
+    order; URLs absent from the docs table are 'HEAD 404' and skipped; a
+    sitemap reachable from two seeds is discovered once (first wins). The
+    discovered docs drive a crawl identically to passing them directly."""
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.plans.engine import read_crawl_order, run_crawl
+    from crawler_spark.sources.corpus import gen_corpus, to_documents_df, to_robots_df
+    from crawler_spark.sources.sitemap import discover_sitemaps
+    from oracle.simulator import CrawlSimulator, SimConfig
+
+    xml_a = "<urlset><url><loc>http://host0.test/page3</loc></url></urlset>"
+    xml_b = "<urlset><url><loc>http://host1.test/page4</loc></url></urlset>"
+    xml_c = "<urlset><url><loc>http://host2.test/page5</loc></url></urlset>"
+    docs_table = spark.createDataFrame(
+        [
+            ("http://host0.test/sitemap_index.xml", xml_a),   # common path #2
+            ("http://host1.test/sitemap.xml", xml_b),         # common path #1
+            ("http://host0.test/from-robots.xml", xml_c),     # robots-declared
+        ],
+        "sitemap_url string, xml string",
+    )
+    seeds = [
+        {"url": "http://host0.test/", "priority": 10, "depth": 0},
+        {"url": "http://host1.test/", "priority": 10, "depth": 0},
+        {"url": "http://www.host0.test:80/", "priority": 10, "depth": 0},  # no 2nd hit
+    ]
+    robots_txt = {"host0.test": "User-agent: *\nSitemap: http://host0.test/from-robots.xml\n"}
+    got = discover_sitemaps(
+        spark, seeds, docs_table, robots_txt_by_host=robots_txt
+    ).orderBy("sitemap_ord").collect()
+    assert [r["xml"] for r in got] == [xml_c, xml_a, xml_b]  # robots first, then paths
+    assert len(got) == 3  # www-seed probes resolve nothing new
+
+    # discovered docs drive the crawl exactly like directly-passed sitemaps
+    documents, cseeds, robots = gen_corpus(hosts=3, pages_per_host=8, seed=21)
+    cfg = dict(max_depth=2, max_pages=60, default_delay=1.0, horizon=30.0, max_rounds=6)
+    oracle = CrawlSimulator(
+        documents, cseeds, robots, SimConfig(**cfg), sitemaps=[xml_c, xml_a, xml_b]
+    ).run()
+    wd = str(tmp_path / "crawl")
+    run_crawl(
+        spark, wd, to_documents_df(spark, documents), to_robots_df(spark, robots),
+        cseeds, CrawlConfig(**cfg),
+        sitemaps_df=discover_sitemaps(spark, seeds, docs_table, robots_txt_by_host=robots_txt),
+    )
+    assert read_crawl_order(spark, wd) == oracle.crawl_order
