@@ -398,3 +398,48 @@ def test_multi_agent_robots_parity(spark, tmp_path_factory):
     star_urls = {c for (_, _, c) in orders["*"]}
     assert not any(u.startswith("http://host0.test/page") for u in spider_urls)
     assert any(u.startswith("http://host0.test/page") for u in star_urls)
+
+
+def test_parse_robots_df_feeds_engine(spark, tmp_path_factory):
+    """S2 end-to-end: raw robots.txt parsed by the stdlib-parity pandas UDF
+    (parse_robots_df, carrying entry_id) feeds run_crawl directly; the
+    engine's rules_for_agent best-entry selection reproduces the oracle fed
+    with equivalent hand-built per-agent rows — for both a specific UA and
+    the default."""
+    from crawler_spark.sources.corpus import gen_corpus, to_documents_df
+    from crawler_spark.sources.robots import parse_robots_df
+    from oracle.simulator import CrawlSimulator, SimConfig
+
+    robots_txt = (
+        "User-agent: spider\nDisallow: /page\n\n"
+        "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"
+    )
+    hosts = ["host0.test", "host1.test", "host2.test"]
+    txt_df = spark.createDataFrame(
+        [(h, robots_txt) for h in hosts], "host string, robots_txt string"
+    )
+    rules_df = parse_robots_df(txt_df)
+    documents, seeds, _ = gen_corpus(hosts=3, pages_per_host=8, seed=33)
+    hand_rows = []
+    for h in hosts:
+        hand_rows += [
+            {"host": h, "user_agent": "spider", "path_prefix": "/page",
+             "allow": False, "crawl_delay": None, "rule_order": 0},
+            {"host": h, "user_agent": "*", "path_prefix": "/private",
+             "allow": False, "crawl_delay": 2.0, "rule_order": 1},
+        ]
+    cfg = dict(max_depth=2, max_pages=80, default_delay=1.0, horizon=30.0, max_rounds=8)
+    orders = {}
+    for ua in ("spider/1.0", "other/1.0"):
+        oracle = CrawlSimulator(
+            documents, seeds, hand_rows, SimConfig(**cfg, user_agent=ua)
+        ).run()
+        wd = str(tmp_path_factory.mktemp(f"rparse-{ua[0]}"))
+        run_crawl(
+            spark, wd, to_documents_df(spark, documents), rules_df, seeds,
+            CrawlConfig(**cfg, user_agent=ua),
+        )
+        got = read_crawl_order(spark, wd)
+        assert got == oracle.crawl_order, ua
+        orders[ua] = got
+    assert orders["spider/1.0"] != orders["other/1.0"]
