@@ -52,6 +52,7 @@ HEADLINE = [
     "fetch_outcomes",
     "link_classification",
     "ann_neardup_blocked",
+    "ann_neardup_srp",
 ]
 
 
