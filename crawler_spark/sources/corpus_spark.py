@@ -150,6 +150,37 @@ def corpus_df(
     )
 
 
+def sitemap_docs_df(
+    spark: SparkSession,
+    hosts: int,
+    pages_per_host: int,
+    every: int = 8,
+    locs_per_sitemap: int = 20,
+) -> DataFrame:
+    """One generated sitemap XML per ``every``-th host, listing its first
+    ``locs_per_sitemap`` non-root pages — expression-only, so the S3/S4
+    frontier leg can be exercised at 10^5+ pages with zero driver data.
+    Returns (sitemap_ord, xml) ready for ``run_crawl(sitemaps_df=...)``.
+    """
+    n_locs = max(min(locs_per_sitemap, pages_per_host - 1), 1)
+    base = spark.range(0, hosts, every).withColumn("host", F.col("id"))
+    locs = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_locs)),
+            lambda k: F.concat(
+                F.lit("<url><loc>"),
+                _page_url(F.col("host"), k),
+                F.lit("</loc></url>"),
+            ),
+        ),
+    )
+    return base.select(
+        (F.col("id") / every).cast("int").alias("sitemap_ord"),
+        F.concat(F.lit("<urlset>"), locs, F.lit("</urlset>")).alias("xml"),
+    )
+
+
 def seed_urls(hosts: int, every: int = 1) -> list[dict]:
     """Seed list: root page of every ``every``-th host."""
     return [

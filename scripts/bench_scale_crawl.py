@@ -31,18 +31,30 @@ def main() -> None:
 
     from crawler_spark.config import CrawlConfig
     from crawler_spark.plans.engine import run_crawl
-    from crawler_spark.sources.corpus_spark import corpus_df, seed_urls
+    from crawler_spark.sources.corpus_spark import corpus_df, seed_urls, sitemap_docs_df
     from crawler_spark.sparkutils import get_spark
 
     spark = get_spark("crawl-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = corpus_df(spark, hosts=hosts, pages_per_host=pages)
+    # every 3rd host has rules; a decoy specific-agent group exercises the
+    # engine's per-round group selection (dropped for the default '*' UA)
     robots = spark.createDataFrame(
-        [(f"host{h}.test", "*", "/private", False, 0.5) for h in range(0, hosts, 3)],
-        "host string, user_agent string, path_prefix string, allow boolean, crawl_delay double",
+        [
+            row
+            for h in range(0, hosts, 3)
+            for row in (
+                (f"host{h}.test", "*", "/private", False, 0.5, 0),
+                (f"host{h}.test", "otherbot", "/", False, None, 1),
+            )
+        ],
+        "host string, user_agent string, path_prefix string, allow boolean,"
+        " crawl_delay double, rule_order int",
     )
     seeds = seed_urls(hosts, every=2)
+    # S3/S4 leg at scale: one sitemap per 8th host, 20 locs each
+    sitemaps = sitemap_docs_df(spark, hosts, pages)
 
     workdir = tempfile.mkdtemp(prefix="crawl-scale-", dir="/dev/shm")
     cfg = CrawlConfig(
@@ -53,7 +65,7 @@ def main() -> None:
         horizon=30.0,
     )
     t0 = time.time()
-    summary = run_crawl(spark, workdir, docs, robots, seeds, cfg)
+    summary = run_crawl(spark, workdir, docs, robots, seeds, cfg, sitemaps_df=sitemaps)
     wall = time.time() - t0
     scheduled = summary["scheduled_total"]
     out = {
