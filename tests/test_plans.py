@@ -1,0 +1,90 @@
+"""Physical-plan property guards.
+
+The scale story depends on plan SHAPE, not just results: column pruning and
+filter pushdown reaching the parquet scan, small dims broadcast, the dedup
+anti-join hash-joined (no sort), no accidental cartesian products. These are
+easy to regress silently — a refactor that still returns correct rows can
+drop a pushdown and 10x the scan at 100 TB — so the properties are pinned as
+tests over the compiled plans (no job execution; ``explain`` strings only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        REGISTRY[name]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_rollups_prune_to_key_column(spark):
+    """fetch_outcomes / link_classification derive everything from doc_id —
+    the scan must read ONLY that column."""
+    for name in ("fetch_outcomes", "link_classification"):
+        plan = _plan(spark, name)
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, name
+
+
+def test_word_pipeline_prunes_columns(spark):
+    """The tokenizer pipeline needs (doc_id, text); lang/source/n_chars must
+    be pruned from the documents scan."""
+    plan = _plan(spark, "word_topk")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "n_chars" not in plan
+
+
+def test_knn_filter_pushed_to_scan(spark):
+    """The query-side vec_id < 20 predicate must reach the parquet reader."""
+    plan = _plan(spark, "knn_cosine")
+    assert "PushedFilters: [" in plan
+    assert "LessThan(vec_id,20)" in plan
+
+
+def test_small_dims_broadcast(spark):
+    """Multi-join rollup broadcasts the nation dim; the brute-force knn
+    broadcasts the query side — neither may fall back to a shuffle join of
+    the small side or a cartesian product."""
+    for name in ("revenue_by_nation", "knn_cosine"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dedup_anti_join_is_shuffled_hash(spark):
+    """J1: the url_seen anti-join must stay a shuffled HASH join — a
+    sort-merge join re-sorts both 10^10-row sides (measured 2x slower at
+    32M rows)."""
+    seen = spark.range(1000).select(
+        F.concat(F.lit("http://h.test/s"), F.col("id").cast("string")).alias("canonical")
+    ).withColumn("url_hash", F.xxhash64("canonical"))
+    cand = spark.range(500, 1500).select(
+        F.concat(F.lit("http://h.test/s"), F.col("id").cast("string")).alias("canonical")
+    ).withColumn("url_hash", F.xxhash64("canonical"))
+    plan = (
+        cand.join(seen.hint("shuffle_hash"), ["url_hash", "canonical"], "left_anti")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No SQL-checkable registry plan may contain an unconditioned cartesian
+    product (broadcast nested-loop of a one-row/tiny dim is fine; a
+    CartesianProduct node is never fine at scale)."""
+    for name, spec in REGISTRY.items():
+        if spec.sql is None or name == "stream_politeness_gate":
+            continue
+        assert "CartesianProduct" not in _plan(spark, name), name
