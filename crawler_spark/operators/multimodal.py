@@ -95,3 +95,94 @@ def decode_features(media: DataFrame, backend: str = "fake") -> DataFrame:
 
     schema = feature_schema(media.schema["doc"].dataType)
     return media.select("doc", "payload").mapInPandas(_decode, schema)
+
+
+def resize_image(
+    media: DataFrame, out_w: int = 2, out_h: int = 2, backend: str = "fake"
+) -> DataFrame:
+    """Image-resize stage: Arrow-batched 1-row-in/1-row-out ``mapInPandas``.
+
+    ``fake``: the 16-byte payload is read as a 4x4 grayscale image and
+    average-pooled (integer floor) to 2x2 — deterministic, oracle-checkable
+    pixel arithmetic with the same batch shape a real resampler has.
+    ``real``: the PIL path (Image.open -> .resize((w,h)) -> tobytes()),
+    stubbed because this container ships no codecs.
+    Output: (doc, p00, p01, p10, p11) — the pooled pixels as ints (scalar
+    columns travel onward; the payload stays behind, see module note).
+    """
+    if backend == "real":
+        raise NotImplementedError(
+            "real resize needs PIL (not in this container); wire: "
+            "Image.open(io.BytesIO(payload)).resize((out_w, out_h)) inside "
+            "the same mapInPandas"
+        )
+    if (out_w, out_h) != (2, 2):
+        raise ValueError("fake backend pins the 4x4 -> 2x2 pooling geometry")
+
+    _POOLS = (
+        ("p00", (0, 1, 4, 5)),
+        ("p01", (2, 3, 6, 7)),
+        ("p10", (8, 9, 12, 13)),
+        ("p11", (10, 11, 14, 15)),
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc": pdf["doc"]}
+            for name, ix in _POOLS:
+                out[name] = (
+                    pdf["payload"]
+                    .map(lambda b, ix=ix: (b[ix[0]] + b[ix[1]] + b[ix[2]] + b[ix[3]]) // 4)
+                    .astype("int32")
+                )
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [T.StructField("doc", media.schema["doc"].dataType, False)]
+        + [T.StructField(n, T.IntegerType(), True) for n, _ in _POOLS]
+    )
+    return media.select("doc", "payload").mapInPandas(_resize, schema)
+
+
+def frame_sample(
+    media: DataFrame, stride: int = 3, backend: str = "fake"
+) -> DataFrame:
+    """Video frame-sampling stage: ``mapInPandas`` with 1-row-in/N-rows-out
+    batch shape (each payload explodes into its sampled frames).
+
+    ``fake``: each payload byte is one 'frame'; every ``stride``-th is kept.
+    ``real``: the PyAV path (av.open -> decode(video=0) keyframe stride),
+    stubbed because this container ships no codecs.
+    Output: (doc, frame_idx, frame_val).
+    """
+    if backend == "real":
+        raise NotImplementedError(
+            "real frame sampling needs PyAV/ffmpeg (not in this container); "
+            "wire: av.open(io.BytesIO(payload)).decode(video=0) with the "
+            "same stride inside this mapInPandas"
+        )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, idxs, vals = [], [], []
+            for doc, b in zip(pdf["doc"], pdf["payload"]):
+                for i in range(0, len(b), stride):
+                    docs.append(doc)
+                    idxs.append(i)
+                    vals.append(int(b[i]))
+            yield pd.DataFrame(
+                {
+                    "doc": pd.Series(docs, dtype=pdf["doc"].dtype),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_val": pd.Series(vals, dtype="int32"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc", media.schema["doc"].dataType, False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_val", T.IntegerType(), False),
+        ]
+    )
+    return media.select("doc", "payload").mapInPandas(_sample, schema)

@@ -991,6 +991,46 @@ FROM documents d
 """
 
 
+def _sql_payload_byte(k: str) -> str:
+    """DuckDB: byte ``k`` (0-based expr) of the synthetic md5 payload."""
+    return f"CAST(('0x' || substr(md5(text), 2 * ({k}) + 1, 2)) AS INT)"
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage (1-in/1-out mapInPandas): the 16-byte payload
+    as a 4x4 grayscale image average-pooled to 2x2; scalar pixels out."""
+    media = multimodal.synth_media(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.resize_image(media, backend="fake")
+
+
+SQL_MEDIA_RESIZE = f"""
+SELECT doc_id AS doc,
+       CAST(({_sql_payload_byte('0')} + {_sql_payload_byte('1')}
+           + {_sql_payload_byte('4')} + {_sql_payload_byte('5')}) // 4 AS INT) AS p00,
+       CAST(({_sql_payload_byte('2')} + {_sql_payload_byte('3')}
+           + {_sql_payload_byte('6')} + {_sql_payload_byte('7')}) // 4 AS INT) AS p01,
+       CAST(({_sql_payload_byte('8')} + {_sql_payload_byte('9')}
+           + {_sql_payload_byte('12')} + {_sql_payload_byte('13')}) // 4 AS INT) AS p10,
+       CAST(({_sql_payload_byte('10')} + {_sql_payload_byte('11')}
+           + {_sql_payload_byte('14')} + {_sql_payload_byte('15')}) // 4 AS INT) AS p11
+FROM documents
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling stage (1-in/N-out mapInPandas): every
+    3rd payload byte as a sampled 'frame' row."""
+    media = multimodal.synth_media(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.frame_sample(media, stride=3, backend="fake")
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+SELECT doc_id AS doc, CAST(i.i AS INT) AS frame_idx,
+       {_sql_payload_byte('i.i')} AS frame_val
+FROM documents, LATERAL unnest([0, 3, 6, 9, 12, 15]) AS i(i)
+"""
+
+
 def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING politeness gate (X2/X3 twin,
     streaming/rollup.politeness_gate) under the full value oracle: the
@@ -1160,6 +1200,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_neardup_blocked": QuerySpec(q_ann_neardup_blocked, SQL_ANN_NEARDUP_BLOCKED),
     "ann_neardup_srp": QuerySpec(q_ann_neardup_srp, SQL_ANN_NEARDUP_SRP),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES),
+    "media_resize": QuerySpec(q_media_resize, SQL_MEDIA_RESIZE),
+    "media_frame_sample": QuerySpec(q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "stream_politeness_gate": QuerySpec(
         q_stream_politeness_gate, SQL_STREAM_POLITENESS_GATE
     ),

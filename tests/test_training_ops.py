@@ -161,3 +161,43 @@ def test_top_per_key_equals_naive_window(spark):
         df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 7)
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_media_resize_pools_4x4_to_2x2(spark, docs):
+    """Fake resize: pooled pixel = floor-mean of its 2x2 block of the
+    payload-as-4x4-image; verified against a driver-side recomputation."""
+    import hashlib
+
+    media = multimodal.synth_media(docs, "doc_id", "text")
+    got = {r["doc"]: (r["p00"], r["p01"], r["p10"], r["p11"])
+           for r in multimodal.resize_image(media).collect()}
+    for doc_id, text in [(1, "alpha beta gamma delta epsilon zeta"), (5, "tiny")]:
+        b = hashlib.md5(text.encode()).digest()
+        expect = (
+            (b[0] + b[1] + b[4] + b[5]) // 4,
+            (b[2] + b[3] + b[6] + b[7]) // 4,
+            (b[8] + b[9] + b[12] + b[13]) // 4,
+            (b[10] + b[11] + b[14] + b[15]) // 4,
+        )
+        assert got[doc_id] == expect, doc_id
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.resize_image(media, backend="real")
+    with pytest.raises(ValueError, match="geometry"):
+        multimodal.resize_image(media, out_w=3, out_h=3)
+
+
+def test_media_frame_sample_explodes_strided(spark, docs):
+    """Fake frame sampling: 1-in/N-out mapInPandas — every 3rd byte, with
+    the right indices and values."""
+    import hashlib
+
+    media = multimodal.synth_media(docs, "doc_id", "text")
+    rows = multimodal.frame_sample(media, stride=3).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], []).append((r["frame_idx"], r["frame_val"]))
+    assert set(by_doc) == {1, 2, 3, 4, 5}
+    b = hashlib.md5(b"tiny").digest()
+    assert sorted(by_doc[5]) == [(i, b[i]) for i in (0, 3, 6, 9, 12, 15)]
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        multimodal.frame_sample(media, backend="real")
