@@ -30,6 +30,19 @@ EN_MARKERS = (
     "was", "this", "they", "from", "have", "has", "not", "you", "his", "her",
 )
 
+# Multi-language function-word profiles (Cavnar & Trenkle-style coverage
+# vote, one set per language). Small and overlapping by nature (fr/es share
+# 'la'); the argmax with a deterministic alphabetical tiebreak handles it.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "das", "nicht", "ein", "mit",
+           "auf", "für", "von", "sich", "dem", "den", "zu"),
+    "en": EN_MARKERS,
+    "es": ("el", "los", "las", "es", "una", "en", "por", "para",
+           "con", "del", "se", "que", "un", "como", "más"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans", "pour",
+           "que", "pas", "sur", "au", "ce", "il"),
+}
+
 
 def _tokens(text_col: Column) -> Column:
     return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), F.lit(0))
@@ -46,6 +59,32 @@ def with_lang_id(df: DataFrame, text_col: str, threshold: float = 0.05) -> DataF
     return df.withColumn(
         "pred_lang", F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
     )
+
+
+def with_lang_id_multi(
+    df: DataFrame, text_col: str, threshold: float = 0.05
+) -> DataFrame:
+    """Multi-class language ID: per-language marker-coverage scores, argmax
+    with an alphabetical tiebreak, 'other' when the best score is under the
+    threshold. Pure column expressions; the deterministic heuristic stands
+    in for fastText behind the same column contract."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def _in_markers(markers):
+        # one-arg lambda per set: a (t, m=m) signature would make F.filter
+        # pass the array index as the second argument
+        return lambda t: t.isin(*markers)
+
+    scores = {}
+    for lang in sorted(LANG_MARKERS):
+        hits = F.size(F.filter(toks, _in_markers(LANG_MARKERS[lang])))
+        scores[lang] = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+    best = F.greatest(*scores.values())
+    pred = F.when(best < threshold, F.lit("other"))
+    for lang in sorted(scores):  # alphabetical: first equal-to-best wins
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.withColumn("pred_lang", pred)
 
 
 def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

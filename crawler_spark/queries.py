@@ -191,6 +191,45 @@ SELECT source, pred_lang, count(*) AS n FROM scored GROUP BY source, pred_lang
 """
 
 
+def q_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class language ID (en/de/fr/es marker-coverage argmax with
+    alphabetical tiebreak, 'other' under threshold) rolled up per source."""
+    return (
+        textstats.with_lang_id_multi(_docs(spark, sf_dir), "text")
+        .groupBy("source", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _lang_multi_sql() -> str:
+    score_exprs, langs = [], sorted(textstats.LANG_MARKERS)
+    for lang in langs:
+        mk = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
+        score_exprs.append(
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"CAST(len(list_filter(toks, w -> w IN ({mk}))) AS DOUBLE) / len(toks) "
+            f"ELSE 0.0 END AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pick = "CASE WHEN best < 0.05 THEN 'other' " + " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH t AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+), s AS (
+  SELECT source, {", ".join(score_exprs)} FROM t
+), b AS (
+  SELECT source, {best} AS best, * FROM s
+)
+SELECT source, {pick} AS pred_lang, count(*) AS n
+FROM b GROUP BY source, pred_lang
+"""
+
+
+SQL_LANG_ID_MULTI = _lang_multi_sql()
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -1175,6 +1214,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "rare_words": QuerySpec(q_rare_words, SQL_RARE_WORDS),
     "doc_quality": QuerySpec(q_doc_quality, SQL_DOC_QUALITY),
     "lang_id": QuerySpec(q_lang_id, SQL_LANG_ID),
+    "lang_id_multi": QuerySpec(q_lang_id_multi, SQL_LANG_ID_MULTI),
     "token_count": QuerySpec(q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "tf_idf": QuerySpec(q_tf_idf, SQL_TF_IDF),

@@ -201,3 +201,23 @@ def test_media_frame_sample_explodes_strided(spark, docs):
     assert sorted(by_doc[5]) == [(i, b[i]) for i in (0, 3, 6, 9, 12, 15)]
     with pytest.raises(NotImplementedError, match="PyAV"):
         multimodal.frame_sample(media, backend="real")
+
+
+def test_lang_id_multi_classifies_planted_languages(spark):
+    """Marker-coverage argmax picks the right language for short planted
+    sentences in each class; marker-free text falls to 'other'."""
+    from crawler_spark.operators.textstats import with_lang_id_multi
+
+    rows = [
+        (1, "the cat is in the house and they have not seen it"),
+        (2, "der hund ist nicht mit der katze und das ist ein problem"),
+        (3, "le chat est dans la maison et il est pour le moment sur le lit"),
+        (4, "el perro es un animal y las casas son para los gatos del pueblo"),
+        (5, "zxqv wkjh pqrs mnbv"),  # no markers anywhere -> other
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in with_lang_id_multi(df, "text").collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "other"}
