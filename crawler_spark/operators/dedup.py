@@ -293,3 +293,65 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs — the KEEP/DROP decision.
+
+    Every pair-producing dedup operator (MinHash, SimHash, embedding)
+    surfaces edges; a pipeline then keeps one representative per component.
+    cluster id = min doc id reachable, computed by iterative min-label
+    propagation over DataFrame joins: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(diameter)
+    rounds with a one-row convergence probe per round and localCheckpoint
+    to truncate the growing lineage. Returns (doc, cluster) for every doc
+    that appears in a pair (singletons are their own cluster trivially and
+    never ship through the pair stream).
+
+    Scale note: min-label propagation shuffles |E| rows per round; at
+    10^10-edge graphs the large-star/small-star variant (Kiveris 2014)
+    halves round count — same join pattern, swap when diameter hurts.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                labels.doc.alias("doc"),
+                F.least(
+                    labels.label, F.coalesce(F.col("nmin"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .where("n.label <> o.label")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster"))

@@ -843,6 +843,33 @@ SQL_DEDUP_NGRAM_JACCARD = (
 )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs — the keep/drop
+    cluster assignment (cluster = min doc id in the component), computed by
+    iterative min-label propagation; the DuckDB twin is the recursive-CTE
+    transitive closure, so the ITERATIVE algorithm gets a full value check."""
+    pairs = dedup.minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
+    return dedup.neardup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE pr AS (" + SQL_DEDUP_MINHASH_LSH + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pr
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pr
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc, least(src, min(dst)) AS cluster
+FROM reach GROUP BY src
+"""
+)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
     return dedup.simhash_pairs(sim, max_hamming=3)
@@ -1234,6 +1261,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "knn_cosine": QuerySpec(q_knn_cosine, SQL_KNN_COSINE),
     "dedup_embedding": QuerySpec(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),

@@ -85,6 +85,8 @@ def test_no_cartesian_products_anywhere(spark):
     product (broadcast nested-loop of a one-row/tiny dim is fine; a
     CartesianProduct node is never fine at scale)."""
     for name, spec in REGISTRY.items():
-        if spec.sql is None or name == "stream_politeness_gate":
+        # the streaming/iterative entries execute on build; their final
+        # plans are trivial projections — skip, like the lazy-builder test
+        if spec.sql is None or name in ("stream_politeness_gate", "dedup_clusters"):
             continue
         assert "CartesianProduct" not in _plan(spark, name), name

@@ -221,3 +221,14 @@ def test_lang_id_multi_classifies_planted_languages(spark):
         for r in with_lang_id_multi(df, "text").collect()
     }
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "other"}
+
+
+def test_neardup_clusters_connected_components(spark):
+    """Min-label propagation finds components: a 3-chain and a 2-pair plus
+    a transitive bridge converge to min-id cluster labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r["doc"]: r["cluster"] for r in dedup.neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
