@@ -53,6 +53,9 @@ HEADLINE = [
     "link_classification",
     "ann_neardup_blocked",
     "ann_neardup_srp",
+    "lang_id_multi",
+    "media_resize",
+    "media_frame_sample",
 ]
 
 

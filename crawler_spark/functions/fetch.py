@@ -32,7 +32,11 @@ CONTENT_TOO_LARGE = "content_too_large"
 
 def content_type_ok(ct: Column, allowed_types: tuple[str, ...]) -> Column:
     """True iff lower(ct) contains any allowed substring; null ct fails
-    (reference: missing header -> '' -> never contains 'text/html')."""
+    (reference: missing header -> '' -> never contains 'text/html').
+    An empty allowed list rejects everything — ``any([])`` is False in the
+    reference's check too."""
+    if not allowed_types:
+        return F.lit(False)
     lowered = F.lower(F.coalesce(ct, F.lit("")))
     return reduce(or_, [lowered.contains(t.lower()) for t in allowed_types])
 

@@ -1,0 +1,68 @@
+"""Composed training-data curation pipeline — the end-to-end keep/drop story.
+
+A corpus pipeline chains the individual operators this package provides:
+quality gate (F11) -> language gate -> exact dedup keeper -> near-dup
+cluster representative. ``training_keepset`` composes them into one
+annotated plan so a user gets the full curation decision per document in a
+single DataFrame — and the whole composition is value-checked against a
+DuckDB twin that recomputes every stage in SQL (crawler_spark.queries
+``training_keepset``).
+
+Contract: each gate is evaluated on the FULL corpus and the annotation is
+the FIRST failing gate in precedence order (quality, lang, exact_dup,
+near_dup) — a per-document annotation operator, not a sequential filter, so
+the oracle composition stays closed-form. Representatives are min-id: the
+exact keeper is min doc id per text hash, the near-dup representative is
+the min doc id of the connected component (dedup.neardup_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.hashing import hash60
+from crawler_spark.operators import dedup, textstats
+
+
+def training_keepset(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """(doc, status) per document; status = 'kept' or the first failing gate
+    ('quality' | 'lang' | 'exact_dup' | 'near_dup')."""
+    quality = textstats.quality_metrics(df, id_col, text_col).select(
+        "doc", "is_valid"
+    )
+    lang_pred = textstats.with_lang_id(df, text_col).select(
+        F.col(id_col).alias("doc"), "pred_lang"
+    )
+    # exact keeper: min doc id per text hash, joined back on the hash
+    hashed = df.select(
+        F.col(id_col).alias("doc"), hash60(F.col(text_col)).alias("text_hash")
+    )
+    keepers = hashed.groupBy("text_hash").agg(F.min("doc").alias("keep_id"))
+    exact = hashed.join(keepers, "text_hash").select("doc", "keep_id")
+    # near-dup representative: component min over the MinHash pair graph
+    clusters = dedup.neardup_clusters(
+        dedup.minhash_lsh_dedup(df, id_col, text_col, threshold=neardup_threshold)
+    )
+    annotated = (
+        quality.join(lang_pred, "doc")
+        .join(exact, "doc")
+        .join(clusters, "doc", "left")
+    )
+    status = (
+        F.when(~F.col("is_valid"), F.lit("quality"))
+        .when(F.col("pred_lang") != lang, F.lit("lang"))
+        .when(F.col("doc") != F.col("keep_id"), F.lit("exact_dup"))
+        .when(
+            F.col("cluster").isNotNull() & (F.col("doc") != F.col("cluster")),
+            F.lit("near_dup"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return annotated.select("doc", status.alias("status"))

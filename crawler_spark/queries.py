@@ -1097,6 +1097,63 @@ FROM documents, LATERAL unnest([0, 3, 6, 9, 12, 15]) AS i(i)
 """
 
 
+def q_training_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (operators/pipeline.training_keepset):
+    quality gate -> language gate -> exact-dedup keeper -> near-dup cluster
+    representative, one status per document — the full keep/drop decision a
+    training-data pipeline makes, value-checked as a single composition."""
+    from crawler_spark.operators.pipeline import training_keepset
+
+    return training_keepset(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_TRAINING_KEEPSET = (
+    "WITH RECURSIVE pr AS (" + SQL_DEDUP_MINHASH_LSH + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pr
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pr
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clus AS (
+  SELECT src AS doc, least(src, min(dst)) AS cluster FROM reach GROUP BY src
+),
+q AS (
+  SELECT doc_id AS doc,
+         (length(text) >= 100 AND
+          len(regexp_extract_all(lower(text), '[a-z]+')) BETWEEN 10 AND 50000) AS is_valid
+  FROM documents
+),"""
+    + f"""
+l AS (
+  SELECT doc_id AS doc,
+         CASE WHEN len(toks) > 0 AND
+                   CAST(len(list_filter(toks, w -> w IN ({_EN_SQL}))) AS DOUBLE)
+                     / len(toks) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+),
+e AS (
+  SELECT doc_id AS doc,
+         min(doc_id) OVER (PARTITION BY {hash60_sql('text')}) AS keep_id
+  FROM documents
+)
+SELECT q.doc,
+       CASE WHEN NOT is_valid THEN 'quality'
+            WHEN pred_lang <> 'en' THEN 'lang'
+            WHEN q.doc <> keep_id THEN 'exact_dup'
+            WHEN cluster IS NOT NULL AND q.doc <> cluster THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM q JOIN l ON l.doc = q.doc JOIN e ON e.doc = q.doc
+       LEFT JOIN clus ON clus.doc = q.doc
+"""
+)
+
+
 def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING politeness gate (X2/X3 twin,
     streaming/rollup.politeness_gate) under the full value oracle: the
@@ -1262,6 +1319,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "training_keepset": QuerySpec(q_training_keepset, SQL_TRAINING_KEEPSET),
     "knn_cosine": QuerySpec(q_knn_cosine, SQL_KNN_COSINE),
     "dedup_embedding": QuerySpec(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),

@@ -87,6 +87,8 @@ def test_no_cartesian_products_anywhere(spark):
     for name, spec in REGISTRY.items():
         # the streaming/iterative entries execute on build; their final
         # plans are trivial projections — skip, like the lazy-builder test
-        if spec.sql is None or name in ("stream_politeness_gate", "dedup_clusters"):
+        if spec.sql is None or name in (
+            "stream_politeness_gate", "dedup_clusters", "training_keepset"
+        ):
             continue
         assert "CartesianProduct" not in _plan(spark, name), name

@@ -92,7 +92,7 @@ def test_registry_builders_are_lazy(spark):
         "ann_ivf", "ann_neardup_blocked",
     }
     for name in SQL_CHECKED:
-        if name in ("stream_politeness_gate", "dedup_clusters"):
+        if name in ("stream_politeness_gate", "dedup_clusters", "training_keepset"):
             continue  # run by design: a streaming job / an iterative
             # label-propagation loop with a convergence probe per round
         before = sql_executions()

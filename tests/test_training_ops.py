@@ -232,3 +232,29 @@ def test_neardup_clusters_connected_components(spark):
     )
     got = {r["doc"]: r["cluster"] for r in dedup.neardup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_training_keepset_statuses(spark):
+    """Composed curation pipeline: each gate fires on its planted doc and
+    the min-id representative of each duplicate group is kept."""
+    from crawler_spark.operators.pipeline import training_keepset
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs through the "
+        "green field while the sun shines bright over the quiet hills today"
+    )
+    near = base.replace("quiet hills", "silent hills")
+    non_en = (
+        "zorka blimmt vexqua plonter grashwin toffel brunzel quampa "
+        "dreffin solwak trivven moxpal underquelle bastofen wrimzel karpstein"
+    )
+    rows = [
+        (1, base),          # kept: representative of both dup groups
+        (2, base),          # exact_dup of 1
+        (3, near),          # near_dup of 1 (one bigram changed)
+        (4, "too short"),   # quality (< 100 chars)
+        (5, non_en),        # lang: long, >= 10 tokens, but no en markers
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc"]: r["status"] for r in training_keepset(df).collect()}
+    assert got == {1: "kept", 2: "exact_dup", 3: "near_dup", 4: "quality", 5: "lang"}
