@@ -243,6 +243,40 @@ FROM documents
 """
 
 
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-prep n-gram counting: corpus-wide bigram frequencies over the raw
+    alpha tokens (no stopword filter — a language model wants them), top-30
+    with a deterministic tiebreak. The same explode-window plan scales to
+    any n; counts are one map-side-combinable shuffle."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    n_bg = F.size(toks) - 1
+    idx = F.when(n_bg > 0, F.sequence(F.lit(1), n_bg)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+        ),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+SQL_BIGRAM_COUNTS = """
+SELECT t[i.i] || ' ' || t[i.i + 1] AS bigram, count(*) AS n
+FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+     LATERAL unnest(range(1, greatest(len(t), 1))) AS i(i)
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30
+"""
+
+
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf_idf_score of the reference's word_frequencies schema
     (migrations.py:213-226): tf * ln(N/df) per (doc, word), top-5 words per
@@ -1302,6 +1336,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_count": QuerySpec(q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "tf_idf": QuerySpec(q_tf_idf, SQL_TF_IDF),
+    "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS),
     "readability": QuerySpec(q_readability, SQL_READABILITY),
     "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
     "hourly_activity": QuerySpec(q_hourly_activity, SQL_HOURLY_ACTIVITY),
