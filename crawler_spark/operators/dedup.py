@@ -307,15 +307,21 @@ def neardup_clusters(
     surfaces edges; a pipeline then keeps one representative per component.
     cluster id = min doc id reachable, computed by iterative min-label
     propagation over DataFrame joins: each round every node takes the min
-    of its own label and its neighbors' labels; converges in O(diameter)
-    rounds with a one-row convergence probe per round and localCheckpoint
-    to truncate the growing lineage. Returns (doc, cluster) for every doc
-    that appears in a pair (singletons are their own cluster trivially and
-    never ship through the pair stream).
+    of its own label and its neighbors' labels, then a pointer-jumping
+    pass shortcuts ``label <- label(label)`` — so a chain of length L
+    converges in O(log L) rounds, not O(L), and the default ``max_iter=20``
+    covers components of diameter ~2^20. Each round runs a one-row
+    convergence probe and localCheckpoints to truncate the growing lineage.
+    Returns (doc, cluster) for every doc that appears in a pair (singletons
+    are their own cluster trivially and never ship through the pair stream).
+
+    Raises ``RuntimeError`` if the last probe still reported changes after
+    ``max_iter`` rounds — silently returning unconverged labels would hand
+    wrong representatives to training_keepset (ADVICE r2).
 
     Scale note: min-label propagation shuffles |E| rows per round; at
     10^10-edge graphs the large-star/small-star variant (Kiveris 2014)
-    halves round count — same join pattern, swap when diameter hurts.
+    further cuts per-round volume — same join pattern, swap when |E| hurts.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -328,18 +334,27 @@ def neardup_clusters(
         .distinct()
         .withColumn("label", F.col("doc"))
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(neighbor_min, labels.doc == neighbor_min.src, "left").select(
+            labels.doc.alias("doc"),
+            F.least(labels.label, F.coalesce(F.col("nmin"), labels.label)).alias("label"),
+        )
+        # pointer jumping: label <- label(label). A label is itself a doc id
+        # in `labels` (min over a connected set), so one self-join halves the
+        # remaining pointer depth — O(diameter) becomes O(log diameter).
+        jump = stepped.select(F.col("doc").alias("jdoc"), F.col("label").alias("jlabel"))
         new_labels = (
-            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            stepped.join(jump, stepped.label == jump.jdoc, "left")
             .select(
-                labels.doc.alias("doc"),
+                stepped.doc.alias("doc"),
                 F.least(
-                    labels.label, F.coalesce(F.col("nmin"), labels.label)
+                    stepped.label, F.coalesce(F.col("jlabel"), stepped.label)
                 ).alias("label"),
             )
             .localCheckpoint(eager=False)
@@ -354,4 +369,10 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in max_iter={max_iter} rounds; "
+            "labels would be wrong for the widest component — raise max_iter "
+            "(each round doubles the reachable pointer depth)"
+        )
     return labels.select("doc", F.col("label").alias("cluster"))

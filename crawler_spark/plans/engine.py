@@ -94,7 +94,12 @@ def init_state(
     sitemap_cap = cfg.max_pages // 4
     if sitemaps_df is not None and sitemap_cap > 0:
         sm = (
-            sitemap_frontier_rows(sitemaps_df, max_urls=sitemap_cap)
+            sitemap_frontier_rows(
+                sitemaps_df,
+                max_urls=sitemap_cap,
+                priority=cfg.sitemap_priority,
+                depth=cfg.sitemap_depth,
+            )
             .withColumn("norm", normalize_url_udf(F.col("url")))
             .where(F.col("norm").isNotNull())
             .where(is_valid_url_udf(F.col("norm")))

@@ -1285,23 +1285,22 @@ def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.tables import SnapshotCatalog
 
     import hashlib
-    import inspect
+    import pathlib
 
-    from crawler_spark import tables
-    from crawler_spark.functions import text, urls
-    from crawler_spark.plans import engine as _eng
-    from crawler_spark.plans import round as _rnd
-    from crawler_spark.sources import corpus as _corpus
+    import crawler_spark as _pkg
 
     documents, seeds, robots = gen_corpus(hosts=3, pages_per_host=8, seed=42)
-    # workdir keyed by corpus params + a digest of the ENGINE SOURCE itself:
+    # workdir keyed by corpus params + a digest of the WHOLE PACKAGE source:
     # repeat invocations RESUME the committed crawl (idempotent and
-    # deterministic), while ANY code change to the modules that determine
-    # crawl order gets a fresh catalog instead of silently resuming a stale
-    # one (ADVICE r1 — a manually-bumped version string proved forgettable
-    # within a single working session)
+    # deterministic), while ANY code change gets a fresh catalog instead of
+    # silently resuming a stale one. A curated module list proved too easy to
+    # under-maintain (ADVICE r2: functions/fetch.py and sources/sitemap.py
+    # influence crawl order but were missing), so every .py under the package
+    # root is digested — over-invalidation costs one 10 s mini-crawl,
+    # under-invalidation costs a wrong resumed catalog.
+    pkg_root = pathlib.Path(_pkg.__file__).parent
     src = "".join(
-        inspect.getsource(m) for m in (_eng, _rnd, tables, text, urls, _corpus)
+        p.read_text() for p in sorted(pkg_root.rglob("*.py"))
     )
     params = "hosts=3;pph=8;seed=42;mp=60;mr=6;nb=4;" + hashlib.md5(src.encode()).hexdigest()
     tag = hashlib.md5(params.encode()).hexdigest()[:12]

@@ -108,7 +108,11 @@ def extract_locs(xml: Column, max_urls: int = 10_000) -> Column:
 
 
 def sitemap_frontier_rows(
-    sitemaps: DataFrame, xml_col: str = "xml", max_urls: int = 10_000
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    max_urls: int = 10_000,
+    priority: int = SITEMAP_PRIORITY,
+    depth: int = SITEMAP_DEPTH,
 ) -> DataFrame:
     """Explode sitemap documents into frontier candidate rows (S4 -> E2).
 
@@ -129,8 +133,8 @@ def sitemap_frontier_rows(
         F.posexplode(extract_locs(F.col(xml_col), max_urls)).alias("sitemap_pos", "url"),
     ).select(
         "url",
-        F.lit(SITEMAP_PRIORITY).alias("priority"),
-        F.lit(SITEMAP_DEPTH).alias("depth"),
+        F.lit(priority).alias("priority"),
+        F.lit(depth).alias("depth"),
         "sitemap_ord",
         "sitemap_pos",
     )

@@ -197,6 +197,10 @@ class SimConfig:
     # ordinary fetch failure (retry w/ backoff)
     allowed_content_types: tuple = ("text/html",)
     max_page_size: int = 10_485_760
+    # S3/S4 sitemap enqueue attributes (engine.py:678-679); twin of
+    # CrawlConfig.sitemap_priority/sitemap_depth
+    sitemap_priority: int = 3
+    sitemap_depth: int = 1
     # F7 robots group selection — twin of plans/round._robots_dims
     user_agent: str = "*"
 
@@ -326,8 +330,9 @@ class CrawlSimulator:
                         continue
                     res.url_seen.add(canon)
                     frontier[canon] = Entry(
-                        canonical=canon, url=norm, host=host_of(canon), depth=1,
-                        priority=3, parent=None,
+                        canonical=canon, url=norm, host=host_of(canon),
+                        depth=cfg.sitemap_depth,
+                        priority=cfg.sitemap_priority, parent=None,
                         discovered_at=ordn * (sitemap_cap + 1) + pos,
                         scheduled_at=0.0,
                     )

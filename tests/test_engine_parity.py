@@ -287,7 +287,12 @@ def test_sitemap_parity(spark, tmp_path_factory):
         "<urlset><url><loc>  http://host3.test/page4  </loc></url>"
         "<url><loc><![CDATA[http://host3.test/page5]]></loc></url></urlset>"
     )
-    cfg = dict(max_depth=2, max_pages=100, default_delay=1.0, horizon=30.0, max_rounds=10)
+    # non-default sitemap_priority: proves cfg.sitemap_priority/sitemap_depth
+    # are threaded through BOTH engines (ADVICE r2 dead-knob fix). 4 < 5 ranks
+    # sitemap rows BELOW discovered links — a genuinely different crawl order
+    # than the default-3 case, so a dead knob would fail the order equality.
+    cfg = dict(max_depth=2, max_pages=100, default_delay=1.0, horizon=30.0,
+               max_rounds=10, sitemap_priority=4, sitemap_depth=1)
     oracle = CrawlSimulator(
         documents, seeds, robots, SimConfig(**cfg), sitemaps=[xml0, xml1]
     ).run()

@@ -43,6 +43,21 @@ def test_sitemap_frontier_rows_cap_and_constants(spark):
     assert [r["sitemap_pos"] for r in rows] == list(range(10))
 
 
+def test_sitemap_priority_depth_overrides(spark):
+    """ADVICE r2: cfg.sitemap_priority/sitemap_depth are live knobs — an
+    override reaches the emitted frontier rows (and the simulator twin reads
+    the same SimConfig fields)."""
+    from oracle.simulator import SimConfig
+
+    df = spark.createDataFrame(
+        [("<urlset><url><loc>http://h.test/p0</loc></url></urlset>",)], ["xml"]
+    )
+    rows = sitemap_frontier_rows(df, priority=7, depth=2).collect()
+    assert rows[0]["priority"] == 7 and rows[0]["depth"] == 2
+    sim = SimConfig(sitemap_priority=7, sitemap_depth=2)
+    assert sim.sitemap_priority == 7 and sim.sitemap_depth == 2
+
+
 # -- T4: metadata -------------------------------------------------------------
 
 def test_metadata_map_merges_meta_spans(spark):

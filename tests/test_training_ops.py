@@ -234,6 +234,26 @@ def test_neardup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
 
 
+def test_neardup_clusters_long_chain_converges(spark):
+    """ADVICE r2: a 25-link chain (the transitive near-dup case) must still
+    converge — pointer jumping makes rounds O(log L), so max_iter=6 covers
+    L=25 where plain propagation would need ~25 rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc"]: r["cluster"] for r in dedup.neardup_clusters(pairs, max_iter=6).collect()}
+    assert got == {i: 0 for i in range(26)}
+
+
+def test_neardup_clusters_raises_when_unconverged(spark):
+    """ADVICE r2: unconverged labels must never be returned silently."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters(pairs, max_iter=1)
+
+
 def test_training_keepset_statuses(spark):
     """Composed curation pipeline: each gate fires on its planted doc and
     the min-id representative of each duplicate group is kept."""
