@@ -93,7 +93,36 @@ def _seen_urls(spark: SparkSession, lo: int, hi: int) -> DataFrame:
             ).alias("canonical")
         )
         .withColumn("url_hash", F.xxhash64("canonical"))
+        .select("url_hash", "canonical")
     )
+
+
+_SEEN_BUCKETS = 64
+
+
+def _bucketed_seen(spark: SparkSession, lo: int, hi: int, data_dir: str, tag: str) -> DataFrame:
+    """Materialize (once) and return the url_seen set as a BUCKETED table —
+    the production dedup path (tables.py): the anti-join scans it in place
+    with no Exchange on the seen side."""
+    path = f"{data_dir}/seen_bkt_{tag}"
+    name = f"bench_seen_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        (
+            _seen_urls(spark, lo, hi)
+            .repartition(_SEEN_BUCKETS, "url_hash", "canonical")
+            .write.bucketBy(_SEEN_BUCKETS, "url_hash", "canonical")
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    elif not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE `{name}` (url_hash BIGINT, canonical STRING) "
+            f"USING PARQUET CLUSTERED BY (url_hash, canonical) "
+            f"INTO {_SEEN_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(name)
 
 
 def bench_frontier(spark: SparkSession, n: int) -> dict:
@@ -123,6 +152,7 @@ def bench_frontier(spark: SparkSession, n: int) -> dict:
         synth_frontier(spark, n).repartition(64).write.mode("overwrite").parquet(paths["frontier"])
         _seen_urls(spark, 0, n).repartition(64).write.mode("overwrite").parquet(paths["seen"])
         _seen_urls(spark, n // 2, n + n // 2).repartition(64).write.mode("overwrite").parquet(paths["cand"])
+    seen_bkt = _bucketed_seen(spark, 0, n, data_dir, "1x")
 
     order = [F.desc("priority"), F.asc("depth"), F.asc("discovered_at"), F.asc("canonical")]
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -143,11 +173,18 @@ def bench_frontier(spark: SparkSession, n: int) -> dict:
         release_global_seq(seq)
         return cnt, dt
 
-    def run_dedup() -> tuple[int, float]:
-        seen = spark.read.parquet(paths["seen"])
+    def run_dedup(seen: DataFrame | None = None) -> tuple[int, float]:
+        # production path: bucketed seen table (no Exchange on the seen
+        # side, candidate side shuffles to the bucket partitioning)
+        if seen is None:
+            seen = spark.table("bench_seen_1x")
         cand = spark.read.parquet(paths["cand"])
         t0 = time.time()
-        cnt = cand.join(seen.hint("shuffle_hash"), ["url_hash", "canonical"], "left_anti").count()
+        cnt = cand.join(
+            seen.hint("shuffle_hash"),
+            (cand.url_hash == seen.url_hash) & (cand.canonical == seen.canonical),
+            "left_anti",
+        ).count()
         return cnt, time.time() - t0
 
     # best-of-reps: the sandbox VM is a noisy shared host; the minimum
@@ -161,8 +198,27 @@ def bench_frontier(spark: SparkSession, n: int) -> dict:
         dedup_times.append(dt)
     t_sched, t_dedup = min(sched_times), min(dedup_times)
 
+    # seen-set growth evidence (VERDICT r2 #1 done-criterion): with the
+    # bucketed store the per-round dedup cost must track the CANDIDATE size,
+    # not the growing seen set — only the seen SCAN grows (no shuffle of it).
+    # Fixed candidates, seen at 1x/2x/4x, plus the unbucketed twin at 4x for
+    # the contrast (that one re-shuffles all 4n seen rows every round).
+    growth: dict[str, float] = {}
+    if not os.environ.get("BENCH_SKIP_SEEN_GROWTH"):
+        for mult, tag in ((2, "2x"), (4, "4x")):
+            _bucketed_seen(spark, 0, mult * n, data_dir, tag)
+        plain4 = f"{data_dir}/seen_plain_4x.parquet"
+        if not os.path.exists(os.path.join(plain4, "_SUCCESS")):
+            _seen_urls(spark, 0, 4 * n).repartition(64).write.mode("overwrite").parquet(plain4)
+        for tag in ("1x", "2x", "4x"):
+            times = [run_dedup(spark.table(f"bench_seen_{tag}"))[1] for _ in range(reps)]
+            growth[f"dedup_sec_seen_{tag}"] = round(min(times), 3)
+        times = [run_dedup(spark.read.parquet(plain4))[1] for _ in range(reps)]
+        growth["dedup_sec_seen_4x_unbucketed"] = round(min(times), 3)
+
     total = t_sched + t_dedup
     return {
+        **growth,
         "frontier_urls": n,
         "scheduled": scheduled_cnt,
         "deduped_candidates": n,

@@ -18,6 +18,10 @@ class CrawlConfig:
     max_rounds: int = 50        # driver loop guard (engine.py:284-298 analog)
     max_attempts: int = 3       # retry cap (queue.py:369)
     n_host_buckets: int = 16    # frontier partition buckets (4096 at 10^10 scale)
+    # url_seen bucket count (bucketBy on (url_hash, canonical)); fixed at
+    # init like an Iceberg bucket spec — 4096 at 10^10-URL scale, small here
+    # so mini-crawl catalogs don't carry thousands of tiny files
+    n_seen_buckets: int = 16
     salt_buckets: int = 8       # hot-host salting for the politeness window
     # F1/F6 domain restrictions (validator.py:239-251, engine.py:581-589):
     # blocked wins; a non-empty allowed tuple is exclusive

@@ -142,7 +142,9 @@ def init_state(
     )
     commit = catalog.begin(-1)
     commit.stage_replace("frontier", df, partition_by=["host_bucket"])
-    commit.stage_replace("url_seen", df.select("canonical", "url_hash"))
+    commit.stage_seen_init(
+        spark, df.select("url_hash", "canonical"), buckets=cfg.n_seen_buckets
+    )
     # T10 (engine.py:221): session id = md5(name + start time); here the
     # name is the workdir (one catalog == one session) and the time is the
     # wall clock at init, recorded once in the init manifest

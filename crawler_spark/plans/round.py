@@ -21,8 +21,11 @@ Scale notes (the parts that must survive 1000 executors / 10^10 URLs):
   evaluation of the ranking;
 - dedup is a left-anti join keyed on (xxhash64, canonical) — the 64-bit hash
   drives partitioning, the string equality makes it exact at 10^10 rows
-  where 64-bit collisions are expected; Spark's runtime Bloom-filter join
-  (enabled in sparkutils) prunes the anti-join's build side;
+  where 64-bit collisions are expected. url_seen is a bucketed table on
+  exactly those keys (tables.py), so the join is storage-partitioned: the
+  growing seen side is scanned in place with NO per-round shuffle, only the
+  candidate side exchanges; Spark's runtime Bloom-filter join (enabled in
+  sparkutils) prunes candidates further;
 - frontier rewrite is partitioned by host_bucket (Iceberg: MERGE touching
   only dirty buckets — see tables.py docstring).
 """
@@ -389,8 +392,11 @@ def run_round(
         candidates = candidates.where(cand_host.isin(*cfg.allowed_domains))
     # shuffled HASH join (not sort-merge): the anti-join needs no ordering,
     # and skipping both 10^7..10^10-row sorts is a ~2x win measured at 32M
-    # rows; per-partition build side stays small under the host_bucket
-    # partitioning (10^10 urls / 4096 buckets ~ 150 MB of hashes+urls)
+    # rows. url_seen arrives as a BUCKETED scan on exactly these keys
+    # (tables.read_seen), so the seen side has NO Exchange — only the
+    # per-round candidate set shuffles (storage-partitioned join; the r2
+    # full-seen-side re-shuffle per round is gone). Guarded by
+    # tests/test_plans.py::test_seen_side_not_shuffled.
     fresh = (
         candidates.join(
             url_seen.hint("shuffle_hash"),
@@ -424,7 +430,6 @@ def run_round(
         .persist()
     )
 
-    commit.stage_append("url_seen", fresh.select("canonical", "url_hash"))
     t_links_done = time.time()
 
     # -- outcome rows for the scheduled set (X4 retry / completed / failed) ---
@@ -460,10 +465,15 @@ def run_round(
         new_frontier.repartition(cfg.n_host_buckets, "host_bucket"),
         partition_by=["host_bucket"],
     )
-
     completed_cnt = fetched.where("success").count()
     fresh_cnt = fresh.count()
     skipped_cnt = skipped.count()
+    # the seen append MUST come after every other consumer of `fresh`:
+    # fresh's plan anti-joins against the seen TABLE, whose dir this append
+    # mutates in place — a later re-evaluation (cache eviction; the frontier
+    # write and counts above) would see its own appended rows and anti-join
+    # fresh to empty. Staged last, any re-evaluation reads pre-append state.
+    commit.stage_seen_append(spark, fresh.select("url_hash", "canonical"))
     t_now = time.time()
     commit.set_metrics(
         scheduled=scheduled_cnt,

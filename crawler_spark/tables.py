@@ -37,9 +37,19 @@ Iceberg mapping (for a real cluster):
   CURRENT/manifests        -> Iceberg snapshot + metadata JSON
   resume                   -> read last committed snapshot (time travel)
 At 10^10-URL scale the frontier is bucketed by xxhash64(host) into 4096
-partitions (Iceberg `bucket(4096, host_hash)`); a MERGE rewrites only the
-buckets touched by a round instead of the stage_replace full rewrite used
-at sandbox scale.
+partitions (Iceberg `bucket(4096, host_hash)`).
+
+url_seen is a REAL Spark bucketed table (``bucketBy(n, url_hash,
+canonical)`` via saveAsTable at an explicit location inside the catalog
+root): the per-round dedup anti-join (plans/round.py J1) reads it with
+``Bucketed: true`` and NO Exchange on the seen side — only the per-round
+candidate set shuffles, which is what makes the monotonically growing
+10^10-row seen set affordable per round (the Iceberg twin is a
+storage-partitioned join on `bucket(4096, url_hash)`). Snapshot semantics
+are preserved at FILE granularity: appends only ever add new part-files,
+the manifest's ``seen.files`` list names the committed ones, and reads
+first delete any orphan files a killed round left behind (exactly an
+Iceberg snapshot's file-level visibility, with orphan cleanup inlined).
 """
 
 from __future__ import annotations
@@ -51,6 +61,18 @@ import uuid
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
+
+# bucketed url_seen: bucket on BOTH join keys so the J1 anti-join's required
+# distribution exactly matches the table's HashPartitioning (a superset join
+# key would make the planner fall back to a both-sides shuffle)
+SEEN_KEYS = ("url_hash", "canonical")
+
+
+def _part_files(d: str) -> set[str]:
+    try:
+        return {f for f in os.listdir(d) if not f.startswith(("_", "."))}
+    except FileNotFoundError:
+        return set()
 
 
 class SnapshotCatalog:
@@ -93,8 +115,73 @@ class SnapshotCatalog:
         m = self.current_manifest()
         if m is None or table not in m["tables"] or not m["tables"][table]:
             return None
+        if table == "url_seen" and "seen" in m:
+            return self.read_seen(spark)
         paths = [os.path.join(self.root, p) for p in m["tables"][table]]
         return spark.read.parquet(*paths)
+
+    # -- bucketed url_seen -------------------------------------------------
+
+    def seen_table_name(self) -> str:
+        """Session-catalog name for this workdir's bucketed seen table."""
+        return f"url_seen_{zlib.crc32(os.path.abspath(self.root).encode()):08x}"
+
+    def _ensure_seen_registered(self, spark: SparkSession, meta: dict) -> str:
+        """Idempotently (re)register the external bucketed table — a new
+        SparkSession has no metastore entry for it (the metadata is
+        session-scoped; the DATA is the parquet under the catalog root)."""
+        name = self.seen_table_name()
+        loc = os.path.abspath(os.path.join(self.root, meta["dir"]))
+        if spark.catalog.tableExists(name):
+            cur = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect()
+            }.get("Location", "")
+            if cur.removeprefix("file:") == loc:
+                return name
+            spark.sql(f"DROP TABLE `{name}`")  # stale generation pointer
+        spark.sql(
+            f"CREATE TABLE `{name}` (url_hash BIGINT, canonical STRING) "
+            f"USING PARQUET CLUSTERED BY (url_hash, canonical) "
+            f"INTO {meta['buckets']} BUCKETS LOCATION '{loc}'"
+        )
+        return name
+
+    def read_seen(self, spark: SparkSession) -> DataFrame:
+        """The committed seen set as a BUCKETED scan (no Exchange in joins
+        keyed on SEEN_KEYS). Deletes orphan part-files first — files written
+        by a killed round that never committed are invisible by manifest and
+        must not leak into the resumed run's dedup (they would anti-join away
+        the re-run round's fresh rows)."""
+        meta = self.current_manifest()["seen"]
+        d = os.path.join(self.root, meta["dir"])
+        committed = set(meta["files"])
+        for orphan in _part_files(d) - committed:
+            os.remove(os.path.join(d, orphan))
+        name = self._ensure_seen_registered(spark, meta)
+        spark.catalog.refreshTable(name)  # appends/prunes since last read
+        return spark.table(name)
+
+    def compact_seen(self, spark: SparkSession) -> int:
+        """Fold the seen table's accumulated per-round files (one per bucket
+        per round) into one generation with one file per bucket (Iceberg
+        rewrite_data_files). Returns files merged (0 = nothing to do)."""
+        m = self.current_manifest()
+        meta = m.get("seen") if m else None
+        if meta is None or len(meta["files"]) <= meta["buckets"]:
+            return 0
+        n_files = len(meta["files"])
+        d = os.path.join(self.root, meta["dir"])
+        for orphan in _part_files(d) - set(meta["files"]):
+            os.remove(os.path.join(d, orphan))
+        # raw parquet read (not spark.table): the rewrite must not depend on
+        # the catalog entry stage_seen_init is about to drop and re-create
+        df = spark.read.parquet(d)
+        commit = self.begin(self.current_round(), tag="compact-url-seen")
+        commit.stage_seen_init(spark, df, buckets=meta["buckets"])
+        commit.set_metrics(compacted_seen_files=n_files, maintenance=True)
+        commit.commit()
+        return n_files
 
     def metrics_history(self) -> list[dict]:
         """Metrics of COMMITTED rounds only, oldest first.
@@ -190,6 +277,8 @@ class SnapshotCatalog:
         round; after many rounds the multi-path scan pays per-file overhead.
         Content-preserving by construction; returns dirs merged.
         """
+        if table == "url_seen" and (self.current_manifest() or {}).get("seen"):
+            return self.compact_seen(spark)
         m = self.current_manifest()
         if m is None or len(m["tables"].get(table, [])) <= 1:
             return 0
@@ -233,6 +322,11 @@ class RoundCommit:
         self.tables: dict[str, list[str]] = (
             {k: list(v) for k, v in prev["tables"].items()} if prev else {}
         )
+        self.seen: dict | None = (
+            {**prev["seen"], "files": list(prev["seen"]["files"])}
+            if prev and "seen" in prev
+            else None
+        )
         self.metrics: dict = {}
         self.lineage: dict = {}
         self._committed = False
@@ -259,6 +353,51 @@ class RoundCommit:
         self.lineage.setdefault(table, []).append({"op": "replace", "dir": rel})
         return os.path.join(self.catalog.root, rel)
 
+    def stage_seen_init(self, spark: SparkSession, df: DataFrame, buckets: int) -> None:
+        """Create a fresh GENERATION of the bucketed url_seen table (init or
+        compaction). Writes to a new dir — the previous generation stays
+        readable until the manifest swap, like every other staged write."""
+        rel = f"url_seen/g{uuid.uuid4().hex[:8]}"
+        loc = os.path.abspath(os.path.join(self.catalog.root, rel))
+        name = self.catalog.seen_table_name()
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        (
+            df.select(*SEEN_KEYS)
+            # co-locate rows with their bucket first: without this every task
+            # writes a sliver into every bucket (tasks x buckets tiny files)
+            .repartition(buckets, *SEEN_KEYS)
+            .write.bucketBy(buckets, *SEEN_KEYS)
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        self.seen = {"dir": rel, "buckets": buckets, "files": sorted(_part_files(loc))}
+        self.tables["url_seen"] = [rel]
+        self.lineage.setdefault("url_seen", []).append({"op": "replace", "dir": rel})
+
+    def stage_seen_append(self, spark: SparkSession, df: DataFrame) -> list[str]:
+        """Append fresh rows to the bucketed url_seen table. Only ADDS
+        part-files; the manifest's file list is what makes them visible, so
+        a kill between this write and commit() leaves invisible orphans that
+        read_seen() deletes on resume. Returns the new file names."""
+        assert self.seen is not None, "url_seen not initialized (stage_seen_init)"
+        loc = os.path.abspath(os.path.join(self.catalog.root, self.seen["dir"]))
+        before = _part_files(loc)
+        name = self.catalog._ensure_seen_registered(spark, self.seen)
+        buckets = self.seen["buckets"]
+        (
+            df.select(*SEEN_KEYS)
+            .repartition(buckets, *SEEN_KEYS)
+            .write.mode("append")
+            .bucketBy(buckets, *SEEN_KEYS)
+            .option("path", loc)
+            .saveAsTable(name)
+        )
+        new = sorted(_part_files(loc) - before)
+        self.seen["files"] = sorted(set(self.seen["files"]) | set(new))
+        self.lineage.setdefault("url_seen", []).append({"op": "append", "files": new})
+        return new
+
     def set_metrics(self, **metrics) -> None:
         self.metrics.update(metrics)
 
@@ -278,6 +417,8 @@ class RoundCommit:
             "metrics": self.metrics,
             "lineage": self.lineage,
         }
+        if self.seen is not None:
+            manifest["seen"] = self.seen
         path = os.path.join(self.catalog.root, "_commits", name)
         # manifest lands atomically too: a kill mid-write must leave either
         # no file or a complete one, never a truncated orphan

@@ -80,6 +80,45 @@ def test_dedup_anti_join_is_shuffled_hash(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_seen_side_not_shuffled(spark, tmp_path):
+    """J1 at scale: url_seen is a bucketed table on the anti-join keys, so
+    the plan must scan it `Bucketed: true` with NO Exchange on the seen side
+    — the only Exchange in the join is the per-round candidate shuffle.
+    (r2 re-shuffled the whole growing seen set every round; VERDICT r2 #1.)"""
+    from crawler_spark.tables import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    seen = spark.range(1000).select(
+        F.concat(F.lit("http://h.test/s"), F.col("id").cast("string")).alias("canonical")
+    ).withColumn("url_hash", F.xxhash64("canonical"))
+    commit = cat.begin(-1)
+    commit.stage_seen_init(spark, seen, buckets=8)
+    commit.commit()
+    commit = cat.begin(0)
+    commit.stage_seen_append(
+        spark,
+        spark.range(1000, 1200).select(
+            F.concat(F.lit("http://h.test/s"), F.col("id").cast("string")).alias("canonical")
+        ).withColumn("url_hash", F.xxhash64("canonical")),
+    )
+    commit.commit()
+
+    seen_df = cat.read(spark, "url_seen")
+    cand = spark.range(500, 1500).select(
+        F.concat(F.lit("http://h.test/s"), F.col("id").cast("string")).alias("canonical")
+    ).withColumn("url_hash", F.xxhash64("canonical"))
+    j = cand.join(
+        seen_df.hint("shuffle_hash"),
+        (cand.url_hash == seen_df.url_hash) & (cand.canonical == seen_df.canonical),
+        "left_anti",
+    )
+    assert j.count() == 300  # 1200..1499 minus nothing; appended rows visible
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1, plan  # candidate side only
+
+
 def test_no_cartesian_products_anywhere(spark):
     """No SQL-checkable registry plan may contain an unconditioned cartesian
     product (broadcast nested-loop of a one-row/tiny dim is fine; a

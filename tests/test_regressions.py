@@ -50,6 +50,36 @@ def test_resume_survives_interrupted_commit(spark, small, tmp_path):
     assert read_crawl_order(spark, wd)[: len(committed)] == committed
 
 
+def test_seen_orphan_files_invisible(spark, tmp_path):
+    """A kill AFTER the url_seen bucketed append but BEFORE the manifest
+    commit must leave those rows invisible: on resume the re-run round's
+    fresh candidates would otherwise anti-join against their own orphaned
+    copies and vanish. read_seen deletes the orphan part-files."""
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+
+    def mk(a, b):
+        return spark.range(a, b).select(
+            F.concat(F.lit("http://h.test/s"), F.col("id").cast("string")).alias("canonical")
+        ).withColumn("url_hash", F.xxhash64("canonical"))
+
+    commit = cat.begin(-1)
+    commit.stage_seen_init(spark, mk(0, 100), buckets=4)
+    commit.commit()
+    # round 0 stages its append ... and the driver dies before commit()
+    doomed = cat.begin(0)
+    new_files = doomed.stage_seen_append(spark, mk(100, 150))
+    assert new_files  # files landed in the table dir
+    # resume: the staged-but-uncommitted rows must not be visible
+    assert cat.read(spark, "url_seen").count() == 100
+    # and the re-run of round 0 appends cleanly to the same state
+    redo = cat.begin(0)
+    redo.stage_seen_append(spark, mk(100, 150))
+    redo.commit()
+    assert cat.read(spark, "url_seen").count() == 150
+
+
 def test_round_releases_caches(spark, small, tmp_path):
     """run_crawl must not leak persisted RDDs across rounds (seq cache,
     skipped set, fetched/fresh persists)."""
