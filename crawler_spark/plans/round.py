@@ -26,8 +26,9 @@ Scale notes (the parts that must survive 1000 executors / 10^10 URLs):
   growing seen side is scanned in place with NO per-round shuffle, only the
   candidate side exchanges; Spark's runtime Bloom-filter join (enabled in
   sparkutils) prunes candidates further;
-- frontier rewrite is partitioned by host_bucket (Iceberg: MERGE touching
-  only dirty buckets — see tables.py docstring).
+- the frontier commit rewrites ONLY the host_buckets the round touched
+  (dirty-bucket replace via the manifest's bucket map — the Iceberg MERGE
+  cadence); untouched buckets carry forward without a write.
 """
 
 from __future__ import annotations
@@ -450,9 +451,26 @@ def run_round(
     ).select(*FRONTIER_COLS)
 
     touched = sched.select("canonical").union(skipped.select("canonical"))
-    untouched = frontier.join(touched, "canonical", "left_anti")
-    new_frontier = (
-        untouched.select(*FRONTIER_COLS)
+    # DIRTY-BUCKET commit (Iceberg MERGE analog, persistent_queue.py:196-261
+    # cadence): only host_buckets receiving a status change or a fresh row
+    # are rewritten; untouched buckets carry forward in their previous data
+    # dirs via the manifest's bucket map (tables.stage_replace_buckets).
+    # Commit cost tracks the touched-bucket row count, not frontier size —
+    # the r2 full-frontier rewrite per round is gone. The collect is bounded
+    # by n_host_buckets ints (4096 at 10^10 scale), not data.
+    dirty = sorted(
+        r["host_bucket"]
+        for r in sched.select("host_bucket")
+        .union(skipped.select("host_bucket"))
+        .union(fresh.select("host_bucket"))
+        .distinct()
+        .collect()
+    )
+    untouched_dirty = frontier.where(F.col("host_bucket").isin(dirty)).join(
+        touched, "canonical", "left_anti"
+    )
+    dirty_content = (
+        untouched_dirty.select(*FRONTIER_COLS)
         .unionByName(outcomes)
         .unionByName(skipped.select(*FRONTIER_COLS))
         .unionByName(fresh)
@@ -460,10 +478,10 @@ def run_round(
     # co-locate rows with their bucket before the partitioned write — without
     # this every task writes a sliver into every bucket dir (tasks x buckets
     # tiny files), slowing both this commit and the next round's scan
-    commit.stage_replace(
+    commit.stage_replace_buckets(
         "frontier",
-        new_frontier.repartition(cfg.n_host_buckets, "host_bucket"),
-        partition_by=["host_bucket"],
+        dirty_content.repartition(max(len(dirty), 1), "host_bucket"),
+        dirty,
     )
     completed_cnt = fetched.where("success").count()
     fresh_cnt = fresh.count()
@@ -481,6 +499,7 @@ def run_round(
         failed_or_retry=scheduled_cnt - completed_cnt,
         skipped=skipped_cnt,
         fresh=fresh_cnt,
+        dirty_buckets=len(dirty),
         t0=t0,
         # A6 analog (database.py:436-451): per-round per-stage wall times
         # replace the reference's per-URL network timings (fetch is a join)

@@ -61,6 +61,7 @@ import uuid
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # bucketed url_seen: bucket on BOTH join keys so the J1 anti-join's required
 # distribution exactly matches the table's HashPartitioning (a superset join
@@ -117,8 +118,40 @@ class SnapshotCatalog:
             return None
         if table == "url_seen" and "seen" in m:
             return self.read_seen(spark)
+        if table == "frontier" and "frontier_buckets" in m:
+            return self._read_frontier_buckets(spark, m["frontier_buckets"])
         paths = [os.path.join(self.root, p) for p in m["tables"][table]]
         return spark.read.parquet(*paths)
+
+    def _read_frontier_buckets(self, spark: SparkSession, fb: dict) -> DataFrame:
+        """Assemble the frontier from its per-bucket dir assignments.
+
+        ``fb`` = {"default": dir, "map": {host_bucket: dir}}: buckets in
+        ``map`` live in the dir a dirty-bucket commit last wrote them to;
+        all others still live in the last full-rewrite dir. Each dir is read
+        with an ``isin`` filter on the host_bucket PARTITION column, so
+        Spark partition-prunes to exactly the assigned bucket subdirs — the
+        union scans each committed bucket once, never a superseded copy.
+        """
+        from functools import reduce
+
+        mapped = {int(b): d for b, d in fb["map"].items()}
+        by_dir: dict[str, list[int]] = {}
+        for b, d in mapped.items():
+            by_dir.setdefault(d, []).append(b)
+        default = spark.read.parquet(os.path.join(self.root, fb["default"]))
+        parts = [
+            default
+            if not mapped
+            else default.where(~F.col("host_bucket").isin(*mapped))
+        ]
+        for d, buckets in by_dir.items():
+            parts.append(
+                spark.read.parquet(os.path.join(self.root, d)).where(
+                    F.col("host_bucket").isin(*buckets)
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     # -- bucketed url_seen -------------------------------------------------
 
@@ -327,6 +360,12 @@ class RoundCommit:
             if prev and "seen" in prev
             else None
         )
+        self.frontier_buckets: dict | None = (
+            {"default": prev["frontier_buckets"]["default"],
+             "map": dict(prev["frontier_buckets"]["map"])}
+            if prev and "frontier_buckets" in prev
+            else None
+        )
         self.metrics: dict = {}
         self.lineage: dict = {}
         self._committed = False
@@ -347,10 +386,35 @@ class RoundCommit:
         return os.path.join(self.catalog.root, rel)
 
     def stage_replace(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> str:
-        """Stage a full replace (Iceberg MERGE analog at sandbox scale)."""
+        """Stage a full replace (compaction / init; Iceberg REPLACE TABLE)."""
         rel = self._write(table, df, partition_by)
         self.tables[table] = [rel]
         self.lineage.setdefault(table, []).append({"op": "replace", "dir": rel})
+        if table == "frontier":
+            # a full rewrite collapses every per-bucket assignment
+            self.frontier_buckets = {"default": rel, "map": {}}
+        return os.path.join(self.catalog.root, rel)
+
+    def stage_replace_buckets(self, table: str, df: DataFrame, buckets: list[int]) -> str:
+        """Stage a DIRTY-BUCKET-ONLY replace of the frontier — the true
+        Iceberg-MERGE analog (tables touched by a round rewrite only their
+        dirty ``host_bucket`` partitions; untouched buckets carry forward in
+        whatever dir last wrote them). ``df`` must contain exactly the new
+        content of the dirty buckets, nothing else. Commit cost scales with
+        the touched-bucket row count, not the frontier size.
+        """
+        assert table == "frontier", "bucket-mapped commits are a frontier feature"
+        assert self.frontier_buckets is not None, "frontier not initialized"
+        rel = self._write(table, df, ["host_bucket"])
+        for b in buckets:
+            self.frontier_buckets["map"][str(int(b))] = rel
+        # referenced dirs (for expire_orphans): default + every mapped dir
+        self.tables[table] = sorted(
+            {self.frontier_buckets["default"], *self.frontier_buckets["map"].values()}
+        )
+        self.lineage.setdefault(table, []).append(
+            {"op": "replace_buckets", "dir": rel, "buckets": sorted(int(b) for b in buckets)}
+        )
         return os.path.join(self.catalog.root, rel)
 
     def stage_seen_init(self, spark: SparkSession, df: DataFrame, buckets: int) -> None:
@@ -419,6 +483,8 @@ class RoundCommit:
         }
         if self.seen is not None:
             manifest["seen"] = self.seen
+        if self.frontier_buckets is not None:
+            manifest["frontier_buckets"] = self.frontier_buckets
         path = os.path.join(self.catalog.root, "_commits", name)
         # manifest lands atomically too: a kill mid-write must leave either
         # no file or a complete one, never a truncated orphan
