@@ -39,6 +39,7 @@ HEADLINE = [
     "word_stats",
     "doc_quality",
     "session_stats",
+    "session_stats_approx",
     "hourly_activity",
     "frontier_ordering",
     "dedup_exact",

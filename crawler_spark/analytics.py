@@ -182,6 +182,73 @@ def stage_timing_summary(workdir: str) -> dict:
     return out
 
 
+def _session_id(workdir: str) -> str | None:
+    for h in SnapshotCatalog(workdir).metrics_history():
+        if "session_id" in h:
+            return h["session_id"]
+    return None
+
+
+def cross_session_top_words(
+    spark: SparkSession, workdirs: list[str], limit: int = 20
+) -> DataFrame:
+    """A11 cross-session merge (reporting/analytics.py:595-618): trending
+    words across MULTIPLE crawl sessions — the reference merges per-session
+    Counters in Python; here the committed word_frequencies tables are
+    unioned (tagged by session id) and aggregated in one distributed plan,
+    so merging a thousand sessions is the same shuffle as one. A URL crawled
+    in two sessions counts twice in n_pages, exactly like the reference's
+    Counter addition. Returns (word, total_freq, n_pages, n_sessions).
+    """
+    from functools import reduce
+
+    parts = []
+    for wd in workdirs:
+        wf = _read(spark, wd, "word_frequencies")
+        if wf is not None:
+            parts.append(
+                wf.select("word", "frequency", "canonical").withColumn(
+                    "_session", F.lit(_session_id(wd) or wd)
+                )
+            )
+    if not parts:
+        return spark.createDataFrame(
+            [], "word string, total_freq bigint, n_pages bigint, n_sessions bigint"
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        u.groupBy("word")
+        .agg(
+            F.sum("frequency").alias("total_freq"),
+            F.countDistinct("_session", "canonical").alias("n_pages"),
+            F.countDistinct("_session").alias("n_sessions"),
+        )
+        .orderBy(F.desc("total_freq"), F.asc("word"))
+        .limit(limit)
+    )
+
+
+def cross_session_summary(spark: SparkSession, workdirs: list[str]) -> dict:
+    """A3/A4 across sessions: per-session counter rows plus combined totals
+    (Counter-addition semantics; unique_words is computed EXACTLY over the
+    union, not summed — the reference's merged Counter does the same)."""
+    from functools import reduce
+
+    per = {wd: session_summary(spark, wd) for wd in workdirs}
+    combined: dict = {"sessions": len(per)}
+    for key in ("fetch_attempts", "pages_crawled", "fetch_failures",
+                "total_chars", "total_words"):
+        vals = [s.get(key) for s in per.values() if s.get(key) is not None]
+        if vals:
+            combined[key] = int(sum(vals))
+    wfs = [w for w in (_read(spark, wd, "word_frequencies") for wd in workdirs)
+           if w is not None]
+    if wfs:
+        u = reduce(lambda a, b: a.unionByName(b), (w.select("word") for w in wfs))
+        combined["unique_words"] = u.distinct().count()
+    return {"combined": combined, "sessions": per}
+
+
 def media_inventory(spark: SparkSession, workdir: str) -> DataFrame:
     """Media-span rollup: refs per page and per host (interleaved corpus)."""
     m = _read(spark, workdir, "media")

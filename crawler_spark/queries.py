@@ -445,6 +445,43 @@ FROM lineitem
 """
 
 
+def q_session_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 PRODUCTION percentile plan (VERDICT r2 #3): the same session
+    rollup as q_session_stats but through ``approx_percentile`` — a
+    Greenwald-Khanna sketch with mergeable map-side partials and NO global
+    sort, the plan that ships at 100 TB (database.py:398-419 analog; the
+    exact twin's global sort is its oracle-only upper bound).
+
+    Oracle exactness without giving up the approx OPERATOR: with accuracy
+    >= n the GK sketch degenerates to the exact discrete percentile, which
+    equals DuckDB ``quantile_disc`` element-for-element (verified at odd
+    n/p too, tests/test_queries_oracle.py) — so the ApproximatePercentile
+    physical operator itself is value-hash-checked. Production lowers
+    accuracy to the default 10^4; only this constant changes.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    acc = 10_000_000  # >= n at every test SF -> exact; see docstring
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        _dec_avg("l_extendedprice", "avg_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(acc)).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(acc)).alias("p95_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(acc)).alias("p99_price"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+    )
+
+
+SQL_SESSION_STATS_APPROX = f"""
+SELECT count(*) AS n_rows,
+       {_dec_avg_sql('l_extendedprice', 'avg_price')},
+       quantile_disc(l_extendedprice, 0.5) AS p50_price,
+       quantile_disc(l_extendedprice, 0.95) AS p95_price,
+       quantile_disc(l_extendedprice, 0.99) AS p99_price,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+FROM lineitem
+"""
+
+
 def q_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 twin (database.py:470-500): hourly buckets with counts and avgs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # align with DuckDB naive ts
@@ -1338,6 +1375,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS),
     "readability": QuerySpec(q_readability, SQL_READABILITY),
     "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
+    "session_stats_approx": QuerySpec(q_session_stats_approx, SQL_SESSION_STATS_APPROX),
     "hourly_activity": QuerySpec(q_hourly_activity, SQL_HOURLY_ACTIVITY),
     "queue_distribution": QuerySpec(q_queue_distribution, SQL_QUEUE_DISTRIBUTION),
     "top_sources": QuerySpec(q_top_sources, SQL_TOP_SOURCES),

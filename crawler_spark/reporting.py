@@ -5,8 +5,10 @@ the report is driver-side plain Python over the small results of the
 analytics layer (everything heavy already aggregated cluster-side). JSON,
 Markdown, HTML (self-contained, tables-only, no JS — the reference's primary
 format, reporting/generator.py:52-60) and CSV are renderings of the same
-dict; PDF is intentionally out of scope (the reference shells out to a
-renderer this sandbox does not ship, and the HTML page prints to PDF)."""
+dict; the HTML page embeds inline-SVG bar charts (per-round metrics, top
+words — the visualizer.py analog, still zero JS). PDF is intentionally out
+of scope (the reference shells out to a renderer this sandbox does not
+ship, and the HTML page prints to PDF)."""
 
 from __future__ import annotations
 
@@ -79,6 +81,63 @@ def render_markdown(report: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _svg_bar_chart(
+    labels: list[str],
+    series: dict[str, list[float]],
+    title: str,
+    width: int = 640,
+    height: int = 220,
+) -> str:
+    """Inline-SVG grouped bar chart, no JS (S13 charts — the analog of the
+    reference's matplotlib renderings, reporting/visualizer.py). Returns an
+    empty string for empty data so callers can always embed the result."""
+    if not labels or not series or not any(any(v) for v in series.values()):
+        return ""
+    palette = ["#4a6fa5", "#53a567", "#b5651d", "#8a5ab5"]
+    pad_l, pad_b, pad_t = 46, 34, 24
+    plot_w, plot_h = width - pad_l - 10, height - pad_b - pad_t
+    vmax = max(max(v) for v in series.values()) or 1
+    n_groups, n_series = len(labels), len(series)
+    group_w = plot_w / n_groups
+    bar_w = max(group_w * 0.8 / n_series, 1.0)
+    parts = [
+        f'<svg class="chart" role="img" viewBox="0 0 {width} {height}" '
+        f'xmlns="http://www.w3.org/2000/svg">',
+        f'<title>{escape(title)}</title>',
+        f'<text x="{pad_l}" y="14" font-size="12" fill="#444">{escape(title)}</text>',
+        f'<line x1="{pad_l}" y1="{pad_t + plot_h}" x2="{width - 10}" '
+        f'y2="{pad_t + plot_h}" stroke="#999"/>',
+        f'<text x="4" y="{pad_t + 10}" font-size="10" fill="#666">{vmax:g}</text>',
+    ]
+    for si, (name, vals) in enumerate(series.items()):
+        color = palette[si % len(palette)]
+        for gi, v in enumerate(vals[: len(labels)]):
+            h = 0 if vmax == 0 else (v / vmax) * plot_h
+            x = pad_l + gi * group_w + group_w * 0.1 + si * bar_w
+            y = pad_t + plot_h - h
+            parts.append(
+                f'<rect x="{x:.1f}" y="{y:.1f}" width="{bar_w:.1f}" '
+                f'height="{h:.1f}" fill="{color}"><title>'
+                f"{escape(name)} {escape(str(labels[gi]))}: {v:g}</title></rect>"
+            )
+        # legend swatch
+        lx = pad_l + si * 130
+        parts.append(
+            f'<rect x="{lx}" y="{height - 12}" width="10" height="10" fill="{color}"/>'
+            f'<text x="{lx + 14}" y="{height - 3}" font-size="10" '
+            f'fill="#444">{escape(name)}</text>'
+        )
+    step = max(n_groups // 12, 1)  # at most ~12 x labels
+    for gi in range(0, n_groups, step):
+        x = pad_l + gi * group_w + group_w / 2
+        parts.append(
+            f'<text x="{x:.1f}" y="{pad_t + plot_h + 12}" font-size="10" '
+            f'text-anchor="middle" fill="#666">{escape(str(labels[gi]))}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
 def _html_table(headers: list[str], rows: list[list]) -> str:
     head = "".join(f"<th>{escape(str(h))}</th>" for h in headers)
     body = "".join(
@@ -111,6 +170,20 @@ def render_html(report: dict) -> str:
     status = _html_table(
         ["status", "n"], [[k, v] for k, v in report["status_distribution"].items()]
     )
+    rounds_chart = _svg_bar_chart(
+        [str(r["round"]) for r in report["per_round"]],
+        {
+            "scheduled": [r["scheduled"] for r in report["per_round"]],
+            "completed": [r["completed"] for r in report["per_round"]],
+            "fresh": [r["fresh"] for r in report["per_round"]],
+        },
+        "Per-round crawl metrics",
+    )
+    words_chart = _svg_bar_chart(
+        [w["word"] for w in report["top_words"][:12]],
+        {"frequency": [w["total_freq"] for w in report["top_words"][:12]]},
+        "Top words by frequency",
+    )
     return f"""<!DOCTYPE html>
 <html lang="en"><head><meta charset="utf-8"/>
 <title>Crawl session report</title>
@@ -125,8 +198,8 @@ tbody tr:nth-child(even) {{ background: #fafafa; }}
 <h1>Crawl session report</h1>
 <h2>Session</h2>{_html_table(["metric", "value"], summary_rows)}
 <h2>Status distribution</h2>{status}
-<h2>Top words</h2>{words}
-<h2>Rounds</h2>{rounds}
+<h2>Top words</h2>{words_chart}{words}
+<h2>Rounds</h2>{rounds_chart}{rounds}
 <h2>Top hosts</h2>{hosts}
 </body></html>
 """

@@ -254,10 +254,27 @@ class SnapshotCatalog:
     def begin(self, round_no: int, tag: str | None = None) -> "RoundCommit":
         return RoundCommit(self, round_no, tag)
 
-    def compact_frontier(self, spark: SparkSession, partition_by: list[str] | None = None) -> int:
+    def compact_frontier(
+        self,
+        spark: SparkSession,
+        partition_by: list[str] | None = None,
+        max_age_rounds: int | None = None,
+        horizon: float = 30.0,
+    ) -> int:
         """X6 retention (reference cleanup worker, persistent_queue.py:263-296,
         database.py:717-736): drop completed/failed/skipped rows from the
         frontier in one maintenance commit.
+
+        ``max_age_rounds`` is the reference's 24-hour age cutoff translated
+        to virtual time (VERDICT r2 #6): when set, only non-pending rows
+        whose LAST scheduled round is older than ``current_round -
+        max_age_rounds`` are dropped — recent bookkeeping rows stay visible
+        to analytics, exactly like the reference keeps the last day of
+        completed/failed rows. The age source is the crawl_order table (the
+        exact round each URL was scheduled); rows never scheduled (robots-
+        skipped) fall back to ``floor(scheduled_at / horizon)``, the round
+        they became eligible. ``None`` keeps the drop-all-bookkeeping
+        behavior.
 
         Safe by construction: scheduling reads only pending rows, dedup reads
         url_seen (not the frontier), and the crawl order is its own table —
@@ -268,7 +285,25 @@ class SnapshotCatalog:
         frontier = self.read(spark, "frontier")
         if frontier is None:
             return 0
-        keep = frontier.where(frontier["status"] == "pending")
+        pending = F.col("status") == "pending"
+        if max_age_rounds is None:
+            keep = frontier.where(pending)
+        else:
+            cutoff = self.current_round() - max_age_rounds
+            order = self.read(spark, "crawl_order")
+            last = (
+                order.groupBy("canonical").agg(F.max("round").alias("_last_round"))
+                if order is not None
+                else None
+            )
+            fr = frontier.join(last, "canonical", "left") if last is not None else (
+                frontier.withColumn("_last_round", F.lit(None).cast("int"))
+            )
+            age_round = F.coalesce(
+                F.col("_last_round"),
+                F.floor(F.col("scheduled_at") / F.lit(horizon)).cast("int"),
+            )
+            keep = fr.where(pending | (age_round >= F.lit(cutoff))).drop("_last_round")
         dropped = frontier.count() - keep.count()
         # tagged commit: the round's original manifest (with its scheduled
         # metrics, needed by resume accounting) must survive

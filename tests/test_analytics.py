@@ -110,10 +110,15 @@ def test_html_and_csv_reports(spark, crawl, tmp_path):
     assert html.startswith("<!DOCTYPE html>")
     for section in ("Session", "Status distribution", "Top words", "Rounds", "Top hosts"):
         assert f"<h2>{section}</h2>" in html
-    # well-formedness: the page (minus doctype) parses as XML — tables-only,
-    # no JS, every tag closed
-    ElementTree.fromstring(html.split("\n", 1)[1])
+    # well-formedness: the page (minus doctype) parses as XML — no JS,
+    # every tag closed, including the inline-SVG chart nodes
+    root = ElementTree.fromstring(html.split("\n", 1)[1])
     assert "<script" not in html
+    svgs = root.findall(".//{http://www.w3.org/2000/svg}svg")
+    assert len(svgs) == 2  # per-round metrics + top words (S13 charts)
+    for svg in svgs:
+        assert svg.findall(".//{http://www.w3.org/2000/svg}rect")  # bars drawn
+        assert svg.find("{http://www.w3.org/2000/svg}title") is not None
 
     cpath = reporting.generate_session_report(spark, workdir, str(tmp_path / "r.csv"), "csv")
     rows = list(csv.reader(open(cpath)))
@@ -192,3 +197,49 @@ def test_structure_counts_match_corpus(spark, crawl):
     summary = analytics.structure_summary(spark, workdir)
     assert summary["pages"] == len(got)
     assert summary["avg_text"] > 0 and summary["avg_link"] > 0
+
+
+@pytest.fixture(scope="module")
+def second_crawl(spark, tmp_path_factory):
+    """A second, smaller session over a different corpus seed."""
+    documents, seeds, robots = gen_corpus(hosts=2, pages_per_host=8, seed=9)
+    workdir = str(tmp_path_factory.mktemp("analytics-crawl2"))
+    cfg = CrawlConfig(max_pages=30, max_rounds=3, n_host_buckets=4)
+    run_crawl(
+        spark, workdir, to_documents_df(spark, documents), to_robots_df(spark, robots), seeds, cfg
+    )
+    return workdir
+
+
+def test_cross_session_analytics(spark, crawl, second_crawl):
+    """A11 cross-session merge (reporting/analytics.py:595-618): word totals
+    over two catalogs equal Counter addition of the per-session totals, and
+    the combined summary sums the per-session counters."""
+    wd1, _ = crawl
+    wd2 = second_crawl
+
+    def totals(wd):
+        return {
+            r["word"]: r["total_freq"]
+            for r in analytics.top_words(spark, wd, limit=10_000).collect()
+        }
+
+    t1, t2 = totals(wd1), totals(wd2)
+    merged = {
+        r["word"]: (r["total_freq"], r["n_sessions"])
+        for r in analytics.cross_session_top_words(spark, [wd1, wd2], limit=10_000).collect()
+    }
+    for w, (freq, nsess) in merged.items():
+        assert freq == t1.get(w, 0) + t2.get(w, 0), w
+        assert nsess == (w in t1) + (w in t2), w
+    assert any(n == 2 for _, n in merged.values())  # corpora share some words
+
+    cs = analytics.cross_session_summary(spark, [wd1, wd2])
+    s1 = analytics.session_summary(spark, wd1)
+    s2 = analytics.session_summary(spark, wd2)
+    assert cs["combined"]["pages_crawled"] == s1["pages_crawled"] + s2["pages_crawled"]
+    assert cs["combined"]["total_words"] == s1["total_words"] + s2["total_words"]
+    # exact distinct across the union, not a sum
+    assert cs["combined"]["unique_words"] <= s1["unique_words"] + s2["unique_words"]
+    assert cs["combined"]["unique_words"] >= max(s1["unique_words"], s2["unique_words"])
+    assert cs["combined"]["sessions"] == 2

@@ -105,3 +105,22 @@ def test_registry_builders_are_lazy(spark):
             f"(allowed {allowed}) — a builder calls a redundant action "
             "(count/collect) instead of staying plan algebra"
         )
+
+
+def test_percentile_approx_exact_mode_matches_quantile_disc(spark, duck):
+    """session_stats_approx's oracle contract: with accuracy >= n, Spark's
+    GK sketch (percentile_approx) returns exactly DuckDB's quantile_disc
+    element — including awkward n/p where p*n is not integral."""
+    from pyspark.sql import functions as F
+
+    vals = [1.0, 2.0, 3.5, 7.0, 11.0, 13.0, 17.0]  # n=7, nothing integral
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    ps = [0.3, 0.5, 0.75, 0.95, 0.99]
+    got = df.agg(F.percentile_approx("x", ps, 10**7)).collect()[0][0]
+    duck.execute("CREATE OR REPLACE TABLE _pq(x DOUBLE)")
+    duck.executemany("INSERT INTO _pq VALUES (?)", [(v,) for v in vals])
+    want = [
+        duck.execute(f"SELECT quantile_disc(x, {p}) FROM _pq").fetchone()[0]
+        for p in ps
+    ]
+    assert got == want

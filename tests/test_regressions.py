@@ -207,6 +207,50 @@ def test_compact_frontier_preserves_crawl_order(spark, small, tmp_path):
     assert read_crawl_order(spark, wd) == expected
 
 
+def test_compact_frontier_age_retention(spark, small, tmp_path):
+    """X6 age cutoff (persistent_queue.py:263-296 24h analog, VERDICT r2 #6):
+    max_age_rounds keeps RECENT completed/failed bookkeeping rows and drops
+    only older ones; pending rows always survive; the resumed crawl is
+    unchanged."""
+    docs_df, robots_df, seeds = small
+    cfg2 = CrawlConfig(max_pages=40, max_rounds=4, n_host_buckets=4)
+    cfg_full = CrawlConfig(max_pages=40, max_rounds=6, n_host_buckets=4)
+
+    ref = str(tmp_path / "ref")
+    run_crawl(spark, ref, docs_df, robots_df, seeds, cfg_full)
+    expected = read_crawl_order(spark, ref)
+
+    wd = str(tmp_path / "aged")
+    run_crawl(spark, wd, docs_df, robots_df, seeds, cfg2)
+    cat = SnapshotCatalog(wd)
+    frontier = cat.read(spark, "frontier")
+    pending_before = frontier.where(F.col("status") == "pending").count()
+    done_before = frontier.where(F.col("status") != "pending").count()
+    order = cat.read(spark, "crawl_order")
+    last = order.groupBy("canonical").agg(F.max("round").alias("lr"))
+    cur = cat.current_round()
+    # mirror the operator's age rule: last scheduled round from crawl_order,
+    # falling back to the eligibility round for never-scheduled (skipped) rows
+    age = F.coalesce(F.col("lr"), F.floor(F.col("scheduled_at") / F.lit(30.0)).cast("int"))
+    recent_done = (
+        frontier.where(F.col("status") != "pending")
+        .join(last, "canonical", "left")
+        .where(age >= cur - 1)
+        .count()
+    )
+
+    dropped = cat.compact_frontier(spark, max_age_rounds=1)
+    after = cat.read(spark, "frontier")
+    assert after.where(F.col("status") == "pending").count() == pending_before
+    kept_done = after.where(F.col("status") != "pending").count()
+    assert kept_done == recent_done  # exactly the last-2-rounds bookkeeping
+    assert dropped == done_before - recent_done
+    assert 0 < kept_done < done_before  # cutoff is doing real work both ways
+
+    run_crawl(spark, wd, docs_df, robots_df, seeds, cfg_full)
+    assert read_crawl_order(spark, wd) == expected
+
+
 def test_compact_table_preserves_url_seen(spark, small, tmp_path):
     """Merging url_seen's per-round dirs changes nothing downstream."""
     docs_df, robots_df, seeds = small
