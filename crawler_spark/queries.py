@@ -1305,12 +1305,19 @@ FROM r
 # correctness is covered by the oracle-simulator parity suite in tests/)
 # --------------------------------------------------------------------------
 
-def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-host mini-crawl through the real engine; returns the crawl order.
+def _mini_crawl_workdir(spark: SparkSession) -> str:
+    """Run (or resume) the deterministic mini-crawl; returns its catalog dir.
 
-    Deterministic given the fixed corpus seed; the driver's rows-only check
-    validates stability, and tests/test_engine_parity.py validates the
-    ordering itself against the pure-Python oracle simulator.
+    Shared by the crawl-derived registry entries (crawl_order_mini,
+    crawl_media_features) so the engine runs at most once per code state.
+    The workdir is keyed by corpus params + a digest of the WHOLE PACKAGE
+    source: repeat invocations RESUME the committed crawl (idempotent and
+    deterministic), while ANY code change gets a fresh catalog instead of
+    silently resuming a stale one. A curated module list proved too easy to
+    under-maintain (ADVICE r2: functions/fetch.py and sources/sitemap.py
+    influence crawl order but were missing), so every .py under the package
+    root is digested — over-invalidation costs one 10 s mini-crawl,
+    under-invalidation costs a wrong resumed catalog.
     """
     from crawler_spark.config import CrawlConfig
     from crawler_spark.plans.engine import run_crawl
@@ -1319,7 +1326,6 @@ def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_documents_df,
         to_robots_df,
     )
-    from crawler_spark.tables import SnapshotCatalog
 
     import hashlib
     import pathlib
@@ -1327,14 +1333,6 @@ def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     import crawler_spark as _pkg
 
     documents, seeds, robots = gen_corpus(hosts=3, pages_per_host=8, seed=42)
-    # workdir keyed by corpus params + a digest of the WHOLE PACKAGE source:
-    # repeat invocations RESUME the committed crawl (idempotent and
-    # deterministic), while ANY code change gets a fresh catalog instead of
-    # silently resuming a stale one. A curated module list proved too easy to
-    # under-maintain (ADVICE r2: functions/fetch.py and sources/sitemap.py
-    # influence crawl order but were missing), so every .py under the package
-    # root is digested — over-invalidation costs one 10 s mini-crawl,
-    # under-invalidation costs a wrong resumed catalog.
     pkg_root = pathlib.Path(_pkg.__file__).parent
     src = "".join(
         p.read_text() for p in sorted(pkg_root.rglob("*.py"))
@@ -1351,8 +1349,61 @@ def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds,
         cfg,
     )
+    return workdir
+
+
+def q_crawl_order_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-host mini-crawl through the real engine; returns the crawl order.
+
+    Deterministic given the fixed corpus seed; the driver's rows-only check
+    validates stability, and tests/test_engine_parity.py validates the
+    ordering itself against the pure-Python oracle simulator.
+    """
+    from crawler_spark.tables import SnapshotCatalog
+
+    workdir = _mini_crawl_workdir(spark)
     order = SnapshotCatalog(workdir).read(spark, "crawl_order")
     return order.select("round", "seq", "canonical")
+
+
+def q_crawl_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal leg THROUGH the crawl (VERDICT r2 #5): the
+    committed ``media`` table (interleaved media spans the round plan
+    extracts from fetched pages, plans/round.py S7 leg) joined to a
+    synthesized per-ref payload and pushed through the Arrow-batched decode
+    stage (operators/multimodal.decode_features) — the exact production
+    wiring with the codec stub swapped for the deterministic fake backend.
+
+    Rows-only driver check (the crawled page set is engine-derived, like
+    crawl_order_mini); the feature VALUES are pinned by
+    tests/test_analytics.py::test_crawl_media_features_values (width/height
+    equal the first md5 bytes of each media_ref by construction).
+    """
+    from crawler_spark.operators.multimodal import decode_features, synth_media
+    from crawler_spark.tables import SnapshotCatalog
+
+    workdir = _mini_crawl_workdir(spark)
+    media = SnapshotCatalog(workdir).read(spark, "media")
+    # one payload per distinct ref (a real pipeline fetches each asset once),
+    # synthesized deterministically FROM the ref so resume is reproducible
+    refs = media.select("media_ref").distinct().withColumn("txt", F.col("media_ref"))
+    payloads = synth_media(refs, "media_ref", "txt").withColumnRenamed("doc", "media_ref")
+    feats = decode_features(
+        media.join(payloads, "media_ref").select(
+            F.concat_ws("#", F.col("canonical"), F.col("media_pos")).alias("doc"),
+            "payload",
+        ),
+        backend="fake",
+    )
+    return (
+        media.select(
+            F.concat_ws("#", F.col("canonical"), F.col("media_pos")).alias("doc"),
+            "round", "canonical", "media_pos", "media_ref",
+        )
+        .join(feats, "doc")
+        .drop("doc")
+        .orderBy("canonical", "media_pos")
+    )
 
 
 @dataclass(frozen=True)
@@ -1404,4 +1455,5 @@ REGISTRY: dict[str, QuerySpec] = {
         q_stream_politeness_gate, SQL_STREAM_POLITENESS_GATE
     ),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
+    "crawl_media_features": QuerySpec(q_crawl_media_features, None),
 }

@@ -1,0 +1,93 @@
+"""CLI for post-hoc crawl analytics + reports (reference `analyze` /
+`report` commands, cli.py:89-167 and cli.py:280-344).
+
+    python scripts/crawl_analyze.py analyze --workdir /tmp/crawl-run
+    python scripts/crawl_analyze.py report  --workdir /tmp/crawl-run \
+        --out /tmp/report.html --format html
+    python scripts/crawl_analyze.py analyze --workdir A --workdir B   # cross-session
+
+`analyze` prints the session summary, queue health, per-round metrics and
+top words as JSON (the reference's terminal analytics view); with multiple
+--workdir flags it prints the cross-session merge instead
+(reporting/analytics.py:595-618). `report` writes json/md/html/csv via
+crawler_spark.reporting (S13). Works under spark-submit --py-files exactly
+like scripts/submit_crawl.py; standalone invocation builds a local session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("crawler-spark-analyze")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Analyze a committed crawl catalog")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pa = sub.add_parser("analyze", help="print session analytics as JSON")
+    pa.add_argument("--workdir", action="append", required=True,
+                    help="snapshot catalog root (repeat for cross-session merge)")
+    pa.add_argument("--top", type=int, default=20, help="top-N words")
+
+    pr = sub.add_parser("report", help="render a session report file")
+    pr.add_argument("--workdir", required=True)
+    pr.add_argument("--out", required=True, help="output path")
+    pr.add_argument("--format", default="html",
+                    choices=["json", "md", "markdown", "html", "csv"])
+    pr.add_argument("--top", type=int, default=20)
+
+    args = p.parse_args()
+    spark = _spark()
+    from crawler_spark import analytics, reporting
+
+    if args.cmd == "analyze":
+        if len(args.workdir) == 1:
+            wd = args.workdir[0]
+            out = {
+                "session": analytics.session_summary(spark, wd),
+                "queue_health": analytics.queue_health(spark, wd),
+                "stage_timing": analytics.stage_timing_summary(wd),
+                "per_round": [
+                    r.asDict()
+                    for r in analytics.per_round_metrics(spark, wd).orderBy("round").collect()
+                ],
+                "top_words": [
+                    r.asDict()
+                    for r in analytics.top_words(spark, wd, args.top).collect()
+                ],
+            }
+        else:
+            out = {
+                **analytics.cross_session_summary(spark, args.workdir),
+                "top_words": [
+                    r.asDict()
+                    for r in analytics.cross_session_top_words(
+                        spark, args.workdir, args.top
+                    ).collect()
+                ],
+            }
+        print(json.dumps(out, indent=2, default=str))
+    else:
+        path = reporting.generate_session_report(
+            spark, args.workdir, args.out, args.format, args.top
+        )
+        print(path)
+
+
+if __name__ == "__main__":
+    main()

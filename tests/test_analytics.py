@@ -243,3 +243,51 @@ def test_cross_session_analytics(spark, crawl, second_crawl):
     assert cs["combined"]["unique_words"] <= s1["unique_words"] + s2["unique_words"]
     assert cs["combined"]["unique_words"] >= max(s1["unique_words"], s2["unique_words"])
     assert cs["combined"]["sessions"] == 2
+
+
+def test_crawl_media_features_values(spark):
+    """The crawl->media->decode leg (crawl_media_features): every feature row
+    must match the synth contract — width/height are the first two md5 bytes
+    of the media_ref, and every committed media row gets exactly one feature
+    row."""
+    import hashlib
+
+    from crawler_spark.queries import REGISTRY, _mini_crawl_workdir
+
+    rows = REGISTRY["crawl_media_features"].fn(spark, "unused").collect()
+    assert rows, "mini-crawl produced no media spans"
+    for r in rows[:50]:
+        digest = hashlib.md5(r["media_ref"].encode()).digest()
+        assert r["width"] == digest[0] and r["height"] == digest[1], r
+    wd = _mini_crawl_workdir(spark)
+    n_media = SnapshotCatalog(wd).read(spark, "media").count()
+    assert len(rows) == n_media
+
+
+def test_page_timing_attribution(spark, crawl):
+    """Per-page timing struct: shares attribute each round's stage seconds
+    over its scheduled pages, so per-round sums reconcile with the manifest
+    stage totals."""
+    workdir, _ = crawl
+    df = analytics.page_timing(spark, workdir)
+    assert "timing" in df.columns
+    from pyspark.sql import functions as F
+
+    per_round = {
+        r["round"]: r
+        for r in df.groupBy("round").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("timing.sched_share_sec"), 2).alias("sched_sum"),
+            F.min("timing.round_wall_sec").alias("wall"),
+        ).collect()
+    }
+    hist = {
+        h["round"]: h
+        for h in SnapshotCatalog(workdir).metrics_history()
+        if "wall_sec" in h
+    }
+    assert set(per_round) == set(hist)
+    for rnd, r in per_round.items():
+        assert r["n"] == hist[rnd]["scheduled"]
+        assert abs(r["sched_sum"] - hist[rnd]["sched_sec"]) < 0.02
+        assert abs(r["wall"] - hist[rnd]["wall_sec"]) < 1e-9
