@@ -3,14 +3,16 @@
 ``entry(spark)`` runs the flagship analytics query (the reference's headline
 top-words aggregation, storage/database.py:422-433) on sf0.001.
 ``queries()`` / ``oracle_sql()`` expose the full operator registry from
-``crawler_spark.queries`` (39 entries, 38 with SQL twins) — one entry per
+``crawler_spark.queries`` (41 entries, 39 with SQL twins) — one entry per
 implemented operator family of SURVEY.md §2 plus the training-data ops
 (dedup x6 incl. IVF-blocked and hyperplane-LSH scale paths / similarity /
 text analysis / multimodal / fetch-outcome and link classification / the
-stateful streaming politeness gate, whose SQL twin is the closed form of
-its recurrence). The one entry without a SQL twin (the iterative crawl
-loop) is rows-only checked by the driver; its semantics are verified
-against the pure-Python oracle simulator in tests/.
+approx-percentile production plan / the stateful streaming politeness
+gate, whose SQL twin is the closed form of its recurrence). The two
+entries without a SQL twin (the iterative crawl loop and the crawl-media
+decode leg derived from it) are rows-only checked by the driver; their
+semantics are verified against the pure-Python oracle simulator and the
+md5 payload contract in tests/.
 """
 
 from __future__ import annotations

@@ -205,7 +205,10 @@ def bench_frontier(spark: SparkSession, n: int) -> dict:
     # Fixed candidates, seen at 1x/2x/4x, plus the unbucketed twin at 4x for
     # the contrast (that one re-shuffles all 4n seen rows every round).
     growth: dict[str, float] = {}
-    if not os.environ.get("BENCH_SKIP_SEEN_GROWTH"):
+    # skipped in scaling runs (BENCH_SKIP_QUERIES): growth evidence is
+    # orthogonal to the N-vs-4N comparison and 4x seen at 32M rows would
+    # dominate the level's wall time
+    if not os.environ.get("BENCH_SKIP_SEEN_GROWTH") and not os.environ.get("BENCH_SKIP_QUERIES"):
         for mult, tag in ((2, "2x"), (4, "4x")):
             _bucketed_seen(spark, 0, mult * n, data_dir, tag)
         plain4 = f"{data_dir}/seen_plain_4x.parquet"

@@ -66,3 +66,59 @@ def training_keepset(
         .otherwise(F.lit("kept"))
     )
     return annotated.select("doc", status.alias("status"))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 1,
+    test_pct: int = 1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible-split
+    recipe for training corpora: membership is a pure function of the doc
+    id's portable hash (``hash60 % 100``), never an RNG, so re-runs,
+    incremental arrivals, and different cluster sizes all produce the same
+    split, and the assignment is re-derivable in any engine (the DuckDB
+    twin recomputes it in SQL). Adds a ``split`` column.
+    """
+    assert val_pct + test_pct < 100
+    b = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(100))
+    train_hi = 100 - val_pct - test_pct
+    split = (
+        F.when(b < train_hi, F.lit("train"))
+        .when(b < train_hi + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check (the n-gram-overlap decontamination
+    standard, e.g. GPT-3 appendix C / Dolma): a corpus doc is contaminated
+    when it shares >= ``min_shared`` distinct word-``n``-grams with a
+    benchmark doc. Returns (doc, bench_doc, n_shared), one row per
+    contaminated (corpus, benchmark) pair.
+
+    Plan shape: shingle both sides (distinct hashed n-grams), equality-join
+    on the shingle hash — the benchmark side is tiny (eval sets), so
+    Catalyst broadcasts it and the corpus is scanned once; no pairwise
+    comparison ever materializes. At 10^10 docs this is the same
+    single-broadcast-join pass.
+    """
+    c = dedup.doc_shingles(corpus, id_col, text_col, n)
+    b = dedup.doc_shingles(benchmark, id_col, text_col, n).select(
+        F.col("doc").alias("bench_doc"), "sh"
+    )
+    return (
+        c.join(F.broadcast(b), "sh")
+        .groupBy("doc", "bench_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark.functions import text as X
-from crawler_spark.functions.hashing import hash60_sql, minhash_term_sql
+from crawler_spark.functions.hashing import hash60, hash60_sql, minhash_term_sql
 from crawler_spark.operators import dedup, multimodal, similarity, textstats
 from crawler_spark.operators.ordering import top_per_key
 
@@ -1225,6 +1225,92 @@ FROM q JOIN l ON l.doc = q.doc JOIN e ON e.doc = q.doc
 )
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split (pipeline.split_assign):
+    membership is ``hash60(doc_id) % 100`` — a pure function of the doc id,
+    so re-runs, incremental arrivals, and any cluster size reproduce the
+    identical split (the standard reproducible-split recipe; no RNG). The
+    oracle re-derives every assignment in SQL, so the split function itself
+    is value-checked, not just the counts' plausibility."""
+    from crawler_spark.operators.pipeline import split_assign
+
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)))
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks.cast("long")).alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_CORPUS_SPLIT = f"""
+SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc
+FROM (
+  SELECT *, ({hash60_sql("CAST(doc_id AS VARCHAR)")} % 100) AS b FROM documents
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# 8-gram shingles for contamination (the 3-gram CTE serves near-dup; the
+# decontamination standard uses longer n-grams to avoid idiom collisions)
+_SH8_CTE = f"""
+WITH gr AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+         || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+       LATERAL unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, ({hash60_sql('s')} % 2147483647) AS sh FROM gr
+),
+m AS (
+  SELECT doc_id AS doc, ({hash60_sql("CAST(doc_id AS VARCHAR)")} % 23) AS m
+  FROM documents
+)
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep (pipeline.contamination_pairs): a
+    deterministic ~4% of docs (``hash60(doc_id) % 23 == 0``) stands in for
+    the held-out eval set; every other doc sharing >= 5 distinct 8-gram
+    shingles with a benchmark doc is flagged — the n-gram decontamination
+    standard (GPT-3 appendix C / Dolma). The benchmark side is broadcast;
+    the corpus is scanned once (no pairwise stage)."""
+    from crawler_spark.operators.pipeline import contamination_pairs
+
+    docs = _docs(spark, sf_dir)
+    is_bench = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(23)) == 0
+    return contamination_pairs(
+        docs.where(~is_bench), docs.where(is_bench), "doc_id", "text",
+        n=8, min_shared=5,
+    ).orderBy("doc", "bench_doc")
+
+
+SQL_CONTAMINATION = (
+    _SH8_CTE
+    + """
+SELECT c.doc AS doc, b.doc AS bench_doc, count(*) AS n_shared
+FROM sh c
+JOIN m mc ON mc.doc = c.doc AND mc.m <> 0
+JOIN sh b ON b.sh = c.sh
+JOIN m mb ON mb.doc = b.doc AND mb.m = 0
+GROUP BY 1, 2
+HAVING count(*) >= 5
+ORDER BY 1, 2
+"""
+)
+
+
 def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING politeness gate (X2/X3 twin,
     streaming/rollup.politeness_gate) under the full value oracle: the
@@ -1443,6 +1529,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "training_keepset": QuerySpec(q_training_keepset, SQL_TRAINING_KEEPSET),
+    "corpus_split": QuerySpec(q_corpus_split, SQL_CORPUS_SPLIT),
+    "contamination": QuerySpec(q_contamination, SQL_CONTAMINATION),
     "knn_cosine": QuerySpec(q_knn_cosine, SQL_KNN_COSINE),
     "dedup_embedding": QuerySpec(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),

@@ -278,3 +278,53 @@ def test_training_keepset_statuses(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc"]: r["status"] for r in training_keepset(df).collect()}
     assert got == {1: "kept", 2: "exact_dup", 3: "near_dup", 4: "quality", 5: "lang"}
+
+
+def test_split_assign_deterministic_hash(spark):
+    """corpus_split contract: assignment is a pure function of hash60(id) —
+    re-derivable by hand, stable across runs, covers all three splits."""
+    import hashlib
+
+    from crawler_spark.operators.pipeline import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    got = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+
+    def expect(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+        return "train" if b < 98 else ("val" if b == 98 else "test")
+
+    assert got == {i: expect(i) for i in range(500)}
+    assert {"train", "val", "test"} <= set(got.values())
+    # stability: a second evaluation is identical (no RNG anywhere)
+    again = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    assert again == got
+
+
+def test_contamination_pairs_ngram_overlap(spark):
+    """An 8-gram copied from a benchmark doc flags the pair once per shared
+    distinct shingle; unrelated docs never appear; min_shared gates."""
+    from crawler_spark.operators.pipeline import contamination_pairs
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    corpus = spark.createDataFrame(
+        [
+            # copies a 12-token run -> 5 shared 8-grams
+            (1, "xx yy " + bench_text + " zz"),
+            # copies an 11-token run -> only 4 shared 8-grams (< min_shared)
+            (2, "aa " + " ".join(bench_text.split()[:11]) + " bb"),
+            (3, "one two three four five six seven eight nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    got = {
+        (r["doc"], r["bench_doc"]): r["n_shared"]
+        for r in contamination_pairs(corpus, bench, min_shared=5).collect()
+    }
+    assert got == {(1, 100): 5}
+    lowered = {
+        (r["doc"], r["bench_doc"]): r["n_shared"]
+        for r in contamination_pairs(corpus, bench, min_shared=4).collect()
+    }
+    assert lowered == {(1, 100): 5, (2, 100): 4}
