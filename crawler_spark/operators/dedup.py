@@ -376,3 +376,68 @@ def neardup_clusters(
             "(each round doubles the reachable pointer depth)"
         )
     return labels.select("doc", F.col("label").alias("cluster"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 10,
+) -> DataFrame:
+    """Corpus-level duplicated-passage removal (the CCNet/RefinedWeb
+    line-dedup stage, position-window variant).
+
+    Documents are cut into consecutive ``seg_len``-token segments (a
+    deterministic stand-in for line splits on corpora without line
+    structure); any segment string occurring more than once across the
+    WHOLE corpus — boilerplate, navigation, legal footers — is dropped from
+    every document, and the survivors are reassembled in position order.
+
+    Returns (doc, n_segments, n_dropped, clean_text). Documents whose
+    segments are all dropped (or that tokenize empty) keep a row with
+    clean_text = ''.
+
+    Plan shape: one explode to (doc, pos, segment), segment occurrence
+    counts via a hash-keyed aggregate on hash60(segment) (8-byte shuffle
+    keys; segment text only travels with its own row), an equality join of
+    counts back onto the rows, and one groupBy(doc) rebuild with
+    sort_array over (pos, segment) structs. No windows, no UDFs, no
+    cross-corpus pairwise stage — the same two-shuffle pass at 10^10 docs.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    d = df.select(F.col(id_col).alias("doc"), toks.alias("t"))
+    segs_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(t) / {seg_len}.0) as int) - 1), "
+        f"i -> array_join(slice(t, i * {seg_len} + 1, {seg_len}), ' '))"
+    )
+    base = d.select(
+        "doc",
+        F.when(F.size("t") > 0, segs_expr).otherwise(
+            F.array().cast("array<string>")
+        ).alias("segs"),
+    )
+    n_seg = base.select("doc", F.size("segs").alias("n_segments"))
+    rows = base.select(
+        "doc", F.posexplode("segs").alias("pos", "seg")
+    ).withColumn("h", hash60(F.col("seg")))
+    counts = rows.groupBy("h").agg(F.count("*").alias("c"))
+    kept = rows.join(counts, "h").where(F.col("c") == 1)
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        n_seg.join(rebuilt, "doc", "left")
+        .select(
+            "doc",
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -122,3 +122,35 @@ def contamination_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    cap: int = 15,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb guard against any single
+    site dominating the corpus): keep at most ``cap`` documents per domain,
+    best ``quality_col`` first, id as the deterministic tiebreak.
+
+    Reuses the frontier's salted two-phase top-k (operators/ordering.
+    top_per_key) — the per-(domain, salt) prefilter splits a mega-domain
+    across tasks before the exact per-domain rank, so one domain holding
+    10^8 docs never funnels through a single window task. Output keeps all
+    input columns plus ``rank_col`` (1-based within the domain).
+    """
+    from crawler_spark.operators.ordering import top_per_key
+
+    order = [F.desc(quality_col), F.asc(id_col)]
+    return top_per_key(
+        df,
+        key=domain_col,
+        order_exprs=order,
+        limit_col=F.lit(cap),
+        salt_on=id_col,
+        salt_buckets=8,
+        rank_col=rank_col,
+    )

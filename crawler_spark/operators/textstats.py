@@ -187,3 +187,96 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.bit_xor(F.col("th")).alias("fp_xor"),
         F.min(minhash_term(0, F.pmod(F.col("th"), F.lit(2_147_483_647)))).alias("fp_min"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data hygiene beyond the reference: repetition scoring (the
+# Gopher/MassiveText repetition filters, token-count variant) and PII
+# redaction (the standard email/IP/phone scrub, e.g. BigScience ROOTS).
+# The reference crawler has no analog; these are LLM-corpus operators over
+# the same tokenizer the rest of the package uses.
+
+# ASCII-only patterns chosen to behave identically under java.util.regex
+# (Spark) and RE2 (DuckDB oracle): no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+PII_PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,5}\b"
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition scores (Gopher-style, token-count variant).
+
+    - max_word_ratio: occurrences of the single most frequent token / total
+      tokens;
+    - top_bigram_ratio: tokens covered by the most frequent bigram
+      (2 * its count) / total tokens;
+    - is_repetitive: either ratio past its threshold (0.14 / 0.15 — the
+      ~p90 of the synthetic corpus; production corpora retune these).
+
+    Plan shape: two explode+groupBy passes (words, bigrams) joined back on
+    doc — each a single hash-partitioned aggregate, no windows, no UDFs.
+    Ratios rounded to 4 dp for oracle float-safety.
+    """
+    d = df.select(F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("t"))
+    base = d.select("doc", F.size("t").alias("n_tok"))
+    wtop = (
+        d.select("doc", F.explode("t").alias("w"))
+        .groupBy("doc", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("max_w"))
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    btop = (
+        d.where(F.size("t") >= 2)
+        .select("doc", F.explode(bigrams).alias("b"))
+        .groupBy("doc", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("max_b"))
+    )
+    n_tok = F.col("n_tok")
+    wr = F.round(F.when(n_tok > 0, F.coalesce(F.col("max_w"), F.lit(0)) / n_tok).otherwise(F.lit(0.0)), 4)
+    br = F.round(F.when(n_tok > 0, 2 * F.coalesce(F.col("max_b"), F.lit(0)) / n_tok).otherwise(F.lit(0.0)), 4)
+    return (
+        base.join(wtop, "doc", "left")
+        .join(btop, "doc", "left")
+        .select(
+            "doc",
+            "n_tok",
+            wr.alias("max_word_ratio"),
+            br.alias("top_bigram_ratio"),
+            ((wr > 0.14) | (br > 0.15)).alias("is_repetitive"),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails, IPv4 addresses, and phone numbers from ``text_col``.
+
+    Redaction is sequential — email, then IPv4, then phone — so the phone
+    pattern can never re-match the digit runs of an already-redacted IP
+    (3-digit octets would otherwise phone-match). Each count is taken on
+    the text as it stood when that pattern ran, making the triple
+    (n_emails, n_ips, n_phones) disjoint by construction.
+
+    Pure regexp_replace/regexp_extract_all column expressions: JVM-side,
+    whole-stage-codegen, no UDFs; at 100 TB this is a map-only pass.
+    """
+    raw = F.col(text_col)
+    after_email = F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    after_phone = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(after_email, F.lit(PII_IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(after_ip, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        after_phone.alias("redacted"),
+    )

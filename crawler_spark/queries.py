@@ -1311,6 +1311,224 @@ ORDER BY 1, 2
 )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scoring (textstats.repetition_metrics):
+    most-frequent-word fraction and top-bigram token coverage per doc, with
+    the is_repetitive gate at the corpus ~p90 thresholds. Two explode +
+    hash-aggregate passes, no windows/UDFs — a map-shuffle-reduce pass at
+    any corpus size."""
+    from crawler_spark.operators.textstats import repetition_metrics
+
+    return (
+        repetition_metrics(_docs(spark, sf_dir))
+        .select(
+            "doc",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "max_word_ratio",
+            "top_bigram_ratio",
+            "is_repetitive",
+        )
+        .orderBy("doc")
+    )
+
+
+SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+base AS (SELECT doc, len(t) AS n_tok FROM t),
+w AS (
+  SELECT doc, u.w AS w, count(*) AS c
+  FROM t, LATERAL unnest(t.t) u(w) GROUP BY 1, 2
+),
+wt AS (SELECT doc, max(c) AS max_w FROM w GROUP BY 1),
+bg AS (
+  SELECT doc, t.t[i] || ' ' || t.t[i+1] AS b
+  FROM t, LATERAL unnest(range(1, greatest(len(t.t), 1))) u(i)
+),
+bc AS (SELECT doc, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bt AS (SELECT doc, max(c) AS max_b FROM bc GROUP BY 1),
+r AS (
+  SELECT base.doc AS doc, n_tok,
+         round(CASE WHEN n_tok > 0 THEN coalesce(max_w, 0) * 1.0 / n_tok ELSE 0.0 END, 4) AS max_word_ratio,
+         round(CASE WHEN n_tok > 0 THEN 2.0 * coalesce(max_b, 0) / n_tok ELSE 0.0 END, 4) AS top_bigram_ratio
+  FROM base LEFT JOIN wt USING (doc) LEFT JOIN bt USING (doc)
+)
+SELECT doc, n_tok, max_word_ratio, top_bigram_ratio,
+       (max_word_ratio > 0.14 OR top_bigram_ratio > 0.15) AS is_repetitive
+FROM r ORDER BY doc
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (textstats.redact_pii) under a full value oracle: the
+    corpus has no natural PII, so the query plants a deterministic email +
+    phone per doc and an IPv4 on every third doc (pure column expressions,
+    identical in the SQL twin), then verifies counts AND the md5 of the
+    fully redacted text — the redaction output itself is value-checked,
+    not just match tallies."""
+    from crawler_spark.operators.textstats import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(
+                F.lit(" from 10.20."),
+                F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+                F.lit(".5"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        redact_pii(docs.select("doc_id", aug.alias("text")))
+        .select(
+            "doc",
+            F.col("n_emails").cast("long").alias("n_emails"),
+            F.col("n_ips").cast("long").alias("n_ips"),
+            F.col("n_phones").cast("long").alias("n_phones"),
+            F.md5("redacted").alias("red_md5"),
+        )
+        .orderBy("doc")
+    )
+
+
+SQL_PII_REDACTION = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' from 10.20.' || CAST(doc_id % 200 AS VARCHAR) || '.5'
+                      ELSE '' END AS text
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id AS doc,
+         len(regexp_extract_all(text, '@EMAIL@')) AS n_emails,
+         regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+r2 AS (
+  SELECT doc, n_emails,
+         len(regexp_extract_all(t1, '@IP@')) AS n_ips,
+         regexp_replace(t1, '@IP@', '<IP>', 'g') AS t2
+  FROM r1
+),
+r3 AS (
+  SELECT doc, n_emails, n_ips,
+         len(regexp_extract_all(t2, '@PHONE@')) AS n_phones,
+         regexp_replace(t2, '@PHONE@', '<PHONE>', 'g') AS t3
+  FROM r2
+)
+SELECT doc, n_emails, n_ips, n_phones, md5(t3) AS red_md5 FROM r3 ORDER BY doc
+"""
+
+# the PII patterns are ASCII-only and lookaround-free precisely so the same
+# string runs under java.util.regex (Spark) and RE2 (DuckDB); single source
+# of truth in operators/textstats.py
+SQL_PII_REDACTION = (
+    SQL_PII_REDACTION.replace("@EMAIL@", textstats.PII_EMAIL_RE)
+    .replace("@IP@", textstats.PII_IPV4_RE)
+    .replace("@PHONE@", textstats.PII_PHONE_RE)
+)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (pipeline.domain_cap, C4/RefinedWeb guard):
+    at most 15 docs per source, largest n_chars first, doc_id tiebreak.
+    The Spark plan is the frontier's salted two-phase top-k (mega-domain
+    safe); the oracle is the plain row_number window it must equal."""
+    from crawler_spark.operators.pipeline import domain_cap
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return (
+        domain_cap(docs, "source", "doc_id", "n_chars", cap=15)
+        .select(
+            "doc_id", "source", "n_chars", F.col("rank").cast("long").alias("rank")
+        )
+        .orderBy("source", "rank")
+    )
+
+
+SQL_DOMAIN_CAP = """
+SELECT doc_id, source, n_chars, rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= 15
+ORDER BY source, rank
+"""
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-passage removal (dedup.segment_dedup, the
+    CCNet/RefinedWeb line-dedup stage): a 10-token boilerplate banner is
+    planted on every fifth doc (deterministic, mirrored in SQL); the
+    operator must drop exactly that segment from every planted doc and
+    reassemble the rest — verified by md5 of each rebuilt text."""
+    from crawler_spark.operators.dedup import segment_dedup
+
+    bp = "subscribe to our newsletter for updates and offers today now"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat(F.lit(bp + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        segment_dedup(docs, seg_len=10)
+        .select(
+            "doc",
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc")
+    )
+
+
+SQL_SEGMENT_DEDUP = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'subscribe to our newsletter for updates and offers today now ' || text
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z]+') AS t FROM aug
+),
+segs AS (
+  SELECT doc, i AS pos, array_to_string(t.t[(i*10+1):(i*10+10)], ' ') AS seg
+  FROM t, LATERAL unnest(range(0, CAST(ceil(len(t.t) / 10.0) AS BIGINT))) u(i)
+),
+c AS (SELECT seg, count(*) AS n FROM segs GROUP BY 1),
+kept AS (
+  SELECT s.doc, s.pos, s.seg FROM segs s JOIN c USING (seg) WHERE c.n = 1
+),
+reb AS (
+  SELECT doc, count(*) AS n_kept, string_agg(seg, ' ' ORDER BY pos) AS clean
+  FROM kept GROUP BY 1
+),
+base AS (SELECT doc, CAST(ceil(len(t.t) / 10.0) AS BIGINT) AS n_segments FROM t)
+SELECT base.doc AS doc, n_segments,
+       n_segments - coalesce(n_kept, 0) AS n_dropped,
+       md5(coalesce(clean, '')) AS clean_md5
+FROM base LEFT JOIN reb USING (doc)
+ORDER BY doc
+"""
+
+
 def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING politeness gate (X2/X3 twin,
     streaming/rollup.politeness_gate) under the full value oracle: the
@@ -1531,6 +1749,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "training_keepset": QuerySpec(q_training_keepset, SQL_TRAINING_KEEPSET),
     "corpus_split": QuerySpec(q_corpus_split, SQL_CORPUS_SPLIT),
     "contamination": QuerySpec(q_contamination, SQL_CONTAMINATION),
+    "repetition": QuerySpec(q_repetition, SQL_REPETITION),
+    "pii_redaction": QuerySpec(q_pii_redaction, SQL_PII_REDACTION),
+    "domain_cap": QuerySpec(q_domain_cap, SQL_DOMAIN_CAP),
+    "segment_dedup": QuerySpec(q_segment_dedup, SQL_SEGMENT_DEDUP),
     "knn_cosine": QuerySpec(q_knn_cosine, SQL_KNN_COSINE),
     "dedup_embedding": QuerySpec(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),

@@ -39,7 +39,7 @@ def run_level(cpus: int, n_urls: int) -> dict:
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1200, check=True,
+        env=env, capture_output=True, text=True, timeout=2400, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")][-1]
     return json.loads(line)

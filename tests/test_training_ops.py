@@ -328,3 +328,98 @@ def test_contamination_pairs_ngram_overlap(spark):
         for r in contamination_pairs(corpus, bench, min_shared=4).collect()
     }
     assert lowered == {(1, 100): 5, (2, 100): 4}
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Ratios match hand counts; empty doc is 0/0/False; thresholds gate."""
+    from crawler_spark.operators.textstats import repetition_metrics
+
+    uniq20 = " ".join(f"w{chr(97 + i)}x" for i in range(20))  # 20 distinct tokens
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, uniq20), (3, "")], ["doc_id", "text"]
+    )
+    got = {r["doc"]: r for r in repetition_metrics(df).collect()}
+    # doc 1: 5 tokens, max word 'a' x3 -> 0.6; bigram 'a a' x2 -> 2*2/5 = 0.8
+    assert got[1]["n_tok"] == 5
+    assert got[1]["max_word_ratio"] == 0.6
+    assert got[1]["top_bigram_ratio"] == 0.8
+    assert got[1]["is_repetitive"] is True
+    # doc 2: all distinct -> 1/20 and 2/20, both under threshold
+    assert got[2]["max_word_ratio"] == 0.05
+    assert got[2]["top_bigram_ratio"] == 0.1
+    assert got[2]["is_repetitive"] is False
+    # doc 3: tokenizes empty
+    assert got[3]["n_tok"] == 0
+    assert got[3]["max_word_ratio"] == 0.0
+    assert got[3]["is_repetitive"] is False
+
+
+def test_redact_pii_order_and_counts(spark):
+    """Email -> IP -> phone order: a 3-digit-octet IP is redacted as an IP,
+    never double-counted by the phone pattern; counts are disjoint."""
+    from crawler_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org server 100.200.300.1 call +44-201-55555 done"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 1, 1)
+    assert got[1]["redacted"] == "mail <EMAIL> server <IP> call <PHONE> done"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+    assert got[2]["redacted"] == "no pii here at all"
+
+
+def test_domain_cap_equals_window(spark):
+    """The salted two-phase plan must equal the naive per-domain window."""
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.pipeline import domain_cap
+
+    rows = [
+        (i, f"d{i % 7}", (i * 37) % 50 + 10)  # ties in n_chars across ids
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {
+        (r["doc_id"], r["rank"])
+        for r in domain_cap(df, "source", "doc_id", "n_chars", cap=5).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    want = {
+        (r["doc_id"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want and len(got) == 35  # 7 domains x cap 5
+
+
+def test_segment_dedup_drops_shared_boilerplate(spark):
+    """A 10-token banner shared by two docs is dropped from BOTH; unique
+    segments (including a short final partial) survive in position order;
+    an all-boilerplate doc keeps a row with empty clean_text."""
+    from crawler_spark.operators.dedup import segment_dedup
+
+    bp = "subscribe to our newsletter for updates and offers today now"
+    a_mid = " ".join(f"aa{chr(97 + i)}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{bp} {a_mid} tail one two"),
+            (2, f"{bp} " + " ".join(f"bb{chr(97 + i)}" for i in range(10))),
+            (3, "completely unrelated words that stand alone just fine here"),
+            (4, bp),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r for r in segment_dedup(df, seg_len=10).collect()}
+    assert (got[1]["n_segments"], got[1]["n_dropped"]) == (3, 1)
+    assert got[1]["clean_text"] == f"{a_mid} tail one two"
+    assert (got[2]["n_segments"], got[2]["n_dropped"]) == (2, 1)
+    assert got[3]["n_dropped"] == 0
+    assert got[3]["clean_text"] == "completely unrelated words that stand alone just fine here"
+    assert (got[4]["n_segments"], got[4]["n_dropped"]) == (1, 1)
+    assert got[4]["clean_text"] == ""
