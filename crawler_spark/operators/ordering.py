@@ -157,3 +157,60 @@ def top_per_key(
     return survivors.withColumn(rank_col, F.row_number().over(w2)).where(
         F.col(rank_col) <= limit_col
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_col: str,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` in the total order given by
+    ``order_exprs`` — the distributed running-total primitive (same
+    two-phase shape as :func:`with_global_seq`: range-partition on the sort
+    key, one tiny per-partition SUM collected to the driver, cumulative
+    offsets broadcast back, then a per-partition window sum). The naive
+    ``sum().over(Window.orderBy(...))`` funnels the whole corpus through a
+    single task; this stays ``shuffle.partitions``-way parallel with the
+    driver seeing one row per partition.
+
+    Same cache contract as with_global_seq: call :func:`release_global_seq`
+    on the result after materializing.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.repartitionByRange(n, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["_pid"]: r["_s"]
+        for r in d.groupBy("_pid").agg(F.sum(value_col).cast("long").alias("_s")).collect()
+    }
+    if not sums:
+        d.unpersist()
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        out._global_seq_total = 0
+        return out
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = d.withColumn(
+        out_col,
+        (
+            F.element_at(mapping, F.col("_pid"))
+            + F.coalesce(F.sum(value_col).over(w), F.lit(0))
+        ).cast("long"),
+    ).drop("_pid")
+    out._global_seq_cache = d
+    out._global_seq_total = acc  # grand total, free byproduct
+    return out

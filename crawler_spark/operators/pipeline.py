@@ -154,3 +154,86 @@ def domain_cap(
         salt_buckets=8,
         rank_col=rank_col,
     )
+
+
+def corpus_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified subsampling — the data-mixing step of a
+    training run (per-source sampling weights, e.g. upweight curated
+    sources, downweight raw crawl). Membership is a pure function of
+    ``hash60(id ':' stratum) % 10000`` compared against the stratum's rate:
+    no RNG, so re-runs, incremental arrivals, and any cluster size keep the
+    exact same documents, and the oracle re-derives every decision in SQL.
+
+    A map-only filter at any scale (no shuffle, no sampling state).
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(strata_col))
+    b = F.pmod(hash60(key), F.lit(10000))
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.where(b < (rate * 10000).cast("long"))
+
+
+def corpus_shuffle(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle: a contiguous 0-based
+    ``seq`` over the pseudo-random permutation ``hash60(id)`` (id as the
+    collision tiebreak). Uses the distributed rank primitive
+    (ordering.with_global_seq) — range-partition on the hash, per-partition
+    offsets — so a 10^10-doc corpus never funnels through one window task,
+    yet the order is reproducible anywhere (the oracle recomputes it as a
+    plain row_number).
+
+    Cache contract: release with ordering.release_global_seq after
+    materializing (registry usage collects immediately).
+    """
+    from crawler_spark.operators.ordering import with_global_seq
+
+    keyed = df.withColumn("_shuf", hash60(F.col(id_col).cast("string")))
+    order = [F.asc("_shuf"), F.asc(id_col)]
+    return with_global_seq(keyed, order, seq_col="seq").drop("_shuf")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining batches):
+    documents are laid out in the deterministic shuffle order
+    (hash60(id), id), token counts are prefix-summed, and each document
+    maps to the fixed-size token chunks [start_chunk, end_chunk] it
+    occupies in the concatenated stream. Straddling a boundary is allowed —
+    that IS concat-and-chunk semantics; n_chunks tells how many pieces the
+    doc is split into.
+
+    The prefix sum is the distributed two-phase cumsum
+    (ordering.with_global_cumsum), never a single-task global window.
+    Returns (doc, n_tok, cum_before, start_chunk, end_chunk).
+    """
+    from crawler_spark.operators.ordering import with_global_cumsum
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+"), F.lit(0))
+    d = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).cast("long").alias("n_tok"),
+        hash60(F.col(id_col).cast("string")).alias("_shuf"),
+    )
+    order = [F.asc("_shuf"), F.asc("doc")]
+    c = with_global_cumsum(d, order, "n_tok", out_col="cum_before")
+    b = F.lit(int(budget))
+    return c.select(
+        "doc",
+        "n_tok",
+        "cum_before",
+        F.floor(F.col("cum_before") / b).cast("long").alias("start_chunk"),
+        F.floor(
+            (F.col("cum_before") + F.greatest(F.col("n_tok"), F.lit(1)) - 1) / b
+        ).cast("long").alias("end_chunk"),
+    )

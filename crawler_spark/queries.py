@@ -1529,6 +1529,96 @@ ORDER BY doc
 """
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified data mixing (pipeline.corpus_mix): per-source
+    sampling rates applied as a pure hash function of (doc_id, source) — a
+    map-only filter with no RNG. The per-source bit_xor of the kept ids is a
+    full membership fingerprint: ANY document kept or dropped differently
+    from the oracle flips the hash."""
+    from crawler_spark.operators.pipeline import corpus_mix
+
+    rates = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 1.0}
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        corpus_mix(docs, rates, "source", "doc_id", default_rate=0.1)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.bit_xor(hash60(F.col("doc_id").cast("string"))).alias("xor_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CORPUS_MIX = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ({hash60_sql("CAST(doc_id AS VARCHAR) || ':' || source")} % 10000) AS b,
+         CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.25
+                     WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 1.0
+                     ELSE 0.1 END AS rate
+  FROM documents
+)
+SELECT source, count(*) AS n_kept,
+       bit_xor({hash60_sql("CAST(doc_id AS VARCHAR)")}) AS xor_fp
+FROM r WHERE b < CAST(rate * 10000 AS BIGINT)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (pipeline.corpus_shuffle):
+    contiguous seq over the hash60 permutation via the distributed
+    range-partition + per-partition-offset rank — never a one-task global
+    window. The oracle recomputes the whole permutation as row_number, so
+    every position is value-checked. Build runs the operator's one
+    offsets pass (one collect of a row per partition) by design."""
+    from crawler_spark.operators.pipeline import corpus_shuffle
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return corpus_shuffle(docs, "doc_id").select("doc_id", "seq").orderBy("seq")
+
+
+SQL_CORPUS_SHUFFLE = f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id) - 1 AS seq
+FROM documents ORDER BY seq
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (pipeline.pack_sequences, budget 64
+    tokens): docs laid out in shuffle order, token counts prefix-summed with
+    the distributed two-phase cumsum, each doc mapped to its chunk span.
+    The oracle's single global window sum must agree with the two-phase
+    plan on every cum_before — the strongest check of the cumsum operator.
+    Build runs the operator's one offsets pass by design."""
+    from crawler_spark.operators.pipeline import pack_sequences
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return pack_sequences(docs, "doc_id", "text", budget=64).orderBy("doc")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id AS doc,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok,
+         {hash60_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+o AS (
+  SELECT doc, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY h, doc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc, n_tok, cum_before,
+       cum_before // 64 AS start_chunk,
+       (cum_before + greatest(n_tok, 1) - 1) // 64 AS end_chunk
+FROM o ORDER BY doc
+"""
+
+
 def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING politeness gate (X2/X3 twin,
     streaming/rollup.politeness_gate) under the full value oracle: the
@@ -1753,6 +1843,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "pii_redaction": QuerySpec(q_pii_redaction, SQL_PII_REDACTION),
     "domain_cap": QuerySpec(q_domain_cap, SQL_DOMAIN_CAP),
     "segment_dedup": QuerySpec(q_segment_dedup, SQL_SEGMENT_DEDUP),
+    "corpus_mix": QuerySpec(q_corpus_mix, SQL_CORPUS_MIX),
+    "corpus_shuffle": QuerySpec(q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
+    "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
     "knn_cosine": QuerySpec(q_knn_cosine, SQL_KNN_COSINE),
     "dedup_embedding": QuerySpec(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),

@@ -92,9 +92,14 @@ def test_registry_builders_are_lazy(spark):
         "ann_ivf", "ann_neardup_blocked",
     }
     for name in SQL_CHECKED:
-        if name in ("stream_politeness_gate", "dedup_clusters", "training_keepset"):
+        if name in (
+            "stream_politeness_gate", "dedup_clusters", "training_keepset",
+            "corpus_shuffle", "pack_sequences",
+        ):
             continue  # run by design: a streaming job / an iterative
-            # label-propagation loop with a convergence probe per round
+            # label-propagation loop with a convergence probe per round /
+            # the distributed rank+cumsum offsets pass (one collect of a
+            # row per partition is the operator's essence)
         before = sql_executions()
         REGISTRY[name].fn(spark, SF_DIR)
         _t.sleep(0.3)  # the status store is fed asynchronously

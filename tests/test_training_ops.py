@@ -423,3 +423,94 @@ def test_segment_dedup_drops_shared_boilerplate(spark):
     assert got[3]["clean_text"] == "completely unrelated words that stand alone just fine here"
     assert (got[4]["n_segments"], got[4]["n_dropped"]) == (1, 1)
     assert got[4]["clean_text"] == ""
+
+
+def test_with_global_cumsum_equals_naive_window(spark):
+    """The two-phase distributed prefix sum must equal the single-task
+    global window on any input, including ties in the order key."""
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.ordering import release_global_seq, with_global_cumsum
+
+    rows = [(i, (i * 13) % 7, (i * 5) % 11 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "k", "v"]).repartition(8)
+    order = [F.asc("k"), F.asc("id")]
+    out = with_global_cumsum(df, order, "v", out_col="c")
+    got = {r["id"]: r["c"] for r in out.collect()}
+    release_global_seq(out)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn(
+            "c", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+        ).collect()
+    }
+    assert got == want
+    assert out._global_seq_total == sum(v for _, _, v in rows)
+
+
+def test_corpus_mix_membership_is_pure_hash(spark):
+    """Every keep/drop decision re-derivable by hand; rate 0 drops all,
+    rate 1 keeps all; two runs identical."""
+    import hashlib
+
+    from crawler_spark.operators.pipeline import corpus_mix
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {"s0": 0.0, "s1": 0.3, "s3": 1.0}
+    kept = {r["doc_id"] for r in corpus_mix(df, rates, "source", "doc_id", 0.5).collect()}
+
+    def bucket(i, s):
+        return int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) % 10000
+
+    want = {
+        i for i, s in rows
+        if bucket(i, s) < int({"s0": 0.0, "s1": 0.3, "s3": 1.0}.get(s, 0.5) * 10000)
+    }
+    assert kept == want
+    assert not any(s == "s0" for i, s in rows if i in kept)
+    assert all(i in kept for i, s in rows if s == "s3")
+    again = {r["doc_id"] for r in corpus_mix(df, rates, "source", "doc_id", 0.5).collect()}
+    assert again == kept
+
+
+def test_corpus_shuffle_is_contiguous_permutation(spark):
+    """seq is 0..n-1 exactly once, ordered by (hash60(id), id), stable."""
+    import hashlib
+
+    from crawler_spark.operators.pipeline import corpus_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(257)], ["doc_id"]).repartition(8)
+    got = {r["doc_id"]: r["seq"] for r in corpus_shuffle(df).collect()}
+    assert sorted(got.values()) == list(range(257))
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    want_order = sorted(range(257), key=lambda i: (h(i), i))
+    assert got == {doc: pos for pos, doc in enumerate(want_order)}
+
+
+def test_pack_sequences_chunk_spans(spark):
+    """Chunk spans follow the concatenated token stream exactly: spans are
+    non-overlapping in order, cover every chunk, and straddle boundaries
+    exactly when cum_before % budget + n_tok > budget."""
+    from crawler_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}x" for j in range((i * 7) % 13 + 1))) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        pack_sequences(df, budget=10).collect(), key=lambda r: r["cum_before"]
+    )
+    cum = 0
+    for r in out:
+        assert r["cum_before"] == cum
+        assert r["start_chunk"] == cum // 10
+        assert r["end_chunk"] == (cum + r["n_tok"] - 1) // 10
+        cum += r["n_tok"]
+    total_chunks = (cum + 9) // 10
+    covered = set()
+    for r in out:
+        covered.update(range(r["start_chunk"], r["end_chunk"] + 1))
+    assert covered == set(range(total_chunks))
