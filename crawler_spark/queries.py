@@ -878,24 +878,44 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
 
 
-_BANDS = dedup.MINHASH_K // dedup.LSH_BAND_SIZE
-_BAND_KEYS = ", ".join(
-    "concat({b}, ':', mh{i}, ':', mh{j}) ".format(b=b, i=2 * b, j=2 * b + 1)
-    for b in range(_BANDS)
-)
-
-SQL_DEDUP_MINHASH_LSH = (
-    _SH_CTE
-    + f"""
-, sig AS (SELECT doc, {_MH_COLS} FROM sh GROUP BY doc)
-, bands AS (SELECT doc, unnest([{_BAND_KEYS}]) AS band FROM sig)
+def _minhash_lsh_sql(k: int, r: int, thr: float) -> str:
+    """The full MinHash+LSH pipeline re-derived in SQL for any (k, bands of
+    r) — every permutation term, band key, candidate join, and exact-Jaccard
+    verify, mirroring dedup.minhash_lsh_dedup's knobs."""
+    mh_cols = ", ".join(f"min({minhash_term_sql(i, 'sh')}) AS mh{i}" for i in range(k))
+    band_keys = ", ".join(
+        "concat(" + ", ':', ".join([str(b)] + [f"mh{b * r + j}" for j in range(r)]) + ")"
+        for b in range(k // r)
+    )
+    return (
+        _SH_CTE
+        + f"""
+, sig AS (SELECT doc, {mh_cols} FROM sh GROUP BY doc)
+, bands AS (SELECT doc, unnest([{band_keys}]) AS band FROM sig)
 , pairs AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc
 )
 """
-    + _PAIR_JACCARD_SQL.format(thr=0.5)
-)
+        + _PAIR_JACCARD_SQL.format(thr=thr)
+    )
+
+
+SQL_DEDUP_MINHASH_LSH = _minhash_lsh_sql(dedup.MINHASH_K, dedup.LSH_BAND_SIZE, 0.5)
+
+
+def q_dedup_minhash_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash setting — K=64, 16 bands of 4, the
+    BENCH/BASELINE.md choice (steepest s-curve at the 0.5 midpoint, ~half
+    K=8's candidate volume, recall 1.0 on the planted suite) — under the
+    same full value oracle as the K=8 default, so the scale configuration
+    has its own CI row rather than living only in bench evidence."""
+    return dedup.minhash_lsh_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.5, k=64, band_size=4
+    )
+
+
+SQL_DEDUP_MINHASH_K64 = _minhash_lsh_sql(64, 4, 0.5)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1833,6 +1853,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "revenue_by_nation": QuerySpec(q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_minhash_k64": QuerySpec(q_dedup_minhash_k64, SQL_DEDUP_MINHASH_K64),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),

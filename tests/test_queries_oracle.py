@@ -88,8 +88,8 @@ def test_registry_builders_are_lazy(spark):
     # checkpoint the corpus is re-scanned and re-tokenized up to 4x). Under
     # AQE the checkpoint registers exactly ONE execution at build time.
     SHARERS = {
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "ann_ivf", "ann_neardup_blocked",
+        "dedup_minhash_lsh", "dedup_minhash_k64", "dedup_ngram_jaccard",
+        "dedup_simhash", "ann_ivf", "ann_neardup_blocked",
     }
     for name in SQL_CHECKED:
         if name in (
