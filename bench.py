@@ -57,6 +57,15 @@ HEADLINE = [
     "lang_id_multi",
     "media_resize",
     "media_frame_sample",
+    # round 3: curation / training-prep additions
+    "dedup_minhash_k64",
+    "segment_dedup",
+    "repetition",
+    "pii_redaction",
+    "domain_cap",
+    "contamination",
+    "corpus_shuffle",
+    "pack_sequences",
 ]
 
 

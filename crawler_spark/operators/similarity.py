@@ -210,18 +210,42 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: top-k within the query's own centroid cell.
+    """IVF ANN: top-k within the query's ``nprobe`` nearest centroid cells.
 
-    Returns (query_id, neighbor_id, rank). Approximate: recall vs brute force
-    depends on the quantizer (nprobe=1 here); the join is cell-co-partitioned.
+    Returns (query_id, neighbor_id, rank). Approximate: recall vs brute
+    force rises with nprobe (measured sweep in BENCH/BASELINE.md); cost is
+    ~nprobe/n_centroids of the corpus per query. The candidate join stays
+    cell-co-partitioned; each corpus vector lives in exactly one cell, so
+    probing more cells never duplicates a candidate.
     """
     # materialized once: the assignment feeds both the query and corpus side
     assigned = ivf_assign(vectors, n_centroids, id_col, vec_col).localCheckpoint(eager=False)
-    q = queries.select(F.col(id_col).alias("query_id")).join(
-        assigned.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"),
-        "query_id",
-    )
+    if nprobe == 1:
+        q = queries.select(F.col(id_col).alias("query_id")).join(
+            assigned.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"),
+            "query_id",
+        )
+    else:
+        # re-rank the query vectors against the broadcast centroids and keep
+        # the top-nprobe cells (queries are few; this is a tiny local pass)
+        cent = vectors.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("_cent")
+        )
+        qv = queries.select(F.col(id_col).alias("query_id")).join(
+            assigned.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+            "query_id",
+        )
+        scored_q = qv.crossJoin(F.broadcast(cent)).withColumn(
+            "_csim", cosine(F.col("_qv"), F.col("_cent"))
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("cell"))
+        q = (
+            scored_q.withColumn("_qr", F.row_number().over(wq))
+            .where(F.col("_qr") <= nprobe)
+            .select("query_id", "_qv", "cell")
+        )
     c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell")
     scored = (
         c.join(F.broadcast(q), "cell")

@@ -1127,6 +1127,40 @@ SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
 """
 
 
+def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 (similarity.ivf_topk) — the recall knob's
+    first step up: each query searches its two nearest cells. The oracle
+    re-derives the multi-cell probe exactly, so the nprobe plan (not just
+    nprobe=1) has its own CI row; the measured recall sweep lives in
+    BENCH/BASELINE.md."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 20), n_centroids=8, k=5, nprobe=2
+    )
+
+
+SQL_ANN_IVF_PROBE2 = f"""
+WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+ranked AS (
+  SELECT a.vec_id, a.embedding, b.cell,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY ({_COS_SQL}) DESC, b.cell) AS r
+  FROM embeddings a JOIN cent b ON true
+),
+assigned AS (SELECT vec_id, embedding, cell FROM ranked WHERE r = 1),
+qcells AS (
+  SELECT vec_id, embedding, cell FROM ranked WHERE r <= 2 AND vec_id < 20
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY ({_COS_SQL}) DESC, b.vec_id) AS rank
+  FROM qcells a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -1870,6 +1904,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_cosine": QuerySpec(q_knn_cosine, SQL_KNN_COSINE),
     "dedup_embedding": QuerySpec(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_ivf": QuerySpec(q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_probe2": QuerySpec(q_ann_ivf_probe2, SQL_ANN_IVF_PROBE2),
     "ann_neardup_blocked": QuerySpec(q_ann_neardup_blocked, SQL_ANN_NEARDUP_BLOCKED),
     "ann_neardup_srp": QuerySpec(q_ann_neardup_srp, SQL_ANN_NEARDUP_SRP),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES),

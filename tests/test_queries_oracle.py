@@ -89,7 +89,7 @@ def test_registry_builders_are_lazy(spark):
     # AQE the checkpoint registers exactly ONE execution at build time.
     SHARERS = {
         "dedup_minhash_lsh", "dedup_minhash_k64", "dedup_ngram_jaccard",
-        "dedup_simhash", "ann_ivf", "ann_neardup_blocked",
+        "dedup_simhash", "ann_ivf", "ann_ivf_probe2", "ann_neardup_blocked",
     }
     for name in SQL_CHECKED:
         if name in (
