@@ -66,6 +66,9 @@ HEADLINE = [
     "contamination",
     "corpus_shuffle",
     "pack_sequences",
+    "pagerank",
+    "event_sessions",
+    "event_transitions",
 ]
 
 

@@ -1,0 +1,83 @@
+"""Link-graph analytics over crawl output — integer-arithmetic PageRank.
+
+The reference crawler materializes a links table (src, dst, is_internal;
+/root/reference/src/crawler/storage/database.py link rows) but never ranks
+it; ranking the discovered graph is the canonical next consumer of that
+table (frontier prioritization, host reputation, training-corpus weighting),
+so it is first-class here.
+
+``pagerank`` is the standard power iteration expressed as DataFrame
+join+aggregate rounds — but in SCALED INTEGER arithmetic instead of doubles:
+
+    r0(v)   = scale                         (unnormalized per-node convention)
+    r_i(v)  = (15*scale) DIV 100  +  (85 * sum_{u->v} (r_{i-1}(u) DIV out(u))) DIV 100
+
+Floor division loses a little probability mass per round (documented,
+deterministic); in exchange every intermediate is an exact int64, so the
+result is bit-identical across engines, partitionings, and aggregation
+orders — the DuckDB oracle unrolls the same recurrence and the driver's
+value-hash gate checks actual rank VALUES, not just orderings. (A
+double-precision PageRank can NEVER be value-hashed across engines: partial
+aggregation order flips low bits — see the decimal-sum recipes in
+queries.py.)
+
+Scale design (10^10 edges): each iteration is one equality-join of edges
+against the rank table on src (both sides hash-partitioned on the join key —
+co-partitioned across iterations since the key never changes) and one
+groupBy(dst) sum with map-side partial aggregation. Dangling-node mass is
+dropped rather than redistributed (redistribution needs a global scalar per
+round — one extra tiny agg — omitted to keep the oracle recurrence local).
+``checkpoint_every`` truncates the growing lineage with localCheckpoint for
+long runs; the default 0 keeps the plan pure-lazy for short ones (the
+registry entry runs n_iter=5 unchecked — plan depth is linear in n_iter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000  # rank fixed-point scale: 1.0 == 10^9
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    scale: int = PR_SCALE,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Integer power-iteration PageRank; returns (node, pr) with pr int64.
+
+    Nodes are every id appearing as src or dst; self-loops should be
+    filtered by the caller. int64 headroom: sum of in-contributions per node
+    is bounded by n_nodes * scale, so 85 * sum stays under 2^63 for
+    n_nodes * scale < 10^17 (e.g. 10^8 nodes at the default scale).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib_src = e.join(deg, "src")  # (src, dst, outdeg): static across rounds
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    teleport = (15 * scale) // 100
+    ranks = nodes.withColumn("pr", F.lit(scale).cast("long"))
+    for i in range(n_iter):
+        sums = (
+            contrib_src.join(ranks, contrib_src.src == ranks.node)
+            .select("dst", F.expr("pr DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node",
+            (
+                F.lit(teleport) + F.expr("(85 * coalesce(m, 0L)) DIV 100")
+            ).cast("long").alias("pr"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

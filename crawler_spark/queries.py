@@ -1673,6 +1673,135 @@ FROM o ORDER BY doc
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (operators/graph.pagerank) over a
+    deterministic synthetic link graph: every doc gets 3 pseudo-random
+    out-links dst = hash60('pr:doc:k') % n_docs (self-loops dropped), the
+    exact construction the oracle re-derives, so the unrolled 5-iteration
+    recurrence is value-checked rank-for-rank — exact int64 fixed-point
+    arithmetic makes the hash comparison float-safe (see graph.py). In
+    production the edges input is the crawl's links table keyed by url_hash;
+    n_docs is computed in-plan (broadcast 1-row agg, no driver count)."""
+    from crawler_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("_n"))
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edge_h = hash60(
+        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
+    )
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select("doc_id", "_n", ks)
+        .select(
+            F.col("doc_id").alias("src"),
+            (edge_h % F.col("_n")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return (
+        pagerank(edges, n_iter=5)
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "pr")
+    )
+
+
+def _pagerank_sql(n_iter: int = 5) -> str:
+    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents),",
+        "edges AS (",
+        f"  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst",
+        "  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)",
+        f"  WHERE doc_id <> ({h} % nn.n)",
+        "),",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT nd.node, CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS m
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) s ON nd.node = s.node
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node AS doc_id, pr FROM r{n_iter} ORDER BY pr DESC, node LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+SQL_PAGERANK = _pagerank_sql(5)
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization of the raw event log (operators/events.sessionize,
+    30-min inactivity gap): the inverse of the reference's session counters
+    — sessions RECONSTRUCTED from (user, ts) alone. Every output column is
+    an exact integer (epoch seconds, counts) so the oracle's identical
+    window recurrence hash-matches."""
+    from crawler_spark.operators.events import sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_sec=1800)
+
+
+SQL_EVENT_SESSIONS = """
+WITH ev AS (
+  -- floor, not CAST: DuckDB CAST(double AS BIGINT) rounds-to-nearest while
+  -- Spark unix_timestamp truncates sub-second parts
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+),
+marked AS (
+  SELECT user_id, event_id, s,
+         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+idx AS (
+  SELECT user_id, s,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(s) AS start_s, max(s) AS end_s, max(s) - min(s) AS duration_s
+FROM idx GROUP BY user_id, session_idx
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (operators/events
+    .transition_counts) over each user's (ts, event_id)-ordered timeline —
+    Markov-chain edge weights for behavior reporting. Full result set (no
+    top-k), exact integer counts."""
+    from crawler_spark.operators.events import transition_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_counts(ev)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n
+FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+"""
+
+
 def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATEFUL STREAMING politeness gate (X2/X3 twin,
     streaming/rollup.politeness_gate) under the full value oracle: the
@@ -1910,6 +2039,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES),
     "media_resize": QuerySpec(q_media_resize, SQL_MEDIA_RESIZE),
     "media_frame_sample": QuerySpec(q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
+    "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
+    "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(
         q_stream_politeness_gate, SQL_STREAM_POLITENESS_GATE
     ),
