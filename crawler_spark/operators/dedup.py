@@ -320,8 +320,9 @@ def neardup_clusters(
     wrong representatives to training_keepset (ADVICE r2).
 
     Scale note: min-label propagation shuffles |E| rows per round; at
-    10^10-edge graphs the large-star/small-star variant (Kiveris 2014)
-    further cuts per-round volume — same join pattern, swap when |E| hurts.
+    10^10-edge graphs use :func:`neardup_clusters_star` (same contract,
+    oracle-checked against the same recursive-CTE twin), whose per-round
+    shuffle volume shrinks with the collapsing edge set.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -376,6 +377,107 @@ def neardup_clusters(
             "(each round doubles the reachable pointer depth)"
         )
     return labels.select("doc", F.col("label").alias("cluster"))
+
+
+def neardup_clusters_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014) — the 10^10-edge production variant of
+    :func:`neardup_clusters`, same contract: (doc, cluster = min reachable
+    doc id) for every doc appearing in a pair.
+
+    Why a second algorithm: min-label propagation shuffles the FULL edge set
+    every round and keeps a separate label table; star contraction rewrites
+    the edge set itself, which SHRINKS geometrically as components collapse
+    into stars — per-round shuffle volume drops instead of staying |E|. Both
+    converge in O(log n) rounds; on the huge, skewed near-dup graphs of a
+    web corpus the shrinking edge set is the difference that matters.
+
+    One round = large-star (every node links its larger neighbors to its
+    smallest neighbor-or-self; afterwards every edge points strictly
+    downward) then small-star (every node links its smaller neighbors and
+    itself to their minimum). Convergence = the down-edge set reached a
+    fixed point, detected by a one-row (count, xor-of-hash) signature agg —
+    an order-insensitive set fingerprint, no full-set comparison shuffle.
+    Each round localCheckpoints to truncate lineage. Raises RuntimeError if
+    not converged after ``max_iter`` rounds (same guard as the propagation
+    variant; a fixed point is provably reached in O(log^2 n) star rounds).
+    """
+    down = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0).cast("long")
+            ).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    sig = signature(down)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetric closure: center src, m = min(N ∪ {src});
+        # every LARGER neighbor re-attaches to m, so output edges point down.
+        sym = down.select("u", "v").union(
+            down.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy(F.col("u").alias("src"))
+            .agg(F.min("v").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("mn"))
+        )
+        ls = (
+            sym.join(mins, sym.u == mins.src)
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over down edges: center u, mn = min of its smaller
+        # neighbors; every other smaller neighbor and u itself attach to mn.
+        sm = ls.groupBy(F.col("u").alias("src")).agg(F.min("v").alias("mn"))
+        j = ls.join(sm, ls.u == sm.src)
+        down_next = (
+            j.where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(sm.select(F.col("src").alias("u"), F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        new_sig = signature(down_next)
+        down = down_next
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"neardup_clusters_star did not converge in max_iter={max_iter} "
+            "rounds; raise max_iter"
+        )
+    # fixed point is a star per component: every non-min node has exactly one
+    # down edge to the component min; the min itself only appears as v.
+    nodes = (
+        pairs.select(F.col(a_col).alias("doc"))
+        .union(pairs.select(F.col(b_col).alias("doc")))
+        .distinct()
+    )
+    return nodes.join(down, nodes.doc == down.u, "left").select(
+        "doc", F.coalesce(F.col("v"), F.col("doc")).alias("cluster")
+    )
 
 
 def segment_dedup(

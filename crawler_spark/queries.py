@@ -961,6 +961,18 @@ FROM reach GROUP BY src
 )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SAME near-dup pairs, but via
+    alternating large-star/small-star contraction (dedup.
+    neardup_clusters_star) — the 10^10-edge production variant whose
+    per-round shuffle shrinks with the edge set. Checked against the
+    identical recursive-CTE transitive closure as dedup_clusters, so BOTH
+    iterative algorithms carry a full value oracle and must agree with it
+    (hence with each other)."""
+    pairs = dedup.minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
+    return dedup.neardup_clusters_star(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
     return dedup.simhash_pairs(sim, max_hamming=3)
@@ -2020,6 +2032,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_star": QuerySpec(q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "training_keepset": QuerySpec(q_training_keepset, SQL_TRAINING_KEEPSET),
     "corpus_split": QuerySpec(q_corpus_split, SQL_CORPUS_SPLIT),
     "contamination": QuerySpec(q_contamination, SQL_CONTAMINATION),

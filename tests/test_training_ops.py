@@ -254,6 +254,37 @@ def test_neardup_clusters_raises_when_unconverged(spark):
         dedup.neardup_clusters(pairs, max_iter=1)
 
 
+def test_neardup_clusters_star_matches_propagation(spark):
+    """Large-star/small-star contraction must assign the SAME labels as
+    min-label propagation on every graph shape: chain + components + a
+    hash-scrambled random graph (ids far from contiguous)."""
+    fixtures = [
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        [(i, i + 1) for i in range(25)],
+        [((i * 131) % 997, (i * 517 + 88) % 997) for i in range(150)],
+    ]
+    for edges in fixtures:
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], ["doc_a", "doc_b"]
+        )
+        want = sorted(
+            (r["doc"], r["cluster"]) for r in dedup.neardup_clusters(pairs).collect()
+        )
+        got = sorted(
+            (r["doc"], r["cluster"])
+            for r in dedup.neardup_clusters_star(pairs).collect()
+        )
+        assert got == want
+
+
+def test_neardup_clusters_star_raises_when_unconverged(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters_star(pairs, max_iter=1)
+
+
 def test_training_keepset_statuses(spark):
     """Composed curation pipeline: each gate fires on its planted doc and
     the min-id representative of each duplicate group is kept."""
