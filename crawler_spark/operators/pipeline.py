@@ -237,3 +237,53 @@ def pack_sequences(
             (F.col("cum_before") + F.greatest(F.col("n_tok"), F.lit(1)) - 1) / b
         ).cast("long").alias("end_chunk"),
     )
+
+
+def source_reputation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source curation scorecard — the host-reputation signal a crawl
+    scheduler and a corpus curator both consume (analog of the reference's
+    per-domain rollups, but over curation outcomes).
+
+    Joins every document's :func:`training_keepset` status back to its
+    source and aggregates one row per source: how many documents it
+    contributed, how many survived curation, and where the rest died
+    (quality / language / exact-dup / near-dup), plus total characters.
+    All outputs are exact integers (counts and sums — ratios are left to
+    the consumer) so the cross-engine value hash is exact.
+
+    Scale: one extra shuffle over the keepset output, keyed on source —
+    sources are ~hosts, far fewer than docs, and the count aggregation is
+    map-side combinable. Feeding the result back into frontier priorities
+    (boost high-keep-rate hosts) is a broadcast join against the frontier.
+    """
+    ks = training_keepset(df, id_col, text_col)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(source_col).alias("source"),
+        F.col(chars_col).cast("long").alias("_chars"),
+    )
+
+    def n(status: str, alias: str):
+        return F.sum(
+            F.when(F.col("status") == status, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias(alias)
+
+    return (
+        base.join(ks, "doc")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            n("kept", "n_kept"),
+            n("quality", "n_quality_fail"),
+            n("lang", "n_lang_fail"),
+            n("exact_dup", "n_exact_dup"),
+            n("near_dup", "n_near_dup"),
+            F.sum("_chars").alias("sum_chars"),
+        )
+    )

@@ -1291,6 +1291,34 @@ FROM q JOIN l ON l.doc = q.doc JOIN e ON e.doc = q.doc
 )
 
 
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard (pipeline.source_reputation): every
+    document's composed keep/drop status rolled up to its source — docs
+    contributed, docs kept, and the per-gate failure counts, all exact
+    integers. The oracle recomputes the whole keepset composition in SQL
+    and aggregates it identically, so the rollup is value-checked end to
+    end (the host-reputation signal a scheduler would broadcast back into
+    frontier priorities)."""
+    from crawler_spark.operators.pipeline import source_reputation
+
+    return source_reputation(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+
+
+SQL_SOURCE_REPUTATION = (
+    "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "CAST(sum(CASE WHEN status = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail, "
+    "CAST(sum(CASE WHEN status = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_fail, "
+    "CAST(sum(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup, "
+    "CAST(sum(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup, "
+    "CAST(sum(d.n_chars) AS BIGINT) AS sum_chars "
+    "FROM documents d JOIN (" + SQL_TRAINING_KEEPSET + ") ks ON ks.doc = d.doc_id "
+    "GROUP BY d.source"
+)
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test corpus split (pipeline.split_assign):
     membership is ``hash60(doc_id) % 100`` — a pure function of the doc id,
@@ -2034,6 +2062,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_clusters_star": QuerySpec(q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "training_keepset": QuerySpec(q_training_keepset, SQL_TRAINING_KEEPSET),
+    "source_reputation": QuerySpec(q_source_reputation, SQL_SOURCE_REPUTATION),
     "corpus_split": QuerySpec(q_corpus_split, SQL_CORPUS_SPLIT),
     "contamination": QuerySpec(q_contamination, SQL_CONTAMINATION),
     "repetition": QuerySpec(q_repetition, SQL_REPETITION),

@@ -94,7 +94,8 @@ def test_registry_builders_are_lazy(spark):
     for name in SQL_CHECKED:
         if name in (
             "stream_politeness_gate", "dedup_clusters", "dedup_clusters_star",
-            "training_keepset", "corpus_shuffle", "pack_sequences",
+            "training_keepset", "source_reputation", "corpus_shuffle",
+            "pack_sequences",
         ):
             continue  # run by design: a streaming job / an iterative
             # label-propagation loop with a convergence probe per round /
