@@ -82,6 +82,53 @@ def _duration_seconds(spec: str) -> float:
     return float(amount) * _UNITS[unit]
 
 
+def session_rollup(
+    stream: DataFrame, gap_sec: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Native ``session_window`` sessionization — the STREAMING twin of
+    operators/events.sessionize, on Spark's built-in merging session state
+    instead of a batch lag window.
+
+    Output: (user_id, n_events, start_s, end_s) per closed session, epoch
+    seconds as int64, matching the batch operator's values column-for-column
+    (session_idx excepted — a stream has no stable per-user ordinal until
+    sessions are re-ranked downstream).
+
+    Boundary contract: ``session_window`` merges events strictly closer
+    than its gap (window ranges are half-open), while the batch operator
+    keeps a pair exactly ``gap_sec`` apart in ONE session (split on
+    ``diff > gap_sec``). Timestamps are therefore truncated to whole
+    seconds — same as the batch operator — and the native gap is
+    ``gap_sec + 1`` seconds, making the two predicates identical
+    (``diff <= gap_sec`` ⟺ ``diff < gap_sec + 1`` on integers). The
+    equality test in tests/test_sources_streaming.py pins this.
+
+    State is bounded by the watermark: a session's state is dropped once
+    the watermark passes its close, the same horizon story as the other
+    streaming twins.
+    """
+    return (
+        stream.withColumn(
+            "ts", F.date_trunc("second", F.col("ts").cast("timestamp"))
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_sec + 1} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("_mn"),
+            F.max("ts").alias("_mx"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_timestamp("_mn").cast("long").alias("start_s"),
+            F.unix_timestamp("_mx").cast("long").alias("end_s"),
+        )
+    )
+
+
 def politeness_gate(
     stream: DataFrame,
     default_delay: float = 1.0,

@@ -122,6 +122,32 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
     assert g == e and len(g) > 0
 
 
+def test_session_rollup_stream_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window (streaming, gap_sec+1 half-open) must produce
+    exactly the batch lag-window sessionize's sessions on the full events
+    table — n_events, start and end epoch seconds per (user, session)."""
+    from crawler_spark.operators.events import sessionize
+    from crawler_spark.streaming.rollup import session_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src_dir = tmp_path / "events_sessions"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+
+    got = _run_stream_to_memory(spark, session_rollup(stream, 1800), "sessions_sink")
+    g = {
+        (r["user_id"], r["n_events"], r["start_s"], r["end_s"])
+        for r in got.collect()
+    }
+    e = {
+        (r["user_id"], r["n_events"], r["start_s"], r["end_s"])
+        for r in sessionize(batch, gap_sec=1800).collect()
+    }
+    assert g == e and len(g) > 100
+
+
 def test_streaming_url_dedup_first_occurrence(spark, tmp_path):
     import pandas as pd
 
