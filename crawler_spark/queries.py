@@ -1862,7 +1862,13 @@ def q_stream_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.streaming import rollup as R
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    tag = hashlib.md5((sf_dir + inspect.getsource(R)).encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        (
+            sf_dir
+            + inspect.getsource(R)
+            + inspect.getsource(q_stream_politeness_gate)
+        ).encode()
+    ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"crawler-spark-gate-{tag}")
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
@@ -1914,6 +1920,93 @@ SELECT host, canonical,
        round(rn * 0.5 + max(t - rn * 0.5) OVER (
          PARTITION BY host ORDER BY rn ROWS UNBOUNDED PRECEDING), 2) AS fetch_ts
 FROM r
+"""
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` STREAMING sessionization (streaming/rollup
+    .session_rollup) under the full value oracle: the events parquet is
+    replayed as a file stream with ``availableNow`` and the merged session
+    state is flushed to parquet, then compared against the batch
+    gaps-and-islands SQL (the same recurrence as ``event_sessions`` minus
+    the per-user ordinal, which a stream cannot assign stably). Every
+    output column is an exact integer, so the hash check is bit-stable.
+    Output staging is content-addressed (sf_dir + streaming-module source
+    digest): repeat invocations reuse the finished run; a code change
+    regenerates. Exercises Spark's merging-session-state operator — the
+    scale path for sessionizing an unbounded event log, where the batch
+    lag-window over a static table no longer applies.
+
+    Append-mode sessions flush only once the watermark passes their end, so
+    a bounded replay would silently withhold every session inside the final
+    watermark horizon (caught at sf0.01: exactly the last-2-hours sessions
+    were missing). The replay therefore appends one sentinel event
+    (user_id=-1) 10 h past the corpus max — far beyond watermark+gap — so
+    the closing batch's watermark clears all real sessions; the sentinel's
+    own session is filtered from the result.
+    """
+    import hashlib
+    import inspect
+
+    from crawler_spark.streaming import rollup as R
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = hashlib.md5(
+        (sf_dir + inspect.getsource(R) + inspect.getsource(q_stream_sessions)).encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"crawler-spark-sess-{tag}")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    cp = os.path.join(base, "cp")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        sentinel = ev.groupBy().agg(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            R.session_rollup(stream, gap_sec=1800)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") != -1)
+        .select("user_id", "n_events", "start_s", "end_s")
+    )
+
+
+SQL_STREAM_SESSIONS = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+),
+marked AS (
+  SELECT user_id, event_id, s,
+         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+idx AS (
+  SELECT user_id, s,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM marked
+)
+SELECT user_id, count(*) AS n_events, min(s) AS start_s, max(s) AS end_s
+FROM idx GROUP BY user_id, session_idx
 """
 
 
@@ -2087,6 +2180,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_politeness_gate": QuerySpec(
         q_stream_politeness_gate, SQL_STREAM_POLITENESS_GATE
     ),
+    "stream_sessions": QuerySpec(q_stream_sessions, SQL_STREAM_SESSIONS),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
     "crawl_media_features": QuerySpec(q_crawl_media_features, None),
 }

@@ -94,14 +94,17 @@ def session_rollup(
     (session_idx excepted — a stream has no stable per-user ordinal until
     sessions are re-ranked downstream).
 
-    Boundary contract: ``session_window`` merges events strictly closer
-    than its gap (window ranges are half-open), while the batch operator
-    keeps a pair exactly ``gap_sec`` apart in ONE session (split on
-    ``diff > gap_sec``). Timestamps are therefore truncated to whole
-    seconds — same as the batch operator — and the native gap is
-    ``gap_sec + 1`` seconds, making the two predicates identical
-    (``diff <= gap_sec`` ⟺ ``diff < gap_sec + 1`` on integers). The
-    equality test in tests/test_sources_streaming.py pins this.
+    Boundary contract: although ``session_window`` documents half-open
+    ``[start, start+gap)`` ranges, the merging-state operator joins a new
+    event whose start EQUALS the current session end (merge on
+    ``sessionStart <= curSessionEnd``), so the effective predicate is
+    ``diff <= gap`` — exactly the batch operator's split-on-
+    ``diff > gap_sec`` rule. The native gap is therefore ``gap_sec``
+    verbatim; timestamps are truncated to whole seconds same as the batch
+    operator. An off-by-one here (gap_sec+1) survives small corpora and
+    only breaks on a pair exactly gap_sec+1 apart — the equality test in
+    tests/test_sources_streaming.py and the ``stream_sessions`` oracle
+    entry (which caught it at sf0.01) pin the boundary.
 
     State is bounded by the watermark: a session's state is dropped once
     the watermark passes its close, the same horizon story as the other
@@ -113,7 +116,7 @@ def session_rollup(
         )
         .withWatermark("ts", watermark)
         .groupBy(
-            F.session_window("ts", f"{gap_sec + 1} seconds").alias("w"), "user_id"
+            F.session_window("ts", f"{gap_sec} seconds").alias("w"), "user_id"
         )
         .agg(
             F.count("*").alias("n_events"),

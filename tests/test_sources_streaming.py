@@ -123,7 +123,7 @@ def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
 
 
 def test_session_rollup_stream_matches_batch_sessionize(spark, tmp_path):
-    """Native session_window (streaming, gap_sec+1 half-open) must produce
+    """Native session_window (streaming, merge on diff <= gap) must produce
     exactly the batch lag-window sessionize's sessions on the full events
     table — n_events, start and end epoch seconds per (user, session)."""
     from crawler_spark.operators.events import sessionize
