@@ -2010,6 +2010,90 @@ FROM idx GROUP BY user_id, session_idx
 """
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized k-means (operators/clustering.kmeans, k=8, two full
+    Lloyd assign+update rounds then a final assignment) over the embeddings
+    table. All arithmetic is int64 (floor-quantized components, integer
+    distance sums, truncating-division centroid means), so the unrolled
+    DuckDB twin reproduces every iteration bit-for-bit — a multi-iteration
+    iterative algorithm under the full value oracle, not a rows-only check.
+    """
+    from crawler_spark.operators.clustering import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=8, n_iter=2)
+
+
+# Unrolled twin of clustering.kmeans(k=8, n_iter=2): quantize -> c0 (k
+# smallest ids) -> assign -> centroid update -> assign -> update -> final
+# assign. Parallel unnest() zips (value, position); `//` == Spark's `div`
+# on the nonnegative quantized domain; every sum is integer-exact.
+_KM_D2 = (
+    "CAST(list_sum(list_transform(range(1, len(q.qv)+1),"
+    " i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT)"
+)
+SQL_KMEANS = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 2097152)
+           AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         qv AS cv
+  FROM q ORDER BY vec_id LIMIT 8
+),
+a0 AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT q.vec_id, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_KM_D2}, c.cluster) AS r
+    FROM q CROSS JOIN c0 c)
+  WHERE r = 1
+),
+e1 AS (SELECT cluster, unnest(qv) AS v, unnest(range(1, len(qv)+1)) AS i FROM a0),
+u1 AS (SELECT cluster, i, CAST(sum(v) AS BIGINT) // count(*) AS m
+       FROM e1 GROUP BY cluster, i),
+c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM u1 GROUP BY cluster),
+a1 AS (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT q.vec_id, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_KM_D2}, c.cluster) AS r
+    FROM q CROSS JOIN c1 c)
+  WHERE r = 1
+),
+e2 AS (SELECT cluster, unnest(qv) AS v, unnest(range(1, len(qv)+1)) AS i FROM a1),
+u2 AS (SELECT cluster, i, CAST(sum(v) AS BIGINT) // count(*) AS m
+       FROM e2 GROUP BY cluster, i),
+c2 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM u2 GROUP BY cluster)
+SELECT vec_id, cluster FROM (
+  SELECT q.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_KM_D2}, c.cluster) AS r
+  FROM q CROSS JOIN c2 c)
+WHERE r = 1
+"""
+
+
+def q_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the k-means assignment — the
+    mixture-balance view a data-curation pipeline reads before sampling
+    per-cluster quotas (clustering.cluster_sizes over the same fit)."""
+    from crawler_spark.operators.clustering import cluster_sizes, kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_sizes(kmeans(emb, k=8, n_iter=2))
+
+
+SQL_KMEANS_SIZES = f"""
+WITH base AS ({SQL_KMEANS})
+SELECT cluster, count(*) AS n_members FROM base GROUP BY cluster
+"""
+
+
 # --------------------------------------------------------------------------
 # flagship end-to-end crawl (no SQL twin: iterative multi-round dataflow;
 # correctness is covered by the oracle-simulator parity suite in tests/)
@@ -2181,6 +2265,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_stream_politeness_gate, SQL_STREAM_POLITENESS_GATE
     ),
     "stream_sessions": QuerySpec(q_stream_sessions, SQL_STREAM_SESSIONS),
+    "kmeans": QuerySpec(q_kmeans, SQL_KMEANS),
+    "kmeans_sizes": QuerySpec(q_kmeans_sizes, SQL_KMEANS_SIZES),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
     "crawl_media_features": QuerySpec(q_crawl_media_features, None),
 }

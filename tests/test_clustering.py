@@ -1,0 +1,93 @@
+"""Exact quantized k-means: equality vs an independent integer numpy twin.
+
+The registry's DuckDB oracle unrolls exactly n_iter=2; this suite pins the
+general loop (any n_iter / k) against a from-scratch numpy implementation
+of the same integer algorithm, so the Spark operator can't drift from the
+spec the oracle encodes.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from crawler_spark.operators.clustering import (
+    KMEANS_OFFSET,
+    KMEANS_SCALE,
+    cluster_sizes,
+    kmeans,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _numpy_kmeans(ids, vecs, k, n_iter):
+    """The same algorithm in pure numpy int64: floor-quantize, Lloyd with
+    integer squared distance (tie -> smaller ordinal), truncating-division
+    centroid means. Written independently of the Spark code."""
+    q = np.floor(vecs.astype(np.float64) * KMEANS_SCALE).astype(np.int64) + KMEANS_OFFSET
+    order = np.argsort(ids)
+    cent = {c: q[order[c]].copy() for c in range(k)}  # ordinal -> centroid
+    for it in range(n_iter + 1):
+        ordinals = sorted(cent)  # empty ordinals vanish, like the Spark update
+        mat = np.stack([cent[c] for c in ordinals])
+        d2 = ((q[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+        # argmin takes the first index on ties == smallest remaining ordinal
+        assign = np.array(ordinals)[d2.argmin(axis=1)]
+        if it == n_iter:
+            break
+        cent = {
+            c: q[assign == c].sum(axis=0) // int((assign == c).sum())
+            for c in ordinals
+            if (assign == c).any()
+        }
+    return dict(zip(ids.tolist(), assign.tolist()))
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    return ids, vecs
+
+
+@pytest.mark.parametrize("k,n_iter", [(4, 3), (8, 1), (6, 5)])
+def test_kmeans_matches_numpy_reference(spark, emb_table, k, n_iter):
+    ids, vecs = emb_table
+    expected = _numpy_kmeans(ids, vecs, k, n_iter)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), k=k, n_iter=n_iter
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_kmeans_total_and_sizes(spark, emb_table):
+    ids, _ = emb_table
+    fit = kmeans(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), k=8, n_iter=2)
+    rows = fit.collect()
+    assert len(rows) == len(ids) and len({r["vec_id"] for r in rows}) == len(ids)
+    assert all(0 <= r["cluster"] < 8 for r in rows)
+    sizes = {r["cluster"]: r["n_members"] for r in cluster_sizes(fit).collect()}
+    assert sum(sizes.values()) == len(ids)
+    # numpy twin guarantees non-degenerate clustering on this corpus; a
+    # single giant cluster would mean the quantized distances collapsed
+    assert len(sizes) > 1
+
+
+def test_empty_cluster_drops_deterministically(spark):
+    """A k larger than the distinct-point count must still terminate and
+    cover every vector (empty ordinals vanish, per the docstring)."""
+    import pyspark.sql.functions as F
+
+    base = spark.range(6).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 2).cast("float"), F.lit(0.0).cast("float")
+        ).alias("embedding"),
+    )
+    out = kmeans(base, k=4, n_iter=2).collect()
+    assert len(out) == 6
+    assert len({r["cluster"] for r in out}) <= 2
