@@ -1,0 +1,75 @@
+"""Unigram language-model surprisal — the perplexity-style quality filter.
+
+CCNet-class pipelines score every document against a language model and
+drop the high-perplexity tail (boilerplate, gibberish, wrong-language
+text). The real scorer is a trained LM; the deterministic stand-in here is
+a unigram model estimated on the corpus itself, with all arithmetic in
+integer BITS so the driver's DuckDB oracle can value-hash the result:
+
+    surprisal(token) = ilog2(T) - ilog2(c(token))   [integer floor-log2]
+    doc total_bits   = n_tokens * ilog2(T) - sum(ilog2(c))
+    avg_centibits    = total_bits * 100 div n_tokens
+
+where c(token) is the corpus count and T the total token count. Floor-log2
+of a positive int64 is ``length(bin(x)) - 1`` — exact in both engines — so
+no float log ever enters an aggregation and partial-agg order is
+irrelevant. Rankings track true -log2 p within 1 bit per token, which is
+what a keep/drop threshold consumes.
+
+Scale design: the unigram count table is a word-keyed aggregate (map-side
+partial combine); scoring joins the token stream to it on word (AQE
+broadcasts it when the vocabulary is small — a few million rows after
+[a-z]+ tokenization — else it's a plain shuffle join), then re-aggregates
+on doc_id. Two shuffles total, both on high-cardinality keys; the 1-row
+total-count frame is joined via broadcast so T stays in-plan (no driver
+``.count()``, same rule as tf_idf). Tokens here are the RAW [a-z]+ stream
+(stopwords and single letters kept): an LM must see function words — the
+analyzer's stopword-filtered tokenizer (functions/text.tokens) is the
+wrong feed for frequency modeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_RAW_WORD = r"(?U)\b[a-z]+\b"
+
+
+def token_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w): the raw lowercase [a-z]+ token stream, multiplicity and
+    order-free (one row per occurrence)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_RAW_WORD), F.lit(0))
+        ).alias("w"),
+    )
+
+
+def _ilog2(c) -> F.Column:
+    return (F.length(F.bin(c)) - 1).cast("long")
+
+
+def surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc unigram surprisal: (doc_id, n_tokens, total_bits,
+    avg_centibits). Docs whose text yields no [a-z]+ token carry no
+    probability mass and are omitted (the caller's quality gate already
+    drops empty docs far earlier)."""
+    toks = token_stream(docs, text_col).localCheckpoint(eager=False)
+    cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = cnt.groupBy().agg(_ilog2(F.sum("c")).alias("lt"))
+    per = (
+        toks.join(cnt, "w")
+        .select("doc_id", _ilog2(F.col("c")).alias("lc"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lc").alias("s"))
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("total_bits", F.col("n_tokens") * F.col("lt") - F.col("s"))
+        .withColumn(
+            "avg_centibits", F.expr("(total_bits * 100) div n_tokens")
+        )
+        .select("doc_id", "n_tokens", "total_bits", "avg_centibits")
+    )

@@ -2094,6 +2094,40 @@ SELECT cluster, count(*) AS n_members FROM base GROUP BY cluster
 """
 
 
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring (operators/lm.surprisal): the
+    perplexity-style quality filter of CCNet-class curation pipelines,
+    with the model estimated on the corpus itself and every score in
+    exact integer bits (floor-log2 of int64 counts), so the value hash
+    is order- and engine-stable."""
+    from crawler_spark.operators.lm import surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return surprisal(docs)
+
+
+SQL_LM_SURPRISAL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\b[a-z]+\b')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(length(printf('%b', CAST(sum(c) AS BIGINT))) - 1 AS BIGINT)
+          AS lt FROM cnt),
+scored AS (
+  SELECT t.doc_id, CAST(length(printf('%b', c.c)) - 1 AS BIGINT) AS lc
+  FROM toks t JOIN cnt c ON t.w = c.w
+),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, CAST(sum(lc) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_tokens * lt - s AS total_bits,
+       (n_tokens * lt - s) * 100 // n_tokens AS avg_centibits
+FROM per, tot
+"""
+
+
 # --------------------------------------------------------------------------
 # flagship end-to-end crawl (no SQL twin: iterative multi-round dataflow;
 # correctness is covered by the oracle-simulator parity suite in tests/)
@@ -2267,6 +2301,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_sessions": QuerySpec(q_stream_sessions, SQL_STREAM_SESSIONS),
     "kmeans": QuerySpec(q_kmeans, SQL_KMEANS),
     "kmeans_sizes": QuerySpec(q_kmeans_sizes, SQL_KMEANS_SIZES),
+    "lm_surprisal": QuerySpec(q_lm_surprisal, SQL_LM_SURPRISAL),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
     "crawl_media_features": QuerySpec(q_crawl_media_features, None),
 }
