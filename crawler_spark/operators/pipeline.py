@@ -239,6 +239,48 @@ def pack_sequences(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-ordered token-budget selection — "fill N training tokens
+    with the best documents" (the data-constrained-scaling recipe: rank by
+    an LM-quality score, take the prefix that fits the budget).
+
+    Score = unigram surprisal avg_centibits (operators/lm.surprisal, lower
+    = more LM-typical text), ascending, doc id as the deterministic
+    tiebreak; a document is kept iff it fits ENTIRELY within the remaining
+    budget in that order (no straddling — unlike pack_sequences, selection
+    must not truncate documents; later smaller docs do NOT backfill the
+    gap, prefix semantics are the reproducibility contract).
+
+    The prefix sum is the distributed two-phase cumsum
+    (ordering.with_global_cumsum) over the score order — never a
+    single-task global window — and all quantities are exact integers, so
+    the oracle re-derives every decision. Returns
+    (doc_id, avg_centibits, n_tokens, cum_tokens) for the kept prefix.
+    """
+    from crawler_spark.operators.lm import surprisal
+    from crawler_spark.operators.ordering import with_global_cumsum
+
+    scored = surprisal(df, text_col).select(
+        F.col("doc_id"), "avg_centibits", "n_tokens"
+    )
+    order = [F.asc("avg_centibits"), F.asc("doc_id")]
+    c = with_global_cumsum(scored, order, "n_tokens", out_col="_cum_before")
+    return (
+        c.where(F.col("_cum_before") + F.col("n_tokens") <= F.lit(int(budget)))
+        .select(
+            "doc_id",
+            "avg_centibits",
+            "n_tokens",
+            (F.col("_cum_before") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )
+
+
 def source_reputation(
     df: DataFrame,
     id_col: str = "doc_id",

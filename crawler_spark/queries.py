@@ -2128,6 +2128,30 @@ FROM per, tot
 """
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget prefix selection (pipeline.token_budget_select): rank
+    every document by unigram-surprisal quality and keep the best-first
+    prefix that fits a 12k-token budget whole — the data-constrained
+    "fill N training tokens" planner, all-integer and value-hashed."""
+    from crawler_spark.operators.pipeline import token_budget_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_budget_select(docs, budget=12_000)
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH surp AS ({SQL_LM_SURPRISAL}),
+run AS (
+  SELECT doc_id, avg_centibits, n_tokens,
+         sum(n_tokens) OVER (ORDER BY avg_centibits, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM surp
+)
+SELECT doc_id, avg_centibits, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM run WHERE cum_tokens <= 12000
+"""
+
+
 # --------------------------------------------------------------------------
 # flagship end-to-end crawl (no SQL twin: iterative multi-round dataflow;
 # correctness is covered by the oracle-simulator parity suite in tests/)
@@ -2302,6 +2326,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "kmeans": QuerySpec(q_kmeans, SQL_KMEANS),
     "kmeans_sizes": QuerySpec(q_kmeans_sizes, SQL_KMEANS_SIZES),
     "lm_surprisal": QuerySpec(q_lm_surprisal, SQL_LM_SURPRISAL),
+    "token_budget": QuerySpec(q_token_budget, SQL_TOKEN_BUDGET),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
     "crawl_media_features": QuerySpec(q_crawl_media_features, None),
 }

@@ -90,12 +90,14 @@ def test_registry_builders_are_lazy(spark):
     SHARERS = {
         "dedup_minhash_lsh", "dedup_minhash_k64", "dedup_ngram_jaccard",
         "dedup_simhash", "ann_ivf", "ann_ivf_probe2", "ann_neardup_blocked",
+        "lm_surprisal",
     }
     for name in SQL_CHECKED:
         if name in (
-            "stream_politeness_gate", "dedup_clusters", "dedup_clusters_star",
-            "training_keepset", "source_reputation", "corpus_shuffle",
-            "pack_sequences",
+            "stream_politeness_gate", "stream_sessions", "dedup_clusters",
+            "dedup_clusters_star", "training_keepset", "source_reputation",
+            "corpus_shuffle", "pack_sequences", "kmeans", "kmeans_sizes",
+            "token_budget",
         ):
             continue  # run by design: a streaming job / an iterative
             # label-propagation loop with a convergence probe per round /
