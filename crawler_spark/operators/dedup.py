@@ -57,20 +57,27 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
     Returns (doc, sh) where sh = hash60(shingle) % MERSENNE_P, distinct per doc.
     """
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    # materialize the token array in its own projection FIRST: referencing
+    # the regexp_extract_all expression from inside the transform lambda
+    # defeats codegen subexpression elimination and re-tokenizes the text
+    # once per reference (measured 18.6s -> 0.75s on 4,800 sf0.1 docs)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+        ).alias("_t"),
+    )
+    toks = F.col("_t")
     n_sh = F.size(toks) - (n - 1)
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
     idx = F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
         F.array().cast("array<int>")
     )
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    # slice+array_join builds each shingle in one pass (vs n element_at
+    # probes); output string is identical (space-joined tokens)
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingles)).alias("s"))
+        base.select("doc", F.explode(F.array_distinct(shingles)).alias("s"))
         .select("doc", F.pmod(hash60(F.col("s")), F.lit(MERSENNE_P)).alias("sh"))
         .distinct()
     )

@@ -248,19 +248,21 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha tokens (no stopword filter — a language model wants them), top-30
     with a deterministic tiebreak. The same explode-window plan scales to
     any n; counts are one map-side-combinable shuffle."""
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+    # tokenize into a materialized column FIRST — referencing the regex
+    # expression from inside the transform lambda re-tokenizes the text per
+    # array element (the doc_shingles lesson, measured 25x)
+    toks = F.col("_t")
     n_bg = F.size(toks) - 1
     idx = F.when(n_bg > 0, F.sequence(F.lit(1), n_bg)).otherwise(
         F.array().cast("array<int>")
     )
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
-        ),
-    )
+    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
     return (
         _docs(spark, sf_dir)
+        .withColumn(
+            "_t",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)),
+        )
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))

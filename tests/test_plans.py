@@ -131,3 +131,36 @@ def test_no_cartesian_products_anywhere(spark):
         ):
             continue
         assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """clustering._assign must broadcast the k-row centroid frame (a
+    BroadcastNestedLoopJoin is the broadcast form of the cross join) and
+    prune the embeddings scan to (vec_id, embedding) — label never read.
+    A CartesianProduct or a shuffle of the corpus against 8 rows is the
+    scale bug this pins against."""
+    from crawler_spark.operators.clustering import _assign, quantize
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = quantize(emb.select(F.col("vec_id"), "embedding")).select("vec_id", "qv")
+    cent = q.limit(4).select(F.lit(0).alias("cluster"), F.col("qv").alias("cv"))
+    plan = _assign(q, cent)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_lm_surprisal_plan_shape(spark):
+    """operators/lm.surprisal: the 1-row total-count frame joins via
+    broadcast (T stays in-plan — no driver count), the documents scan reads
+    only (doc_id, text), and no CartesianProduct appears."""
+    plan = _plan(spark, "lm_surprisal")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the final plan reads the localCheckpointed token stream (ExistingRDD),
+    # so pruning is asserted on the stream's own pre-checkpoint plan
+    from crawler_spark.operators.lm import token_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tplan = token_stream(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in tplan
