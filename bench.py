@@ -285,6 +285,10 @@ def main() -> None:
                 t0 = time.time()
                 REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 times.append(time.time() - t0)
+                # the cumsum/seq builders persist an internal intermediate;
+                # without this the NEXT rep's semantically-equal subtree is
+                # silently served from the CacheManager (fake rerun)
+                spark.catalog.clearCache()
             queries[name] = round(min(times), 3)
 
     frontier = bench_frontier(spark, n_frontier)
