@@ -134,3 +134,46 @@ def kmeans(
 def cluster_sizes(assignments: DataFrame) -> DataFrame:
     """(cluster, n_members) — the mixture-balance view of an assignment."""
     return assignments.groupBy("cluster").agg(F.count("*").alias("n_members"))
+
+
+def semantic_neardup(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup with FITTED k-means blocking — the third scale
+    path of the embedding-dedup family: similarity.embedding_neardup
+    blocks on deterministic IVF cells (first-k-ids centroids) and
+    srp_neardup on hyperplane signs; here the blocking key is the
+    data-adapted Lloyd's clustering, which tracks the corpus density and
+    so balances cells better on clustered data (cell_blocked's arbitrary
+    seed centroids can leave one cell holding a whole dup-cluster family).
+
+    Candidates = pairs sharing a fitted cluster (equality join, never a
+    cross join); verify = exact cosine in double (left-to-right JVM sums,
+    the oracle-portable form). Output carries only ids. Same recall caveat
+    as every single-probe blocker: cross-cluster pairs are missed — the
+    multi-probe analog is running with a larger n_iter/k and unioning, or
+    SRP for sign-level recall.
+    """
+    from crawler_spark.operators.similarity import cosine
+
+    fit = kmeans(vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    assigned = fit.join(
+        vectors.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id"
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("_va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("_vb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("vec_a", "vec_b")
+    )

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.hashing import hash60
+
 _RAW_WORD = r"(?U)\b[a-z]+\b"
 
 
@@ -49,6 +51,40 @@ def token_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _ilog2(c) -> F.Column:
     return (F.length(F.bin(c)) - 1).cast("long")
+
+
+def hash_embed(docs: DataFrame, dim: int = 64, text_col: str = "text") -> DataFrame:
+    """Feature-hashing document embeddings (the 'hashing trick',
+    Weinberger et al. 2009 / sklearn HashingVectorizer): every token maps
+    to dimension ``hash60(w) % dim`` with sign ``1 - 2*(hash60('s:'+w)%2)``
+    (an independent hash bit), and the embedding is the signed occurrence
+    count per dimension — the deterministic, training-free featurizer that
+    bridges the documents table into the embedding operators (k-means,
+    ANN blocking, cosine near-dup) with no model artifact to ship.
+
+    All-integer (signed counts), so the vector is exactly reproducible in
+    SQL. One shuffle on (doc, dim) plus the per-doc re-aggregation; the
+    map is densified to a fixed-width array so downstream zip_with
+    arithmetic never sees ragged vectors. Docs with no [a-z]+ token are
+    omitted (same contract as :func:`surprisal`).
+    """
+    toks = token_stream(docs, text_col)
+    h = hash60(F.col("w"))
+    hs = hash60(F.concat(F.lit("s:"), F.col("w")))
+    feats = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(dim)).alias("d"),
+        (F.lit(1) - F.lit(2) * F.pmod(hs, F.lit(2))).alias("sgn"),
+    )
+    agg = feats.groupBy("doc_id", "d").agg(F.sum("sgn").alias("s"))
+    m = agg.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "s"))).alias("_m")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("_m"), i.cast("long")), F.lit(0)),
+    )
+    return m.select("doc_id", emb.alias("embedding"))
 
 
 def surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2096,6 +2096,31 @@ SELECT cluster, count(*) AS n_members FROM base GROUP BY cluster
 """
 
 
+def q_ann_neardup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup blocked on the FITTED k-means clusters
+    (clustering.semantic_neardup) — the data-adapted third member of the
+    blocking family next to ann_neardup_blocked (seed-centroid IVF cells)
+    and ann_neardup_srp (hyperplane signs). Candidates never leave an
+    equality join; exact-cosine verify; ids-only output."""
+    from crawler_spark.operators.clustering import semantic_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_neardup(emb, threshold=0.4, k=8, n_iter=2)
+
+
+SQL_ANN_NEARDUP_KMEANS = f"""
+WITH base AS ({SQL_KMEANS}),
+assigned AS (
+  SELECT b.vec_id, b.cluster, e.embedding
+  FROM base b JOIN embeddings e ON e.vec_id = b.vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM assigned a JOIN assigned b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE ({_COS_SQL}) >= 0.4
+"""
+
+
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM surprisal scoring (operators/lm.surprisal): the
     perplexity-style quality filter of CCNet-class curation pipelines,
@@ -2127,6 +2152,40 @@ per AS (
 SELECT doc_id, n_tokens, n_tokens * lt - s AS total_bits,
        (n_tokens * lt - s) * 100 // n_tokens AS avg_centibits
 FROM per, tot
+"""
+
+
+def q_text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (operators/lm.hash_embed): the
+    training-free hashing-trick vectorizer that turns the documents table
+    into fixed-width integer vectors consumable by the embedding operators
+    (k-means, ANN blocking, cosine). Signed counts are exact integers, so
+    the 64-wide array value-hashes across engines."""
+    from crawler_spark.operators.lm import hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_embed(docs, dim=64)
+
+
+SQL_TEXT_EMBED_HASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\b[a-z]+\b')) AS w
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS d,
+         1 - 2 * (CAST(('0x' || substr(md5('s:' || w), 1, 15)) AS BIGINT) % 2)
+           AS sgn
+  FROM toks
+),
+a AS (SELECT doc_id, d, CAST(sum(sgn) AS BIGINT) AS s FROM f GROUP BY doc_id, d),
+grid AS (
+  SELECT doc_id, unnest(range(0, 64)) AS i FROM (SELECT DISTINCT doc_id FROM a)
+)
+SELECT g.doc_id, list(coalesce(a.s, 0) ORDER BY g.i) AS embedding
+FROM grid g LEFT JOIN a ON a.doc_id = g.doc_id AND a.d = g.i
+GROUP BY g.doc_id
 """
 
 
@@ -2327,8 +2386,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "stream_sessions": QuerySpec(q_stream_sessions, SQL_STREAM_SESSIONS),
     "kmeans": QuerySpec(q_kmeans, SQL_KMEANS),
     "kmeans_sizes": QuerySpec(q_kmeans_sizes, SQL_KMEANS_SIZES),
+    "ann_neardup_kmeans": QuerySpec(q_ann_neardup_kmeans, SQL_ANN_NEARDUP_KMEANS),
     "lm_surprisal": QuerySpec(q_lm_surprisal, SQL_LM_SURPRISAL),
     "token_budget": QuerySpec(q_token_budget, SQL_TOKEN_BUDGET),
+    "text_embed_hash": QuerySpec(q_text_embed_hash, SQL_TEXT_EMBED_HASH),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
     "crawl_media_features": QuerySpec(q_crawl_media_features, None),
 }

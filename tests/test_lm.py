@@ -38,3 +38,39 @@ def test_tokenless_docs_omitted(spark):
     docs = _df(spark, [(1, "hello world"), (2, "1234 !!!"), (3, None)])
     got = surprisal(docs.where(F.col("text").isNotNull() | F.lit(True))).collect()
     assert {r["doc_id"] for r in got} == {1}
+
+
+def test_hash_embed_feeds_embedding_operators(spark):
+    """The hashing-trick vectors must plug straight into the embedding
+    stack: cast to float, run the integer k-means, every tokenful doc gets
+    a cluster and the clustering is non-degenerate."""
+    from crawler_spark.operators.clustering import kmeans
+    from crawler_spark.operators.lm import hash_embed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = hash_embed(docs, dim=16).select(
+        "doc_id",
+        F.transform("embedding", lambda x: x.cast("float")).alias("embedding"),
+    )
+    n = emb.count()
+    assert n == docs.count()  # every sf0.001 doc has >= 1 token
+    fit = kmeans(emb, k=4, n_iter=2, id_col="doc_id")
+    rows = fit.collect()
+    assert len(rows) == n
+    assert len({r["cluster"] for r in rows}) > 1
+
+
+def test_hash_embed_shape_and_sign(spark):
+    from crawler_spark.operators.lm import hash_embed
+
+    docs = _df(spark, [(1, "alpha alpha beta"), (2, "alpha")])
+    got = {r["doc_id"]: r["embedding"] for r in hash_embed(docs, dim=8).collect()}
+    assert all(len(v) == 8 for v in got.values())
+    # linearity: doc1 = 2*doc2 + beta, so a1 - 2*a2 must be exactly the
+    # signed unit vector of beta (holds even if alpha and beta collide on a
+    # dimension)
+    import numpy as np
+
+    a1, a2 = np.array(got[1]), np.array(got[2])
+    assert np.abs(a2).sum() == 1  # single occurrence of alpha
+    assert np.abs(a1 - 2 * a2).sum() == 1  # exactly beta remains
