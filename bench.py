@@ -72,6 +72,9 @@ HEADLINE = [
     "kmeans",
     "lm_surprisal",
     "token_budget",
+    "ann_neardup_kmeans",
+    "text_embed_hash",
+    "bloom_prune",
 ]
 
 

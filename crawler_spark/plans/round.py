@@ -25,7 +25,10 @@ Scale notes (the parts that must survive 1000 executors / 10^10 URLs):
   exactly those keys (tables.py), so the join is storage-partitioned: the
   growing seen side is scanned in place with NO per-round shuffle, only the
   candidate side exchanges; Spark's runtime Bloom-filter join (enabled in
-  sparkutils) prunes candidates further;
+  sparkutils) prunes candidates further. The EXPLICIT partitioned-Bloom
+  twin of that runtime filter — per-bucket bitmaps persistable across
+  rounds and engines — is operators/bloom.py (oracle-checked), for when
+  pruning must happen before any join or outside this job;
 - the frontier commit rewrites ONLY the host_buckets the round touched
   (dirty-bucket replace via the manifest's bucket map — the Iceberg MERGE
   cadence); untouched buckets carry forward without a write.

@@ -2155,6 +2155,61 @@ FROM per, tot
 """
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit partitioned Bloom URL-seen structure (operators/bloom):
+    build one Bloom per bucket over the 'seen' key set (doc_id % 3 == 0,
+    bucketed by doc_id % 8), probe every key, return the possibly-seen
+    survivors. All bit math is engine-portable int64 (63-bit words,
+    md5-derived double hashing), so the exact survivor set — INCLUDING any
+    false positives — value-hashes against the SQL twin. The no-false-
+    negative invariant is pinned in tests/test_bloom.py."""
+    from crawler_spark.operators.bloom import bloom_build, bloom_prune
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url_key"),
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("bucket"),
+        "doc_id",
+    )
+    seen = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    bl = bloom_build(seen, "url_key", "bucket", m=4096, k=4)
+    return bloom_prune(docs, bl, "url_key", "bucket", m=4096, k=4).select(
+        "doc_id", "bucket"
+    )
+
+
+SQL_BLOOM_PRUNE = """
+WITH keys AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS url_key, doc_id % 8 AS bucket,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h1,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 15)) AS BIGINT)
+           AS h2
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, url_key, bucket,
+         ((h1 % 4096) + i * (1 + (h2 % 4095))) % 4096 AS p
+  FROM keys, (SELECT unnest(range(0, 4)) AS i)
+),
+pw AS (
+  SELECT doc_id, url_key, bucket, p // 63 AS word,
+         1::BIGINT << CAST(p % 63 AS INT) AS mask
+  FROM pos
+),
+bloom AS (
+  SELECT bucket, word, bit_or(mask) AS bits
+  FROM pw WHERE doc_id % 3 = 0 GROUP BY bucket, word
+)
+SELECT doc_id, bucket FROM (
+  SELECT pw.doc_id, pw.bucket,
+         sum(CASE WHEN b.bits IS NOT NULL AND (b.bits & pw.mask) = pw.mask
+                  THEN 1 ELSE 0 END) AS nhit
+  FROM pw LEFT JOIN bloom b ON b.bucket = pw.bucket AND b.word = pw.word
+  GROUP BY pw.doc_id, pw.bucket
+) WHERE nhit = 4
+"""
+
+
 def q_text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embeddings (operators/lm.hash_embed): the
     training-free hashing-trick vectorizer that turns the documents table
@@ -2390,6 +2445,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "lm_surprisal": QuerySpec(q_lm_surprisal, SQL_LM_SURPRISAL),
     "token_budget": QuerySpec(q_token_budget, SQL_TOKEN_BUDGET),
     "text_embed_hash": QuerySpec(q_text_embed_hash, SQL_TEXT_EMBED_HASH),
+    "bloom_prune": QuerySpec(q_bloom_prune, SQL_BLOOM_PRUNE),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
     "crawl_media_features": QuerySpec(q_crawl_media_features, None),
 }
