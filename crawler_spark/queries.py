@@ -1782,6 +1782,88 @@ def _pagerank_sql(n_iter: int = 5) -> str:
 SQL_PAGERANK = _pagerank_sql(5)
 
 
+def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram of the link graph (the first thing a crawl
+    analyst plots: hub concentration / dangling mass). Same deterministic
+    synthetic edge construction as ``pagerank`` (3 pseudo-random out-links
+    per doc, self-loops dropped, distinct), in-degree 0 docs included via
+    a left join — exact integer counts end to end."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("_n"))
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edge_h = hash60(
+        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
+    )
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select("doc_id", ks, F.col("_n"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.pmod(edge_h, F.col("_n")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ind = (
+        docs.join(edges, docs.doc_id == edges.dst, "left")
+        .groupBy(docs.doc_id)
+        .agg(F.count(edges.dst).alias("in_degree"))
+    )
+    return ind.groupBy("in_degree").agg(F.count("*").alias("n_docs"))
+
+
+SQL_LINK_DEGREE_DIST = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src,
+         ({hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % nn.n) AS dst
+  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
+  WHERE doc_id <> ({hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % nn.n)
+),
+ind AS (
+  SELECT d.doc_id, count(e.dst) AS in_degree
+  FROM documents d LEFT JOIN edges e ON e.dst = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT in_degree, count(*) AS n_docs FROM ind GROUP BY in_degree
+"""
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multimodal payload dedup — content-hash image dedup, the
+    binary-column analog of dedup_exact: group media payloads by digest,
+    keep the smallest doc id as the representative, report every duplicate
+    group. The payload never travels: grouping is on its digest column
+    (multimodal.synth_media carries payload_sha). The corpus has no
+    duplicate texts at small SF, so every 41st doc's payload is re-emitted
+    under a second doc id (offset +10^6) — the canonical crawl case of one
+    image embedded on many pages — giving the group-by real duplicate
+    groups at every scale."""
+    docs = _docs(spark, sf_dir)
+    reposts = docs.where(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    media = multimodal.synth_media(
+        docs.select("doc_id", "text").unionByName(reposts), "doc_id", "text"
+    )
+    return (
+        media.groupBy("payload_sha")
+        .agg(F.count("*").alias("n_copies"), F.min("doc").alias("keep_doc"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+SQL_MEDIA_DEDUP = """
+WITH media AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 41 = 0
+)
+SELECT md5(text) AS payload_sha, count(*) AS n_copies, min(doc_id) AS keep_doc
+FROM media GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization of the raw event log (operators/events.sessionize,
     30-min inactivity gap): the inverse of the reference's session counters
@@ -2446,6 +2528,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_budget": QuerySpec(q_token_budget, SQL_TOKEN_BUDGET),
     "text_embed_hash": QuerySpec(q_text_embed_hash, SQL_TEXT_EMBED_HASH),
     "bloom_prune": QuerySpec(q_bloom_prune, SQL_BLOOM_PRUNE),
+    "link_degree_dist": QuerySpec(q_link_degree_dist, SQL_LINK_DEGREE_DIST),
+    "media_dedup": QuerySpec(q_media_dedup, SQL_MEDIA_DEDUP),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
     "crawl_media_features": QuerySpec(q_crawl_media_features, None),
 }
