@@ -3,14 +3,16 @@
 ``entry(spark)`` runs the flagship analytics query (the reference's headline
 top-words aggregation, storage/database.py:422-433) on sf0.001.
 ``queries()`` / ``oracle_sql()`` expose the full operator registry from
-``crawler_spark.queries`` (67 entries, 65 with SQL twins) — one entry per
+``crawler_spark.queries`` (70 entries, 68 with SQL twins) — one entry per
 implemented operator family of SURVEY.md §2 plus the training-data ops
 (dedup x6 incl. IVF-blocked and hyperplane-LSH scale paths / similarity /
 exact quantized k-means / text analysis incl. unigram-LM surprisal /
 token-budget selection / multimodal / fetch-outcome and link
 classification / the approx-percentile production plan / the partitioned
-Bloom filter as bit arithmetic / link-graph PageRank and in-degree
-distribution / exact media-payload dedup / the stateful
+Bloom filter, cuckoo fingerprint filter, HyperLogLog cardinality and
+count-min heavy-hitter sketches as exact bit arithmetic / link-graph
+PageRank and in-degree distribution / exact media-payload dedup / the
+stateful
 streaming politeness gate, whose SQL twin is the closed form of its
 recurrence, and streaming session_window sessionization). The two
 entries without a SQL twin (the iterative crawl loop and the crawl-media

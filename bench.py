@@ -75,6 +75,11 @@ HEADLINE = [
     "ann_neardup_kmeans",
     "text_embed_hash",
     "bloom_prune",
+    "hll_cardinality",
+    "cms_words",
+    "cuckoo_prune",
+    "link_degree_dist",
+    "media_dedup",
 ]
 
 

@@ -2292,6 +2292,178 @@ SELECT doc_id, bucket FROM (
 """
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality of the corpus vocabulary (operators/sketches):
+    the frontier-scale "how many distinct URLs has this crawl seen" sketch,
+    demonstrated on the word stream. Registers, zero count, fixed-point
+    harmonic sum AND the raw HLL estimate are all exact integers, so the
+    whole sketch — including its approximation error vs the exact distinct
+    count returned alongside — value-hashes against the SQL twin. Register
+    mergeability (the cluster-union property) is pinned in
+    tests/test_sketches.py."""
+    from crawler_spark.operators.sketches import hll_summary
+
+    toks = _tokens_df(spark, sf_dir)
+    summary = hll_summary(toks, "word")
+    exact = toks.agg(F.countDistinct("word").alias("exact_distinct"))
+    return summary.crossJoin(F.broadcast(exact))
+
+
+def _sql_hll() -> str:
+    from crawler_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_FP_SHIFT,
+        HLL_M,
+        HLL_RHO_MAX,
+    )
+
+    h = hash60_sql("word")
+    return (
+        _WORDS_CTE.rstrip()
+        + f""",
+hh AS (SELECT {h} AS h FROM words),
+rr AS (
+  SELECT h % {HLL_M} AS register,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+              ELSE length(bin((h // {HLL_M}) & -(h // {HLL_M}))) END AS rho
+  FROM hh
+),
+regs AS (SELECT register, max(rho) AS m_j FROM rr GROUP BY register),
+grid AS (SELECT unnest(range(0, {HLL_M})) AS register),
+dense AS (
+  SELECT coalesce(m_j, 0) AS m_j FROM grid LEFT JOIN regs USING (register)
+),
+agg AS (
+  SELECT {HLL_M} AS m,
+         CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_registers,
+         CAST(sum(CASE WHEN m_j <= {HLL_FP_SHIFT}
+                       THEN 1::BIGINT << CAST({HLL_FP_SHIFT} - m_j AS INT)
+                       ELSE 0 END) AS BIGINT) AS z30
+  FROM dense
+),
+ex AS (SELECT count(DISTINCT word) AS exact_distinct FROM words)
+SELECT m, n_zero_registers, z30,
+       CAST({HLL_EST_NUM} AS BIGINT) // z30 // 1000000 AS est_hll,
+       exact_distinct
+FROM agg, ex
+"""
+    )
+
+
+SQL_HLL_CARDINALITY = _sql_hll()
+
+
+def q_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (operators/sketches): build the
+    4x256 counter matrix over every word occurrence, then point-estimate the
+    true top-20 words through it — the hot-host/heavy-hitter sketch of the
+    10^10 frontier, shown beside exact counts so the (always >=) estimation
+    error is part of the value-hashed result."""
+    from crawler_spark.operators.sketches import cms_build, cms_estimate
+
+    toks = _tokens_df(spark, sf_dir)
+    top = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("word"))
+        .limit(20)
+    )
+    sketch = cms_build(toks, "word")
+    return cms_estimate(top, sketch, "word")
+
+
+def _sql_cms() -> str:
+    from crawler_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    def h(expr: str) -> str:
+        return f"{hash60_sql(expr)} % {CMS_WIDTH}"
+
+    return (
+        _WORDS_CTE.rstrip()
+        + f""",
+top AS (
+  SELECT word, count(*) AS true_count FROM words
+  GROUP BY word ORDER BY true_count DESC, word LIMIT 20
+),
+sk AS (
+  SELECT ii.i, {h("'cms' || ii.i || ':' || word")} AS col,
+         CAST(count(*) AS BIGINT) AS c
+  FROM words, (SELECT unnest(range(0, {CMS_DEPTH})) AS i) AS ii
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT top.word, ii.i, {h("'cms' || ii.i || ':' || top.word")} AS col
+  FROM top, (SELECT unnest(range(0, {CMS_DEPTH})) AS i) AS ii
+),
+est AS (
+  SELECT pr.word, min(coalesce(sk.c, 0)) AS cms_est
+  FROM pr LEFT JOIN sk ON sk.i = pr.i AND sk.col = pr.col
+  GROUP BY pr.word
+)
+SELECT top.word, true_count, cms_est FROM top JOIN est USING (word)
+"""
+    )
+
+
+SQL_CMS_WORDS = _sql_cms()
+
+
+def q_cuckoo_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cuckoo-filter half of the north rule's "bloom/cuckoo URL-seen"
+    structure (operators/sketches): build the two-choice fingerprint table
+    over the seen keys (doc_id % 3 == 0), probe every key, return the
+    possibly-seen survivors — same contract as bloom_prune, but with
+    deletable fingerprint-set state. The survivor set, false positives
+    included, value-hashes; no-false-negative is pinned in
+    tests/test_sketches.py."""
+    from crawler_spark.operators.sketches import cuckoo_build, cuckoo_prune
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").cast("string").alias("url_key")
+    )
+    seen = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    table = cuckoo_build(seen, "url_key")
+    return cuckoo_prune(docs, table, "url_key").select("doc_id")
+
+
+def _sql_cuckoo() -> str:
+    from crawler_spark.operators.sketches import CUCKOO_M, CUCKOO_SLOTS
+
+    h_fp = hash60_sql("'fp:' || CAST(doc_id AS VARCHAR)")
+    h_b = hash60_sql("'cb:' || CAST(doc_id AS VARCHAR)")
+    h_alt = hash60_sql("'fa:' || CAST(fp AS VARCHAR)")
+    alt = f"xor(bucket, {h_alt} % {CUCKOO_M})"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         1 + ({h_fp} % 255) AS fp,
+         {h_b} % {CUCKOO_M} AS i1
+  FROM documents
+),
+gg AS (
+  SELECT doc_id, fp, i1,
+         xor(i1, {h_alt} % {CUCKOO_M}) AS i2
+  FROM g
+),
+prim AS (SELECT DISTINCT i1 AS bucket, fp FROM gg WHERE doc_id % 3 = 0),
+ranked AS (
+  SELECT bucket, fp, row_number() OVER (PARTITION BY bucket ORDER BY fp) AS rk
+  FROM prim
+),
+tab AS (
+  SELECT bucket, fp FROM ranked WHERE rk <= {CUCKOO_SLOTS}
+  UNION
+  SELECT {alt} AS bucket, fp FROM ranked WHERE rk > {CUCKOO_SLOTS}
+)
+SELECT DISTINCT gg.doc_id
+FROM gg JOIN tab ON tab.fp = gg.fp AND (tab.bucket = gg.i1 OR tab.bucket = gg.i2)
+"""
+
+
+SQL_CUCKOO_PRUNE = _sql_cuckoo()
+
+
 def q_text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embeddings (operators/lm.hash_embed): the
     training-free hashing-trick vectorizer that turns the documents table
@@ -2528,6 +2700,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_budget": QuerySpec(q_token_budget, SQL_TOKEN_BUDGET),
     "text_embed_hash": QuerySpec(q_text_embed_hash, SQL_TEXT_EMBED_HASH),
     "bloom_prune": QuerySpec(q_bloom_prune, SQL_BLOOM_PRUNE),
+    "hll_cardinality": QuerySpec(q_hll_cardinality, SQL_HLL_CARDINALITY),
+    "cms_words": QuerySpec(q_cms_words, SQL_CMS_WORDS),
+    "cuckoo_prune": QuerySpec(q_cuckoo_prune, SQL_CUCKOO_PRUNE),
     "link_degree_dist": QuerySpec(q_link_degree_dist, SQL_LINK_DEGREE_DIST),
     "media_dedup": QuerySpec(q_media_dedup, SQL_MEDIA_DEDUP),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
