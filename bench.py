@@ -80,6 +80,7 @@ HEADLINE = [
     "cuckoo_prune",
     "link_degree_dist",
     "media_dedup",
+    "winnow_dedup",
 ]
 
 

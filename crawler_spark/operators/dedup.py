@@ -550,3 +550,81 @@ def segment_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """(doc, fp): winnowed character-k-gram fingerprints (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm).
+
+    Hash every k-char gram of the lowercased text, slide a w-hash window,
+    keep each window's minimum, distinct the selections. The winnowing
+    guarantee: two documents sharing any substring of length >= w + k - 1
+    share at least one fingerprint (pinned in tests/test_dedup_recall.py)
+    — the local-selection counterpart to MinHash's global sampling, and
+    the standard tool for quote/boilerplate/plagiarism detection where
+    the match is a contiguous span rather than bag-of-shingles overlap.
+
+    Plan shape: one projection with higher-order array functions
+    (transform/slice/array_min — whole-stage-codegen JVM work, no Python),
+    then explode + distinct keyed on the 60-bit hash. Density is 2/(w+1)
+    fingerprints per gram in expectation, so the exploded volume is a
+    fraction of the raw gram stream; downstream joins shuffle only
+    (doc, fp) int pairs, never text. Docs shorter than w + k - 1 chars
+    have no complete window and are filtered out (no fingerprints).
+    """
+    t = F.lower(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, length(lower({text_col})) - {k} + 1), "
+        f"p -> CAST(conv(substring(md5(substring(lower({text_col}), p, {k})), 1, 15), 16, 10) AS BIGINT))"
+    )
+    g = df.where(F.length(t) >= k + w - 1).select(
+        F.col(id_col).alias("doc"), grams.alias("hs")
+    )
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - w),
+            lambda s: F.array_min(F.slice(F.col("hs"), s + 1, w)),
+        )
+    )
+    return g.select("doc", F.explode(wins).alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    w: int = 8,
+    df_cap: int = 50,
+    min_shared: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): pairs sharing >= min_shared winnowed
+    fingerprints — contiguous-overlap near-dup candidates.
+
+    Same scale discipline as ngram_jaccard_pairs: stop-fingerprints with
+    document frequency above ``df_cap`` (site chrome, boilerplate spans)
+    are pruned before the pair expansion, which is quadratic in df.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    win = Window.partitionBy("fp")
+    pruned = (
+        fps.withColumn("_df", F.count("*").over(win))
+        .where(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
+    return (
+        pruned.alias("a")
+        .join(
+            pruned.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

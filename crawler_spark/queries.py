@@ -936,6 +936,49 @@ SQL_DEDUP_NGRAM_JACCARD = (
 )
 
 
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup pairs (operators/dedup.winnow_pairs,
+    the MOSS local-selection algorithm): contiguous-span overlap detection,
+    complementary to the bag-of-shingles families — a pair here shares
+    actual >= w+k-1-char substrings, not just vocabulary. Exact integer
+    fingerprints end to end, so the pair set AND shared-fingerprint counts
+    value-hash; the winnowing substring guarantee is pinned in
+    tests/test_dedup_recall.py."""
+    return dedup.winnow_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _sql_winnow(k: int = 16, w: int = 8, df_cap: int = 50, min_shared: int = 3) -> str:
+    gram = hash60_sql(f"substr(t, p, {k})")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE length(lower(text)) >= {k + w - 1}
+),
+g AS (
+  SELECT doc_id,
+         [{gram} for p in range(1, length(t) - {k} + 2)] AS hs
+  FROM d
+),
+f AS (
+  SELECT DISTINCT doc_id,
+         unnest([list_min(list_slice(hs, s + 1, s + {w}))
+                 for s in range(0, len(hs) - {w} + 1)]) AS fp
+  FROM g
+),
+pr AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfc FROM f
+  ) WHERE dfc <= {df_cap}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+SQL_WINNOW_DEDUP = _sql_winnow()
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pairs — the keep/drop
     cluster assignment (cluster = min doc id in the component), computed by
@@ -2703,6 +2746,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "hll_cardinality": QuerySpec(q_hll_cardinality, SQL_HLL_CARDINALITY),
     "cms_words": QuerySpec(q_cms_words, SQL_CMS_WORDS),
     "cuckoo_prune": QuerySpec(q_cuckoo_prune, SQL_CUCKOO_PRUNE),
+    "winnow_dedup": QuerySpec(q_winnow_dedup, SQL_WINNOW_DEDUP),
     "link_degree_dist": QuerySpec(q_link_degree_dist, SQL_LINK_DEGREE_DIST),
     "media_dedup": QuerySpec(q_media_dedup, SQL_MEDIA_DEDUP),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),

@@ -132,3 +132,44 @@ def test_srp_neardup_recovers_planted_high_sim_pairs(spark):
     # verify stage exact: random 64-d gaussians essentially never reach
     # cosine 0.9, so nothing unplanted survives the verify join
     assert got - planted_set == set()
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing theorem: documents sharing any substring of length
+    >= w + k - 1 (= 23 chars at the defaults) share >= 1 fingerprint."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    rng = random.Random(11)
+
+    def blob(n):
+        return "".join(chr(97 + rng.randrange(26)) for _ in range(n))
+
+    shared = blob(40)  # > 23-char common span
+    rows = [(i, blob(150) + shared + blob(150)) for i in range(10)]
+    rows += [(100 + i, blob(400)) for i in range(10)]  # unrelated noise
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fps = winnow_fingerprints(df, "doc_id", "text")
+    carriers = (
+        fps.groupBy("fp").agg(F.collect_set("doc").alias("docs"))
+        .where(F.size("docs") >= 10)
+        .count()
+    )
+    assert carriers >= 1  # some fingerprint is common to all 10 planted docs
+
+    pairs = winnow_pairs(df, "doc_id", "text", df_cap=50, min_shared=1)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for a in range(10):
+        for b in range(a + 1, 10):
+            assert (a, b) in got, (a, b)
+
+
+def test_winnow_short_doc_has_no_fingerprints(spark):
+    from crawler_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "tiny text")], ["doc_id", "text"])
+    assert winnow_fingerprints(df, "doc_id", "text").count() == 0
