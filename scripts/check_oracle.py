@@ -5,10 +5,17 @@ Usage: python scripts/check_oracle.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
+
+# runnable from any cwd: the repo root is the package's import path, and
+# Spark's Python UDF workers also need it on PYTHONPATH
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
