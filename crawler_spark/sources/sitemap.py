@@ -97,11 +97,19 @@ def discover_sitemaps(
         .select("sitemap_ord", "xml")
     )
 
-_LOC_RE = r"<loc>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>"
+# <loc> values INSIDE <url> blocks only — the reference's ET parse walks
+# './/url/loc' (robots.py:388-404), so a <sitemapindex> file (whose <loc>
+# entries live under <sitemap>, not <url>) yields ZERO page URLs there; the
+# tempered (?!</url>) token keeps a loc-less <url> block from capturing the
+# next block's loc.
+_LOC_RE = (
+    r"(?s)<url[\s>](?:(?!</url>).)*?"
+    r"<loc>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>"
+)
 
 
 def extract_locs(xml: Column, max_urls: int = 10_000) -> Column:
-    """``<loc>`` URLs from sitemap XML, document order, capped at max_urls."""
+    """``<url>``-scoped ``<loc>`` URLs, document order, capped at max_urls."""
     return F.slice(
         F.regexp_extract_all(xml, F.lit(_LOC_RE), F.lit(1)), 1, max_urls
     )

@@ -99,8 +99,13 @@ _RE_URL = re.compile(
 )
 _RE_EMAIL = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b")
 _RE_WORD = re.compile(r"\b[a-zA-Z]+\b")
-# S4 sitemap <loc> extraction — same pattern as sources/sitemap.py
-_RE_LOC = re.compile(r"<loc>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>")
+# S4 sitemap <loc> extraction — same pattern as sources/sitemap.py:
+# <url>-scoped so a <sitemapindex> yields zero URLs (reference ET walks
+# .//url/loc, robots.py:388-404)
+_RE_LOC = re.compile(
+    r"(?s)<url[\s>](?:(?!</url>).)*?"
+    r"<loc>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>"
+)
 
 
 def extract_text(spans) -> str:

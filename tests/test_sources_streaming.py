@@ -359,3 +359,34 @@ def test_politeness_gate_tws_matches_applyinpandas(spark, tmp_path):
             for r in spark.read.parquet(out_dir).collect()
         }
     assert results["aip"] == results["tws"] and len(results["aip"]) == 4
+
+
+def test_sitemapindex_yields_no_page_urls(spark):
+    """Reference parity: parse_sitemap walks .//url/loc (robots.py:388-404),
+    so a <sitemapindex> file — whose <loc> entries sit under <sitemap> —
+    contributes zero page URLs; and a loc-less <url> block must not capture
+    the following block's loc."""
+    from crawler_spark.sources.sitemap import extract_locs
+
+    idx = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://h.test/sitemap1.xml</loc></sitemap>"
+        "<sitemap><loc>http://h.test/sitemap2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    mixed = (
+        "<urlset><url><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>http://h.test/p1</loc></url></urlset>"
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(idx,), (mixed,)], ["xml"])
+    got = df.select(F.col("xml"), extract_locs(F.col("xml")).alias("locs")).collect()
+    by_xml = {r.xml[:12]: r.locs for r in got}
+    assert by_xml["<sitemapinde"] == []
+    assert by_xml["<urlset><url"] == ["http://h.test/p1"]
+
+    from oracle.simulator import _RE_LOC
+
+    assert _RE_LOC.findall(idx) == []
+    assert _RE_LOC.findall(mixed) == ["http://h.test/p1"]
