@@ -578,14 +578,17 @@ def winnow_fingerprints(
     (doc, fp) int pairs, never text. Docs shorter than w + k - 1 chars
     have no complete window and are filtered out (no fingerprints).
     """
-    t = F.lower(F.col(text_col))
+    # lower() is hoisted into its own projection: referencing it inside the
+    # transform lambda defeats codegen CSE and recomputes it per element
+    # (same lesson as the round-3 shingling fix, BENCH/BASELINE.md)
+    low = df.select(
+        F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("_t")
+    ).where(F.length("_t") >= k + w - 1)
     grams = F.expr(
-        f"transform(sequence(1, length(lower({text_col})) - {k} + 1), "
-        f"p -> CAST(conv(substring(md5(substring(lower({text_col}), p, {k})), 1, 15), 16, 10) AS BIGINT))"
+        f"transform(sequence(1, length(_t) - {k} + 1), "
+        f"p -> CAST(conv(substring(md5(substring(_t, p, {k})), 1, 15), 16, 10) AS BIGINT))"
     )
-    g = df.where(F.length(t) >= k + w - 1).select(
-        F.col(id_col).alias("doc"), grams.alias("hs")
-    )
+    g = low.select("doc", grams.alias("hs"))
     wins = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("hs") - w),
@@ -611,7 +614,9 @@ def winnow_pairs(
     document frequency above ``df_cap`` (site chrome, boilerplate spans)
     are pruned before the pair expansion, which is quadratic in df.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    # both sides of the self-join (and the df-cap window) consume the
+    # fingerprint stream; checkpoint so the 10M-md5 gram scan runs once
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(eager=False)
     win = Window.partitionBy("fp")
     pruned = (
         fps.withColumn("_df", F.count("*").over(win))

@@ -943,8 +943,13 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual >= w+k-1-char substrings, not just vocabulary. Exact integer
     fingerprints end to end, so the pair set AND shared-fingerprint counts
     value-hash; the winnowing substring guarantee is pinned in
-    tests/test_dedup_recall.py."""
-    return dedup.winnow_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    tests/test_dedup_recall.py. The per-gram md5 scan is the dominant cost,
+    so the single-file local input is spread across the default parallelism
+    first (at production scale the source is already partitioned and this
+    repartition would be dropped)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return dedup.winnow_pairs(docs, "doc_id", "text")
 
 
 def _sql_winnow(k: int = 16, w: int = 8, df_cap: int = 50, min_shared: int = 3) -> str:
