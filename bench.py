@@ -81,6 +81,7 @@ HEADLINE = [
     "link_degree_dist",
     "media_dedup",
     "winnow_dedup",
+    "url_templates",
 ]
 
 

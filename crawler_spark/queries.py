@@ -984,6 +984,71 @@ GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 SQL_WINNOW_DEDUP = _sql_winnow()
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template mining — collapse every URL's digit runs to ``{n}`` and
+    aggregate per (host, template): the standard spider-trap / unbounded-
+    URL-space detector a 10^10-frontier crawler runs before admitting a
+    host's tail (calendar pages, session-id explosions and faceted-search
+    grids all collapse to ONE template with n_distinct == n_urls, which is
+    the admission-control signal; the reference crawls too few pages per
+    host to need it). URLs are synthesized deterministically from doc_id —
+    three realistic path families plus a planted parameterized trap — the
+    same convention as the pagerank/link_degree edge synthesis. Exact
+    integer counts; distinct_pct is integer basis points."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("host"), F.pmod(d, F.lit(7)).cast("string"), F.lit(".test"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    path = (
+        F.when(F.pmod(d, F.lit(3)) == 0, F.concat(F.lit("/article/"), s(d), F.lit("/view")))
+        .when(F.pmod(d, F.lit(3)) == 1, F.concat(F.lit("/product/"), s(d), F.lit("?ref="), s(F.pmod(d, F.lit(5)))))
+        .otherwise(F.concat(F.lit("/static/page"), s(F.pmod(d, F.lit(10))), F.lit(".html")))
+    )
+    base = docs.select(host.alias("host"), path.alias("path"))
+    trap = docs.where(F.pmod(d, F.lit(11)) == 0).select(
+        host.alias("host"),
+        F.concat(
+            F.lit("/cal/"), s(F.lit(2000) + F.pmod(d, F.lit(100))),
+            F.lit("/"), s(F.pmod(d, F.lit(12))), F.lit("/"), s(F.pmod(d, F.lit(28))),
+        ).alias("path"),
+    )
+    urls = base.unionByName(trap)
+    tmpl = F.regexp_replace(F.col("path"), "[0-9]+", "{n}")
+    return (
+        urls.groupBy("host", tmpl.alias("template"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("path").alias("n_distinct"),
+        )
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            "n_distinct",
+            F.expr("n_distinct * 10000 div n_urls").alias("distinct_bp"),
+        )
+    )
+
+
+SQL_URL_TEMPLATES = """
+WITH u AS (
+  SELECT 'host' || (doc_id % 7) || '.test' AS host,
+         CASE WHEN doc_id % 3 = 0 THEN '/article/' || doc_id || '/view'
+              WHEN doc_id % 3 = 1 THEN '/product/' || doc_id || '?ref=' || (doc_id % 5)
+              ELSE '/static/page' || (doc_id % 10) || '.html' END AS path
+  FROM documents
+  UNION ALL
+  SELECT 'host' || (doc_id % 7) || '.test' AS host,
+         '/cal/' || (2000 + doc_id % 100) || '/' || (doc_id % 12) || '/' || (doc_id % 28) AS path
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT host, regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+       count(*) AS n_urls, count(DISTINCT path) AS n_distinct,
+       (count(DISTINCT path) * 10000) // count(*) AS distinct_bp
+FROM u GROUP BY 1, 2
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pairs — the keep/drop
     cluster assignment (cluster = min doc id in the component), computed by
@@ -2752,6 +2817,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cms_words": QuerySpec(q_cms_words, SQL_CMS_WORDS),
     "cuckoo_prune": QuerySpec(q_cuckoo_prune, SQL_CUCKOO_PRUNE),
     "winnow_dedup": QuerySpec(q_winnow_dedup, SQL_WINNOW_DEDUP),
+    "url_templates": QuerySpec(q_url_templates, SQL_URL_TEMPLATES),
     "link_degree_dist": QuerySpec(q_link_degree_dist, SQL_LINK_DEGREE_DIST),
     "media_dedup": QuerySpec(q_media_dedup, SQL_MEDIA_DEDUP),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
