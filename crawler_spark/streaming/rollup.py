@@ -290,3 +290,20 @@ def politeness_gate_tws(
             timeMode="EventTime",
         )
     )
+
+
+def hll_stream_registers(stream: DataFrame, key_col: str) -> DataFrame:
+    """Streaming HyperLogLog: the mergeable register state over an unbounded
+    key stream (operators/sketches.hll_registers on a streaming source).
+
+    max() per register is the canonical streaming-sketch aggregation —
+    monotone, so registers only tighten as batches arrive and the state is
+    exactly HLL_M rows regardless of stream length (contrast the politeness
+    gate's per-host state). Complete-mode output; equality with the batch
+    registers over the same rows is pinned in tests. A production frontier
+    would keep this query running beside the crawl to answer "distinct URLs
+    seen so far" without ever scanning url_seen.
+    """
+    from crawler_spark.operators.sketches import hll_registers
+
+    return hll_registers(stream, key_col)

@@ -390,3 +390,25 @@ def test_sitemapindex_yields_no_page_urls(spark):
 
     assert _RE_LOC.findall(idx) == []
     assert _RE_LOC.findall(mixed) == ["http://h.test/p1"]
+
+
+def test_hll_stream_registers_match_batch(spark, tmp_path):
+    """Streaming HLL register state == batch registers over the same rows
+    (the sketch is a pure monotone aggregate, so complete-mode streaming
+    must converge to the identical 64-row state)."""
+    from crawler_spark.functions import text as X
+    from crawler_spark.operators.sketches import hll_registers
+    from crawler_spark.streaming.rollup import hll_stream_registers
+
+    src_dir = tmp_path / "docs_hll"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = lambda df: df.select(F.explode(X.tokens(F.col("text"))).alias("word"))  # noqa: E731
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+    got = _run_stream_to_memory(spark, hll_stream_registers(words(stream), "word"), "hll_sink")
+    expected = hll_registers(words(batch), "word")
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, expected.collect()))
+    assert g == e and len(g) > 0
