@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship analytics query (the reference's headline
 top-words aggregation, storage/database.py:422-433) on sf0.001.
 ``queries()`` / ``oracle_sql()`` expose the full operator registry from
-``crawler_spark.queries`` (72 entries, 70 with SQL twins) — one entry per
+``crawler_spark.queries`` (73 entries, 71 with SQL twins) — one entry per
 implemented operator family of SURVEY.md §2 plus the training-data ops
 (dedup x6 incl. IVF-blocked and hyperplane-LSH scale paths / similarity /
 exact quantized k-means / text analysis incl. unigram-LM surprisal /

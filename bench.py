@@ -76,6 +76,7 @@ HEADLINE = [
     "text_embed_hash",
     "bloom_prune",
     "hll_cardinality",
+    "hll_per_source",
     "cms_words",
     "cuckoo_prune",
     "link_degree_dist",

@@ -250,3 +250,50 @@ def cuckoo_prune(candidates: DataFrame, table: DataFrame, key_col: str) -> DataF
         .distinct()
     )
     return candidates.join(hits, key_col, "left_semi")
+
+
+def hll_summary_by(df: DataFrame, key_col: str, by_col: str) -> DataFrame:
+    """Per-group HLL: (by, m, n_zero_registers, z30, est_hll) — the
+    PARTITIONED form of hll_summary (distinct URLs per host, distinct
+    words per source). Registers live per (group, register); densification
+    joins each group against the 0..m-1 grid, so groups with few keys
+    still cost exactly m rows of state. Same fixed-point estimate, same
+    mergeability: per-partition sketches of the same group union by max.
+    """
+    h = hash60(F.col(key_col).cast("string"))
+    rest = F.expr(f"{_h_sql(key_col)} div {HLL_M}")
+    regs = (
+        df.select(
+            F.col(by_col).alias("by"),
+            F.pmod(h, F.lit(HLL_M)).alias("register"),
+            hll_rho(rest).alias("rho"),
+        )
+        .groupBy("by", "register")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    groups = df.select(F.col(by_col).alias("by")).distinct()
+    grid = groups.crossJoin(
+        df.sparkSession.range(HLL_M).select(F.col("id").alias("register"))
+    )
+    dense = grid.join(regs, ["by", "register"], "left").select(
+        "by", F.coalesce(F.col("rho_max"), F.lit(0)).alias("m_j")
+    )
+    term = F.when(
+        F.col("m_j") <= HLL_FP_SHIFT,
+        F.expr(f"shiftleft(1L, CAST({HLL_FP_SHIFT} - m_j AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        dense.groupBy("by")
+        .agg(
+            F.lit(HLL_M).alias("m"),
+            F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).alias("n_zero_registers"),
+            F.sum(term).alias("z30"),
+        )
+        .select(
+            "by",
+            "m",
+            "n_zero_registers",
+            "z30",
+            F.expr(f"CAST({HLL_EST_NUM} AS BIGINT) div z30 div 1000000").alias("est_hll"),
+        )
+    )

@@ -2467,6 +2467,81 @@ FROM agg, ex
 SQL_HLL_CARDINALITY = _sql_hll()
 
 
+def q_hll_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED HyperLogLog (operators/sketches.hll_summary_by): per-group
+    vocabulary cardinality — the "distinct URLs per host" shape the frontier
+    needs, demonstrated per documents.source. Register state lives per
+    (group, register) and merges by max within each group; estimate and
+    per-group exact count are both in the value-hashed result."""
+    from crawler_spark.operators.sketches import hll_summary_by
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("word")
+    )
+    summary = hll_summary_by(toks, "word", "source").withColumnRenamed("by", "source")
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("word").alias("exact_distinct")
+    )
+    return summary.join(exact, "source")
+
+
+def _sql_hll_by() -> str:
+    from crawler_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_FP_SHIFT,
+        HLL_M,
+        HLL_RHO_MAX,
+    )
+
+    h = hash60_sql("word")
+    return (
+        _WORDS_CTE.rstrip().replace(
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\b[a-z]+\\b')) AS word\n  FROM documents",
+            "SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '\\b[a-z]+\\b')) AS word\n  FROM documents",
+        ).replace(
+            "SELECT doc_id, word FROM toks",
+            "SELECT doc_id, source, word FROM toks",
+        )
+        + f""",
+hh AS (SELECT source, {h} AS h FROM words),
+rr AS (
+  SELECT source, h % {HLL_M} AS register,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+              ELSE length(bin((h // {HLL_M}) & -(h // {HLL_M}))) END AS rho
+  FROM hh
+),
+regs AS (SELECT source, register, max(rho) AS m_j FROM rr GROUP BY 1, 2),
+grid AS (
+  SELECT s.source, g.register
+  FROM (SELECT DISTINCT source FROM words) s,
+       (SELECT unnest(range(0, {HLL_M})) AS register) g
+),
+dense AS (
+  SELECT grid.source, coalesce(regs.m_j, 0) AS m_j
+  FROM grid LEFT JOIN regs ON regs.source = grid.source
+                          AND regs.register = grid.register
+),
+agg AS (
+  SELECT source, {HLL_M} AS m,
+         CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_registers,
+         CAST(sum(CASE WHEN m_j <= {HLL_FP_SHIFT}
+                       THEN 1::BIGINT << CAST({HLL_FP_SHIFT} - m_j AS INT)
+                       ELSE 0 END) AS BIGINT) AS z30
+  FROM dense GROUP BY source
+),
+ex AS (SELECT source, count(DISTINCT word) AS exact_distinct FROM words GROUP BY source)
+SELECT agg.source, m, n_zero_registers, z30,
+       CAST({HLL_EST_NUM} AS BIGINT) // z30 // 1000000 AS est_hll,
+       exact_distinct
+FROM agg JOIN ex ON ex.source = agg.source
+"""
+    )
+
+
+SQL_HLL_PER_SOURCE = _sql_hll_by()
+
+
 def q_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation (operators/sketches): build the
     4x256 counter matrix over every word occurrence, then point-estimate the
@@ -2814,6 +2889,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_embed_hash": QuerySpec(q_text_embed_hash, SQL_TEXT_EMBED_HASH),
     "bloom_prune": QuerySpec(q_bloom_prune, SQL_BLOOM_PRUNE),
     "hll_cardinality": QuerySpec(q_hll_cardinality, SQL_HLL_CARDINALITY),
+    "hll_per_source": QuerySpec(q_hll_per_source, SQL_HLL_PER_SOURCE),
     "cms_words": QuerySpec(q_cms_words, SQL_CMS_WORDS),
     "cuckoo_prune": QuerySpec(q_cuckoo_prune, SQL_CUCKOO_PRUNE),
     "winnow_dedup": QuerySpec(q_winnow_dedup, SQL_WINNOW_DEDUP),

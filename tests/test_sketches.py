@@ -126,3 +126,17 @@ def test_cuckoo_build_deterministic(spark):
     t1 = sorted(map(tuple, cuckoo_build(seen, "key").collect()))
     t2 = sorted(map(tuple, cuckoo_build(seen.repartition(7), "key").collect()))
     assert t1 == t2
+
+
+def test_hll_by_group_matches_per_group_summary(spark):
+    from crawler_spark.operators.sketches import hll_summary, hll_summary_by
+
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("k"), (F.col("id") % 2000).cast("string")).alias("key"),
+    )
+    by = {r.by: (r.n_zero_registers, r.z30, r.est_hll)
+          for r in hll_summary_by(df, "key", "grp").collect()}
+    for g in ("0", "1", "2"):
+        solo = hll_summary(df.where(F.col("grp") == g), "key").collect()[0]
+        assert by[g] == (solo.n_zero_registers, solo.z30, solo.est_hll), g
