@@ -302,3 +302,32 @@ def media_inventory(spark: SparkSession, workdir: str) -> DataFrame:
         F.countDistinct("media_ref").alias("n_unique"),
         F.countDistinct("canonical").alias("n_pages"),
     )
+
+
+def url_template_stats(spark: SparkSession, workdir: str) -> DataFrame | None:
+    """URL-template mining over the crawl's OWN frontier (the registry's
+    ``url_templates`` query demonstrates the operator on synthetic URLs;
+    this is the production entry point): collapse each canonical URL's
+    digit runs to ``{n}``, aggregate per (host, template) with the
+    distinct/total ratio in basis points — the spider-trap / unbounded-
+    URL-space signal per host. One groupBy over the frontier; safe at
+    catalog scale (result is bounded by the template vocabulary)."""
+    f = _read(spark, workdir, "frontier")
+    if f is None:
+        return None
+    path = F.regexp_replace(
+        F.col("canonical"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+    )
+    tmpl = F.regexp_replace(path, r"[0-9]+", "{n}")
+    return (
+        f.groupBy("host", tmpl.alias("template"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("canonical").alias("n_distinct"),
+        )
+        .select(
+            "host", "template", "n_urls", "n_distinct",
+            F.expr("n_distinct * 10000 div n_urls").alias("distinct_bp"),
+        )
+        .orderBy(F.desc("n_urls"), "host", "template")
+    )

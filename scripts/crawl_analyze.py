@@ -70,6 +70,12 @@ def main() -> None:
                     r.asDict()
                     for r in analytics.top_words(spark, wd, args.top).collect()
                 ],
+                "url_templates": [
+                    r.asDict()
+                    for r in (
+                        analytics.url_template_stats(spark, wd).limit(args.top).collect()
+                    )
+                ],
             }
         else:
             out = {

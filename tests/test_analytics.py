@@ -291,3 +291,18 @@ def test_page_timing_attribution(spark, crawl):
         assert r["n"] == hist[rnd]["scheduled"]
         assert abs(r["sched_sum"] - hist[rnd]["sched_sec"]) < 0.02
         assert abs(r["wall"] - hist[rnd]["wall_sec"]) < 1e-9
+
+
+def test_url_template_stats(spark, crawl):
+    workdir, _ = crawl
+    df = analytics.url_template_stats(spark, workdir)
+    rows = df.collect()
+    assert len(rows) > 0
+    # every crawled URL is accounted for exactly once
+    total = sum(r.n_urls for r in rows)
+    frontier_n = analytics.queue_health(spark, workdir)["total_urls"]
+    assert total == frontier_n
+    # corpus pages are /pageN -> one {n} template dominates per host
+    assert any(r.template == "/page{n}" for r in rows)
+    for r in rows:
+        assert 0 < r.distinct_bp <= 10000
