@@ -83,6 +83,11 @@ HEADLINE = [
     "media_dedup",
     "winnow_dedup",
     "url_templates",
+    # search-side consumers of the word store + sampling
+    "inverted_index",
+    "bm25_topk",
+    "dedup_jaccard_prefix",
+    "stratified_sample",
 ]
 
 

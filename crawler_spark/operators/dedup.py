@@ -206,6 +206,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    th_num: int = 1,
+    th_den: int = 2,
+) -> DataFrame:
+    """EXACT shingle-Jaccard similarity join via prefix filtering (Chaudhuri
+    et al. ICDE'06 / PPJoin, Xiao et al. WWW'08) — the no-false-negative
+    scale path that LSH is not.
+
+    Order every doc's shingles by ascending global document frequency
+    (rarest first, (df, sh) total order); for threshold t = th_num/th_den a
+    pair with Jaccard >= t must share at least one shingle within each
+    side's first ``P = L - ceil(t*L) + 1`` shingles (if all P rarest of one
+    doc miss the other, the overlap is < t of the union). So candidates
+    come from an equality join on PREFIX shingles only — hot shingles land
+    in the long tail of every prefix order and never join, which is what
+    bounds the pair expansion (``ngram_jaccard_pairs``'s df_cap achieves
+    this heuristically; the prefix filter achieves it *provably*). Exact
+    Jaccard verification on the full sets then keeps pairs with
+    inter/union >= t, all in integer arithmetic.
+
+    Returns (doc_a, doc_b, inter, sz_union, jaccard_bp) with jaccard_bp =
+    inter*10000 div union. Threshold is a rational th_num/th_den so the
+    prefix length and the final filter stay exact in both engines.
+
+    Scale: two shuffles on shingle hash (df count, prefix join) + one
+    per-doc window over each doc's OWN shingles (small partitions, never a
+    corpus-wide sort) + the hash-keyed verify joins. No all-pairs stage.
+    """
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    wdoc = Window.partitionBy("doc")
+    ranked = (
+        sh.join(dfc, "sh")
+        .withColumn("_pos", F.row_number().over(wdoc.orderBy("_df", "sh")))
+        .withColumn("_len", F.count("*").over(wdoc))
+    )
+    prefix_len = F.expr(
+        f"_len - (({th_num} * _len + {th_den} - 1) div {th_den}) + 1"
+    )
+    prefix = ranked.where(F.col("_pos") <= prefix_len).select("doc", "sh")
+    pairs = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("sz_union", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .where(F.col("inter") * th_den >= F.col("sz_union") * th_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "sz_union",
+            F.expr("inter * 10000 div sz_union").alias("jaccard_bp"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """Per-doc SimHash (Charikar 2002) over token frequencies.
 

@@ -156,6 +156,45 @@ def domain_cap(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str = "doc_id",
+    k: int = 5,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic stratified sample: ``k`` documents per stratum (the
+    grouping of ``strata_cols``), chosen by ascending ``hash60(id)`` with
+    the id itself as the final tiebreak — i.e. a uniform-without-replacement
+    sample that is reproducible across runs, engines and partitionings
+    (the property `df.sample()` cannot give, since its Bernoulli draw
+    depends on partition layout). This is the corpus-ablation /
+    eval-set-carving primitive: every (lang, source) cell contributes the
+    same k docs no matter how the data is laid out.
+
+    Plan: one synthetic stratum key + the frontier's salted two-phase
+    top-k (operators/ordering.top_per_key), so a mega-stratum never
+    funnels through a single window task. Output keeps all input columns
+    plus ``rank_col`` (1-based within the stratum).
+    """
+    from crawler_spark.operators.ordering import top_per_key
+
+    key = F.concat_ws("", *[F.col(c) for c in strata_cols])
+    tagged = df.withColumn("_stratum", key).withColumn(
+        "_draw", hash60(F.col(id_col).cast("string"))
+    )
+    out = top_per_key(
+        tagged,
+        key="_stratum",
+        order_exprs=[F.asc("_draw"), F.asc(id_col)],
+        limit_col=F.lit(k),
+        salt_on=id_col,
+        salt_buckets=8,
+        rank_col=rank_col,
+    )
+    return out.drop("_stratum", "_draw")
+
+
 def corpus_mix(
     df: DataFrame,
     rates: dict[str, float],

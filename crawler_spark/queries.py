@@ -2816,6 +2816,138 @@ def q_crawl_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# search-side consumers of the word store (database.py:422-433's downstream):
+# inverted index, BM25 ranking, prefix-filter similarity join, stratified
+# sampling
+# --------------------------------------------------------------------------
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list inverted index (operators/search.inverted_index): per
+    word the document frequency, total term frequency and — for terms under
+    the df cap — the sorted posting array; hot terms carry NULL postings
+    (pruned before any array is collected, the honest scale knob)."""
+    from crawler_spark.operators.search import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), postings_cap=100)
+
+
+SQL_INVERTED_INDEX = _WORDS_CTE + """
+, stats AS (
+  SELECT word, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+  FROM words GROUP BY word
+), post AS (
+  SELECT w.word, list_sort(list(DISTINCT w.doc_id)) AS postings
+  FROM words w JOIN stats s ON w.word = s.word
+  WHERE s.df <= 100 GROUP BY w.word
+)
+SELECT s.word AS word, s.df AS df, s.tf_total AS tf_total, p.postings AS postings
+FROM stats s LEFT JOIN post p ON s.word = p.word
+ORDER BY word
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {dup, merge, window}
+    (operators/search.bm25_topk): Okapi BM25 k1=1.2 b=0.75 in exact integer
+    basis points — rational RSJ idf, length-normalized saturating tf — so
+    the ranking value-hashes across engines. 'dup' is the rare planted
+    near-duplicate marker (df ~5%), the others are common corpus terms, so
+    the ranking exercises both idf extremes."""
+    from crawler_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), ["dup", "merge", "window"], k=20)
+
+
+SQL_BM25_TOPK = _WORDS_CTE + """
+, dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+hits AS (SELECT doc_id, word FROM words WHERE word IN ('dup', 'merge', 'window')),
+dfs AS (SELECT word, count(DISTINCT doc_id) AS term_df FROM hits GROUP BY word),
+tfs AS (SELECT doc_id, word, count(*) AS tf FROM hits GROUP BY doc_id, word),
+scored AS (
+  SELECT t.doc_id,
+         ((2*c.n_docs - 2*d.term_df + 1) * 10000) // (2*d.term_df + 1) AS idf_bp,
+         (220000 * t.tf * c.sum_dl)
+           // (10*t.tf*c.sum_dl + 3*c.sum_dl + 9*l.dl*c.n_docs) AS tfn_bp
+  FROM tfs t JOIN dfs d ON t.word = d.word JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN corpus c
+)
+SELECT doc_id, count(*) AS n_terms,
+       CAST(sum(idf_bp * tfn_bp) AS BIGINT) AS score_scaled
+FROM scored GROUP BY doc_id ORDER BY score_scaled DESC, doc_id LIMIT 20
+"""
+
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering
+    (dedup.prefix_jaccard_pairs, threshold 1/2): the provably-no-false-
+    negative scale path — candidates share a shingle within both docs'
+    rarest-first prefixes, so hot shingles never join. Must return exactly
+    the >=0.5 pairs the naive all-pairs join finds."""
+    from crawler_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, th_num=1, th_den=2
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_DEDUP_JACCARD_PREFIX = _SH_CTE + """
+, dfc AS (SELECT sh, count(*) AS sdf FROM sh GROUP BY sh),
+ranked AS (
+  SELECT s.doc, s.sh,
+         row_number() OVER (PARTITION BY s.doc ORDER BY d.sdf, s.sh) AS pos,
+         count(*) OVER (PARTITION BY s.doc) AS n_sh
+  FROM sh s JOIN dfc d ON s.sh = d.sh
+),
+prefix AS (SELECT doc, sh FROM ranked WHERE pos <= n_sh - ((1*n_sh + 2 - 1) // 2) + 1),
+pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc < b.doc),
+inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+          FROM pairs p JOIN sh x ON x.doc = p.doc_a
+                       JOIN sh y ON y.doc = p.doc_b AND y.sh = x.sh
+          GROUP BY p.doc_a, p.doc_b),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, i.inter AS inter,
+       sa.sz + sb.sz - i.inter AS sz_union,
+       (i.inter * 10000) // (sa.sz + sb.sz - i.inter) AS jaccard_bp
+FROM inter i JOIN sizes sa ON sa.doc = i.doc_a JOIN sizes sb ON sb.doc = i.doc_b
+WHERE i.inter * 2 >= (sa.sz + sb.sz - i.inter) * 1
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (pipeline.stratified_sample): 5 docs
+    per (lang, source) cell by ascending hash60(doc_id) — reproducible
+    across runs/engines/partitionings, unlike Bernoulli df.sample(). Runs
+    on the frontier's salted two-phase top-k; the oracle is the plain
+    row_number window it must equal."""
+    from crawler_spark.operators.pipeline import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return (
+        stratified_sample(docs, ["lang", "source"], "doc_id", k=5)
+        .select("doc_id", "lang", "source", F.col("rank").cast("long").alias("rank"))
+        .orderBy("lang", "source", "rank")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         {hash60_sql("CAST(doc_id AS VARCHAR)")} AS draw
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY draw, doc_id) AS rank
+  FROM d
+)
+SELECT doc_id, lang, source, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5 ORDER BY lang, source, rank
+"""
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -2896,6 +3028,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "url_templates": QuerySpec(q_url_templates, SQL_URL_TEMPLATES),
     "link_degree_dist": QuerySpec(q_link_degree_dist, SQL_LINK_DEGREE_DIST),
     "media_dedup": QuerySpec(q_media_dedup, SQL_MEDIA_DEDUP),
+    "inverted_index": QuerySpec(q_inverted_index, SQL_INVERTED_INDEX),
+    "bm25_topk": QuerySpec(q_bm25_topk, SQL_BM25_TOPK),
+    "dedup_jaccard_prefix": QuerySpec(q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
+    "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "crawl_order_mini": QuerySpec(q_crawl_order_mini, None),
     "crawl_media_features": QuerySpec(q_crawl_media_features, None),
 }

@@ -91,6 +91,9 @@ def test_registry_builders_are_lazy(spark):
         "dedup_minhash_lsh", "dedup_minhash_k64", "dedup_ngram_jaccard",
         "dedup_simhash", "ann_ivf", "ann_ivf_probe2", "ann_neardup_blocked",
         "lm_surprisal",
+        # the word/shingle stream feeds 2+ consumers in each of these
+        "inverted_index", "bm25_topk", "dedup_jaccard_prefix",
+        "winnow_dedup",
     }
     for name in SQL_CHECKED:
         if name in (
