@@ -297,3 +297,94 @@ def hll_summary_by(df: DataFrame, key_col: str, by_col: str) -> DataFrame:
             F.expr(f"CAST({HLL_EST_NUM} AS BIGINT) div z30 div 1000000").alias("est_hll"),
         )
     )
+
+
+# ------------------------------------------------ k-minimum-values sketch
+
+# KMV (Bar-Yossef et al. 2002; Beyer et al. 2007 "distinct sampling") keeps
+# the k smallest distinct hash values of a key set. Unlike HLL it supports
+# SET OPERATIONS: the k smallest of (A union B) is computable from the two
+# k-row sketches alone, and the fraction of that union sketch present in
+# BOTH input sketches estimates Jaccard — giving union / intersection
+# cardinality estimates between two crawls' URL-seen sets without ever
+# co-scanning them (the cross-snapshot overlap question the reference's
+# per-session visited sets, queue.py:35-77, cannot answer without a full
+# join). Everything is int64: hashes are hash60, the estimator
+# (HMAX div kth_min) * (k-1) and (n_both * est_union) div k are integer
+# ops with identical semantics in Spark (`div`) and DuckDB (`//`), so the
+# whole summary sits under the driver's value-hash gate.
+
+KMV_K = 64
+KMV_HMAX = 1 << 60  # hash60 values are uniform in [0, 2^60)
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """k-row sketch: the k smallest distinct hash60 values of df[key_col].
+
+    Plan: project to the hash, map-side-combinable distinct, then a
+    sort-limit (per-partition top-k, single tiny merge) — the only full
+    shuffle is the distinct on the 8-byte hash; text never travels. A
+    production build at 10^10 keys would fold the distinct into the
+    per-partition top-k with a bounded-heap Aggregator (state = k longs);
+    the declarative form here has the same output and the same single
+    shuffle, and duplicates cannot displace minima because the distinct
+    runs first.
+    """
+    h = hash60(F.col(key_col).cast("string"))
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union sketch from two k-row sketches: k smallest of their union.
+
+    Exact for the union set whenever each input sketch saw >= k distinct
+    keys (the k smallest of A union B are all within the k smallest of A
+    or of B) — the mergeability law a 1000-executor cluster relies on,
+    pinned in tests/test_sketches.py.
+    """
+    return sk_a.unionByName(sk_b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_expr(kth_col: str, k: int) -> Column:
+    """est_distinct = (2^60 div kth_min) * (k-1), all int64 (module doc)."""
+    return F.expr(f"(CAST({KMV_HMAX} AS BIGINT) div {kth_col}) * {k - 1}")
+
+
+def kmv_overlap_summary(df_a: DataFrame, df_b: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """One row of exact integers estimating |A|, |B|, |A u B|, |A n B|.
+
+    Columns: k, kth_a, est_a, kth_b, est_b, union_kth, est_union, n_both,
+    est_intersection. n_both = how many of the union sketch's k values
+    appear in BOTH input sketches; est_intersection = n_both * est_union
+    div k (the KMV Jaccard estimator). All joins are on <= k-row frames —
+    after the two sketch builds, cost is independent of input size.
+    """
+    sa = kmv_sketch(df_a, key_col, k)
+    sb = kmv_sketch(df_b, key_col, k)
+    su = kmv_merge(sa, sb, k)
+    one = (
+        su.join(F.broadcast(sa), "h", "semi")
+        .join(F.broadcast(sb), "h", "semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    agg_a = sa.agg(F.max("h").alias("kth_a"))
+    agg_b = sb.agg(F.max("h").alias("kth_b"))
+    agg_u = su.agg(F.max("h").alias("union_kth"))
+    return (
+        agg_u.crossJoin(F.broadcast(agg_a))
+        .crossJoin(F.broadcast(agg_b))
+        .crossJoin(F.broadcast(one))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "kth_a",
+            kmv_estimate_expr("kth_a", k).alias("est_a"),
+            "kth_b",
+            kmv_estimate_expr("kth_b", k).alias("est_b"),
+            "union_kth",
+            kmv_estimate_expr("union_kth", k).alias("est_union"),
+            "n_both",
+            F.expr(
+                f"(n_both * ((CAST({KMV_HMAX} AS BIGINT) div union_kth) * {k - 1})) div {k}"
+            ).alias("est_intersection"),
+        )
+    )

@@ -2542,6 +2542,87 @@ FROM agg JOIN ex ON ex.source = agg.source
 SQL_HLL_PER_SOURCE = _sql_hll_by()
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV k-minimum-values set-operation sketch (operators/sketches):
+    estimate |A|, |B|, |A u B| and |A n B| between two crawl snapshots'
+    URL-seen sets from their 64-value sketches alone — the cross-crawl
+    overlap question HLL registers cannot answer (the reference's
+    per-session visited sets, queue.py:35-77, would need a full join).
+    Snapshots are synthesized deterministically from documents: snapshot A
+    saw URLs of docs with doc_id % 3 != 0, B those with doc_id % 3 != 1,
+    so exactly a third of the corpus overlaps; the URL is
+    'https://{source}/page/{doc_id}'. The whole summary is int64 (see
+    sketches module doc) and is value-hashed beside the exact union /
+    intersection counts, so the sketch's approximation error is itself
+    under the oracle gate."""
+    from crawler_spark.operators.sketches import kmv_overlap_summary
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    a = docs.where(F.col("doc_id") % 3 != 0).select("url")
+    b = docs.where(F.col("doc_id") % 3 != 1).select("url")
+    summary = kmv_overlap_summary(a, b, "url")
+    exact_u = a.unionByName(b).distinct().agg(F.count("*").alias("exact_union"))
+    exact_i = a.intersect(b).agg(F.count("*").alias("exact_intersection"))
+    return summary.crossJoin(F.broadcast(exact_u)).crossJoin(F.broadcast(exact_i))
+
+
+def _sql_kmv() -> str:
+    from crawler_spark.operators.sketches import KMV_HMAX, KMV_K
+
+    h = hash60_sql("url")
+    k = KMV_K
+    est_u = f"(CAST({KMV_HMAX} AS BIGINT) // union_kth) * {k - 1}"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         'https://' || source || '/page/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+a AS (SELECT url FROM d WHERE doc_id % 3 <> 0),
+b AS (SELECT url FROM d WHERE doc_id % 3 <> 1),
+sa AS (SELECT DISTINCT {h} AS h FROM a ORDER BY h LIMIT {k}),
+sb AS (SELECT DISTINCT {h} AS h FROM b ORDER BY h LIMIT {k}),
+su AS (
+  SELECT DISTINCT h
+  FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ORDER BY h LIMIT {k}
+),
+kths AS (
+  SELECT (SELECT max(h) FROM sa) AS kth_a,
+         (SELECT max(h) FROM sb) AS kth_b,
+         (SELECT max(h) FROM su) AS union_kth
+),
+nb AS (
+  SELECT count(*) AS n_both FROM su
+  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+),
+ex AS (
+  SELECT (SELECT count(DISTINCT url)
+          FROM (SELECT url FROM a UNION ALL SELECT url FROM b)) AS exact_union,
+         (SELECT count(*)
+          FROM (SELECT url FROM a INTERSECT SELECT url FROM b)) AS exact_intersection
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       kth_a, (CAST({KMV_HMAX} AS BIGINT) // kth_a) * {k - 1} AS est_a,
+       kth_b, (CAST({KMV_HMAX} AS BIGINT) // kth_b) * {k - 1} AS est_b,
+       union_kth, {est_u} AS est_union,
+       n_both, (n_both * ({est_u})) // {k} AS est_intersection,
+       exact_union, exact_intersection
+FROM kths, nb, ex
+"""
+
+
+SQL_KMV_OVERLAP = _sql_kmv()
+
+
 def q_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation (operators/sketches): build the
     4x256 counter matrix over every word occurrence, then point-estimate the
@@ -3022,6 +3103,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_prune": QuerySpec(q_bloom_prune, SQL_BLOOM_PRUNE),
     "hll_cardinality": QuerySpec(q_hll_cardinality, SQL_HLL_CARDINALITY),
     "hll_per_source": QuerySpec(q_hll_per_source, SQL_HLL_PER_SOURCE),
+    "kmv_overlap": QuerySpec(q_kmv_overlap, SQL_KMV_OVERLAP),
     "cms_words": QuerySpec(q_cms_words, SQL_CMS_WORDS),
     "cuckoo_prune": QuerySpec(q_cuckoo_prune, SQL_CUCKOO_PRUNE),
     "winnow_dedup": QuerySpec(q_winnow_dedup, SQL_WINNOW_DEDUP),

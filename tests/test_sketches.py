@@ -140,3 +140,43 @@ def test_hll_by_group_matches_per_group_summary(spark):
     for g in ("0", "1", "2"):
         solo = hll_summary(df.where(F.col("grp") == g), "key").collect()[0]
         assert by[g] == (solo.n_zero_registers, solo.z30, solo.est_hll), g
+
+
+# ------------------------------------------------------------------ KMV
+
+def test_kmv_merge_law(spark):
+    # k smallest of (A u B) is exactly computable from the two k-row
+    # sketches when each input has >= k distinct keys — the cluster
+    # sketch-union property.
+    from crawler_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a = _keys(spark, 0, 2000, 5000)
+    b = _keys(spark, 1500, 5000, 5000)
+    merged = sorted(r.h for r in kmv_merge(kmv_sketch(a, "key"), kmv_sketch(b, "key")).collect())
+    full = sorted(r.h for r in kmv_sketch(a.unionByName(b), "key").collect())
+    assert merged == full
+
+
+def test_kmv_estimates_within_3_sigma(spark):
+    # k=64 -> relative std error ~1/sqrt(k-2) ~= 12.7%; allow 3 sigma.
+    from crawler_spark.operators.sketches import kmv_overlap_summary
+
+    a = _keys(spark, 0, 3000, 10**6)       # 3000 distinct
+    b = _keys(spark, 2000, 6000, 10**6)    # 4000 distinct, 1000 shared
+    row = kmv_overlap_summary(a, b, "key").collect()[0]
+    assert abs(row.est_a - 3000) / 3000 < 0.39, row
+    assert abs(row.est_b - 4000) / 4000 < 0.39, row
+    assert abs(row.est_union - 6000) / 6000 < 0.39, row
+    # intersection compounds union + Jaccard error; allow a looser band
+    assert abs(row.est_intersection - 1000) / 1000 < 0.6, row
+
+
+def test_kmv_insensitive_to_duplicates(spark):
+    from crawler_spark.operators.sketches import kmv_sketch
+
+    once = _keys(spark, 0, 1000, 1000)
+    thrice = _keys(spark, 0, 3000, 1000)
+    assert (
+        sorted(r.h for r in kmv_sketch(once, "key").collect())
+        == sorted(r.h for r in kmv_sketch(thrice, "key").collect())
+    )
