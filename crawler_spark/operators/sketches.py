@@ -388,3 +388,40 @@ def kmv_overlap_summary(df_a: DataFrame, df_b: DataFrame, key_col: str, k: int =
             ).alias("est_intersection"),
         )
     )
+
+
+# ------------------------------------------- sketch-pruned heavy hitters
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, phi_denom: int) -> DataFrame:
+    """EXACT phi-heavy-hitters (count * phi_denom > n) via a CMS prune.
+
+    The 10^10-frontier question "which hosts dominate the pending queue"
+    cannot afford an exact count of every host: this is the classic
+    two-pass sketch plan instead. Pass 1 builds the bounded count-min
+    state (depth x width counters, map-side combinable — the only
+    full-stream aggregation has 1024 groups, not |keys|). Pass 2 probes
+    the broadcast sketch per DISTINCT key and keeps keys whose estimate
+    clears the threshold; only those candidates' occurrences are then
+    exactly counted and re-filtered. CMS never underestimates, so
+    cms_est * phi >= count * phi > n — the prune provably cannot drop a
+    true heavy hitter (pinned in tests/test_sketches.py), which is why
+    the final output is EXACT and sits under the value-hash oracle while
+    the shuffle that produces it only carries candidate rows.
+    """
+    total = df.agg(F.count("*").alias("_n"))
+    sketch = cms_build(df, key_col)
+    keys = df.select(key_col).distinct()
+    cand = (
+        cms_estimate(keys, sketch, key_col)
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cms_est") * phi_denom > F.col("_n"))
+        .select(key_col)
+    )
+    return (
+        df.join(F.broadcast(cand), key_col, "semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("freq") * phi_denom > F.col("_n"))
+        .select(key_col, "freq")
+    )

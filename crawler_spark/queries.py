@@ -2732,6 +2732,49 @@ FROM gg JOIN tab ON tab.fp = gg.fp AND (tab.bucket = gg.i1 OR tab.bucket = gg.i2
 
 SQL_CUCKOO_PRUNE = _sql_cuckoo()
 
+# Deterministic skewed host stream for the heavy-hitter demo: 30% of events
+# land on 3 hot hosts, the rest each hit a unique cold host — the hot-host
+# frontier shape (most hosts contribute a page or two; a few dominate).
+_HH_PHI = 50  # heavy = more than n/50 of all fetches
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters through a count-min prune
+    (operators/sketches.cms_heavy_hitters): which hosts receive more than
+    n/50 of all fetches, computed without ever exact-counting the cold
+    tail — the sketch's never-underestimate property makes the candidate
+    prune lossless (pinned in tests/test_sketches.py), so the output is
+    exact and value-hashes against a plain GROUP BY oracle while the
+    exact-count shuffle only ever carries candidate rows."""
+    from crawler_spark.operators.sketches import cms_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hosts = ev.select(
+        F.when(
+            F.col("event_id") % 10 < 3,
+            F.concat(F.lit("hot"), (F.col("event_id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("host"), F.col("event_id").cast("string")))
+        .alias("host")
+    )
+    return cms_heavy_hitters(hosts, "host", _HH_PHI).orderBy("host")
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH hosts AS (
+  SELECT CASE WHEN event_id % 10 < 3
+              THEN 'hot' || CAST(event_id % 3 AS VARCHAR)
+              ELSE 'host' || CAST(event_id AS VARCHAR) END AS host
+  FROM events
+),
+tot AS (SELECT count(*) AS n FROM hosts)
+SELECT host, count(*) AS freq
+FROM hosts, tot
+GROUP BY host, n
+HAVING count(*) * {_HH_PHI} > n
+ORDER BY host
+"""
+
 
 def q_text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embeddings (operators/lm.hash_embed): the
@@ -3104,6 +3147,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "hll_cardinality": QuerySpec(q_hll_cardinality, SQL_HLL_CARDINALITY),
     "hll_per_source": QuerySpec(q_hll_per_source, SQL_HLL_PER_SOURCE),
     "kmv_overlap": QuerySpec(q_kmv_overlap, SQL_KMV_OVERLAP),
+    "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
     "cms_words": QuerySpec(q_cms_words, SQL_CMS_WORDS),
     "cuckoo_prune": QuerySpec(q_cuckoo_prune, SQL_CUCKOO_PRUNE),
     "winnow_dedup": QuerySpec(q_winnow_dedup, SQL_WINNOW_DEDUP),

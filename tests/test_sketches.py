@@ -180,3 +180,32 @@ def test_kmv_insensitive_to_duplicates(spark):
         sorted(r.h for r in kmv_sketch(once, "key").collect())
         == sorted(r.h for r in kmv_sketch(thrice, "key").collect())
     )
+
+
+# ------------------------------------------------------- heavy hitters
+
+def test_cms_prune_is_lossless(spark):
+    # CMS never underestimates, so the candidate stage of
+    # cms_heavy_hitters can never drop a true heavy hitter: the pruned
+    # result must EQUAL the naive exact computation on a skewed stream
+    # whose cold tail is large enough to make CMS collisions certain.
+    from crawler_spark.operators.sketches import cms_heavy_hitters
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 5 < 2, F.concat(F.lit("hot"), (F.col("id") % 4).cast("string")))
+        .otherwise(F.concat(F.lit("cold"), F.col("id").cast("string")))
+        .alias("key")
+    )
+    phi = 100
+    pruned = sorted(map(tuple, cms_heavy_hitters(df, "key", phi).collect()))
+    n = df.count()
+    naive = sorted(
+        map(
+            tuple,
+            df.groupBy("key")
+            .agg(F.count("*").alias("freq"))
+            .where(F.col("freq") * phi > n)
+            .collect(),
+        )
+    )
+    assert pruned == naive and len(pruned) == 4
