@@ -81,3 +81,81 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+# ----------------------------------------------------- triangle counting
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edge set {lo, hi} from a directed links table
+    (self-loops dropped): the canonical-form input of triangle counting."""
+    lo = F.least("src", "dst").alias("lo")
+    hi = F.greatest("src", "dst").alias("hi")
+    return edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+
+
+def triangles_per_node(edges: DataFrame) -> DataFrame:
+    """(node, degree, tri): undirected degree and triangle count per node.
+
+    Algorithm: degree-ordered orientation (Cohen 2009 / "compact-forward").
+    Every undirected edge is directed from its LOWER-(degree, node) endpoint
+    to its higher one, making the oriented out-degree of every node at most
+    O(sqrt(|E|)) regardless of how skewed the real degrees are — a web-graph
+    hub with 10^7 in-links would otherwise put 10^14 wedge pairs in one
+    join key. Wedges are then the self-join of the oriented list on its
+    source, and a triangle is a wedge whose far pair is itself an oriented
+    edge — two equality joins and an agg, no node ever holding more than
+    its oriented (bounded) neighborhood. Each triangle {a,b,c} is found
+    exactly once; per-node counts come from exploding the found triangle's
+    three corners. Exact integers end to end: the DuckDB twin counts
+    triangles naively (lo<mid<hi self-joins) and must agree value-for-value.
+    """
+    und = undirect(edges)
+    deg = (
+        und.select(F.col("lo").alias("node")).unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    dl = deg.select(F.col("node").alias("lo"), F.col("degree").alias("deg_lo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("degree").alias("deg_hi"))
+    oriented = (
+        und.join(dl, "lo").join(dh, "hi")
+        .select(
+            F.when(
+                (F.col("deg_lo") < F.col("deg_hi"))
+                | ((F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))),
+                F.struct(F.col("lo").alias("u"), F.col("hi").alias("v")),
+            )
+            .otherwise(F.struct(F.col("hi").alias("u"), F.col("lo").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    closing = oriented.select(
+        F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
+    ).distinct()
+    tris = wedges.join(closing, ["b", "c"])
+    corner = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    ).groupBy("node").agg(F.count("*").alias("tri"))
+    return deg.join(corner, "node", "left").select(
+        "node", "degree", F.coalesce(F.col("tri"), F.lit(0)).alias("tri")
+    )
+
+
+def clustering_summary(edges: DataFrame, top_n: int = 20) -> DataFrame:
+    """Top-N nodes by (tri, node) with exact local clustering coefficient
+    in millionths: cc_micro = (2 * tri * 10^6) div (degree * (degree - 1)).
+    Integer division keeps the value hashable across engines."""
+    per = triangles_per_node(edges)
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.expr("(2 * tri * 1000000) div (degree * (degree - 1))"),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        per.select("node", "degree", "tri", cc.alias("cc_micro"))
+        .orderBy(F.desc("tri"), F.asc("node"))
+        .limit(top_n)
+    )

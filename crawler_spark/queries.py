@@ -1895,6 +1895,83 @@ def _pagerank_sql(n_iter: int = 5) -> str:
 SQL_PAGERANK = _pagerank_sql(5)
 
 
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the link graph
+    (operators/graph.triangles_per_node): the community-structure signal a
+    crawl analyst uses to separate organic link neighborhoods from link
+    farms (cliques of mutually-linking spam hosts light up as cc ~ 1).
+    Same deterministic synthetic edge construction as ``pagerank``. The
+    Spark side runs the degree-ordered orientation (skew-bounded wedge
+    join); the DuckDB twin counts lo<mid<hi corners naively — both must
+    agree triangle-for-triangle, an algebraic identity the value hash
+    checks."""
+    from crawler_spark.operators.graph import clustering_summary
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("_n"))
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edge_h = hash60(
+        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
+    )
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select("doc_id", "_n", ks)
+        .select(
+            F.col("doc_id").alias("src"),
+            (edge_h % F.col("_n")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return clustering_summary(edges, top_n=20)
+
+
+def _sql_link_triangles() -> str:
+    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst
+  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
+  WHERE doc_id <> ({h} % nn.n)
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
+),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e2.lo = e1.hi
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT node, count(*) AS tri
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node
+),
+per AS (
+  SELECT deg.node, deg.degree, coalesce(corners.tri, 0) AS tri
+  FROM deg LEFT JOIN corners ON corners.node = deg.node
+)
+SELECT node, degree, tri,
+       CASE WHEN degree >= 2
+            THEN (2 * tri * 1000000) // (degree * (degree - 1))
+            ELSE 0 END AS cc_micro
+FROM per
+ORDER BY tri DESC, node
+LIMIT 20
+"""
+
+
+SQL_LINK_TRIANGLES = _sql_link_triangles()
+
+
 def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the link graph (the first thing a crawl
     analyst plots: hub concentration / dangling mass). Same deterministic
@@ -3131,6 +3208,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_resize": QuerySpec(q_media_resize, SQL_MEDIA_RESIZE),
     "media_frame_sample": QuerySpec(q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
+    "link_triangles": QuerySpec(q_link_triangles, SQL_LINK_TRIANGLES),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(

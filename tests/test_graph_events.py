@@ -94,3 +94,44 @@ def test_transition_counts(spark):
         for r in transition_counts(df).collect()
     }
     assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_triangles_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 4-5
+    # (node 5: degree 1, no triangle; node 4's cc drops to 3/6).
+    from crawler_spark.operators.graph import clustering_summary, triangles_per_node
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 4)],
+        "src long, dst long",
+    )
+    per = {r.node: (r.degree, r.tri) for r in triangles_per_node(edges).collect()}
+    assert per == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3), 5: (1, 0)}
+    cc = {r.node: r.cc_micro for r in clustering_summary(edges).collect()}
+    assert cc[1] == 1_000_000 and cc[4] == 500_000 and cc[5] == 0
+
+
+def test_triangles_match_naive_on_random_graph(spark):
+    # degree-ordered orientation vs the naive lo<mid<hi three-way join.
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.graph import triangles_per_node, undirect
+
+    edges = spark.range(400).select(
+        (F.col("id") % 30).alias("src"),
+        F.pmod(F.xxhash64("id"), F.lit(30)).alias("dst"),
+    )
+    per = triangles_per_node(edges)
+    und = undirect(edges)
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    naive = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri"))
+    )
+    got = {r.node: r.tri for r in per.where(F.col("tri") > 0).collect()}
+    want = {r.node: r.tri for r in naive.collect()}
+    assert got == want and len(want) > 0
