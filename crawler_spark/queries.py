@@ -1972,6 +1972,91 @@ LIMIT 20
 SQL_LINK_TRIANGLES = _sql_link_triangles()
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.hits) over the same synthetic
+    link graph as ``pagerank``: the complementary centrality pair (pages
+    that point at good pages vs pages good pages point at) a crawl uses to
+    seed-select and to spot link farms. 3 iterations of the max-normalized
+    integer recurrence, unrolled identically in the DuckDB twin, so actual
+    score values hash-match."""
+    from crawler_spark.operators.graph import hits
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("_n"))
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edge_h = hash60(
+        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
+    )
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select("doc_id", "_n", ks)
+        .select(
+            F.col("doc_id").alias("src"),
+            (edge_h % F.col("_n")).alias("dst"),
+        )
+    )
+    return (
+        hits(edges, n_iter=3)
+        .orderBy(F.desc("auth"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "auth", "hub")
+    )
+
+
+def _hits_sql(n_iter: int = 3) -> str:
+    from crawler_spark.operators.graph import HITS_SCALE
+
+    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+    s = HITS_SCALE
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents),",
+        "edges AS (",
+        f"  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst",
+        "  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)",
+        f"  WHERE doc_id <> ({h} % nn.n)",
+        "),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        f"h0 AS (SELECT node, CAST({s} AS BIGINT) AS hub FROM nodes),",
+    ]
+    for i in range(1, n_iter + 1):
+        # MATERIALIZED: each r-CTE is referenced twice (normalizer max +
+        # score select) and chains across iterations; without the hint
+        # DuckDB may re-inline the whole upstream per reference
+        # (measured 66 s -> <1 s at n_iter=3).
+        parts.append(
+            f"""a{i}r AS MATERIALIZED (
+  SELECT nd.node, coalesce(s.m, 0) AS ar FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub) AS m
+    FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst) s
+  ON nd.node = s.node
+),
+a{i} AS MATERIALIZED (
+  SELECT node, (ar * {s}) // greatest((SELECT max(ar) FROM a{i}r), 1) AS auth
+  FROM a{i}r
+),
+h{i}r AS MATERIALIZED (
+  SELECT nd.node, coalesce(s.m, 0) AS hr FROM nodes nd LEFT JOIN (
+    SELECT e.src AS node, sum(a.auth) AS m
+    FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src) s
+  ON nd.node = s.node
+),
+h{i} AS MATERIALIZED (
+  SELECT node, (hr * {s}) // greatest((SELECT max(hr) FROM h{i}r), 1) AS hub
+  FROM h{i}r
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""SELECT a.node AS doc_id, a.auth, h.hub
+FROM a{n_iter} a JOIN h{n_iter} h ON a.node = h.node
+ORDER BY a.auth DESC, a.node LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+SQL_HITS = _hits_sql(3)
+
+
 def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the link graph (the first thing a crawl
     analyst plots: hub concentration / dangling mass). Same deterministic
@@ -3209,6 +3294,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_frame_sample": QuerySpec(q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
     "link_triangles": QuerySpec(q_link_triangles, SQL_LINK_TRIANGLES),
+    "hits_scores": QuerySpec(q_hits, SQL_HITS),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(

@@ -135,3 +135,27 @@ def test_triangles_match_naive_on_random_graph(spark):
     got = {r.node: r.tri for r in per.where(F.col("tri") > 0).collect()}
     want = {r.node: r.tri for r in naive.collect()}
     assert got == want and len(want) > 0
+
+
+def test_hits_star_graph(spark):
+    # 1 -> {2,3,4}: node 1 is the pure hub, 2/3/4 the pure authorities.
+    from crawler_spark.operators.graph import HITS_SCALE, hits
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    got = {r.node: (r.auth, r.hub) for r in hits(edges, n_iter=2).collect()}
+    assert got[1] == (0, HITS_SCALE)
+    assert got[2] == got[3] == got[4] == (HITS_SCALE, 0)
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.graph import hits
+
+    edges = spark.range(300).select(
+        (F.col("id") % 40).alias("src"),
+        F.pmod(F.xxhash64("id"), F.lit(40)).alias("dst"),
+    )
+    a = sorted(map(tuple, hits(edges.repartition(1), n_iter=3).collect()))
+    b = sorted(map(tuple, hits(edges.repartition(16, "dst"), n_iter=3).collect()))
+    assert a == b
