@@ -2057,6 +2057,55 @@ ORDER BY a.auth DESC, a.node LIMIT 20"""
 SQL_HITS = _hits_sql(3)
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (operators/recrawl): estimate per-page
+    change rates from revisit history and rank pages by
+    change_ratio * staleness — the Cho & Garcia-Molina freshness policy in
+    exact integer form. Fetch history is read from the events table
+    (page_id = user_id, fetch time = ts, observed content state =
+    event_type), timestamps pre-floored to epoch seconds per the parity
+    recipe."""
+    from crawler_spark.operators.recrawl import recrawl_priority
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("page_id"),
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        F.col("event_type").alias("fp"),
+    )
+    return recrawl_priority(ev, page_col="page_id", ts_col="s", fp_col="fp")
+
+
+SQL_RECRAWL_PRIORITY = """
+WITH ev AS (
+  SELECT user_id AS page_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         event_type AS fp
+  FROM events
+),
+marked AS (
+  SELECT page_id, s, fp,
+         CASE WHEN lag(fp) OVER w IS NULL THEN NULL
+              WHEN lag(fp) OVER w <> fp THEN 1 ELSE 0 END AS changed
+  FROM ev WINDOW w AS (PARTITION BY page_id ORDER BY s, fp)
+),
+stats AS (
+  SELECT page_id, count(*) AS visits,
+         CAST(sum(coalesce(changed, 0)) AS BIGINT) AS changes,
+         max(s) AS last_s
+  FROM marked GROUP BY page_id
+),
+now_ts AS (SELECT max(s) AS now_s FROM ev)
+SELECT page_id, visits, changes,
+       (changes * 1000000) // (visits - 1) AS change_ratio_micro,
+       now_s - last_s AS age_s,
+       ((changes * 1000000) // (visits - 1)) * (now_s - last_s) AS score
+FROM stats, now_ts
+WHERE visits >= 2
+ORDER BY score DESC, page_id LIMIT 50
+"""
+
+
 def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the link graph (the first thing a crawl
     analyst plots: hub concentration / dangling mass). Same deterministic
@@ -3295,6 +3344,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
     "link_triangles": QuerySpec(q_link_triangles, SQL_LINK_TRIANGLES),
     "hits_scores": QuerySpec(q_hits, SQL_HITS),
+    "recrawl_priority": QuerySpec(q_recrawl_priority, SQL_RECRAWL_PRIORITY),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(

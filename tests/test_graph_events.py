@@ -159,3 +159,25 @@ def test_hits_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, hits(edges.repartition(1), n_iter=3).collect()))
     b = sorted(map(tuple, hits(edges.repartition(16, "dst"), n_iter=3).collect()))
     assert a == b
+
+
+def test_recrawl_change_stats_semantics(spark):
+    # page 1: A,A,B,B,A over 5 visits -> 2 changes; page 2: single visit,
+    # excluded by min_visits; page 3: never changes -> ratio 0.
+    from crawler_spark.operators.recrawl import change_stats, recrawl_priority
+
+    rows = [
+        (1, 100, "A"), (1, 200, "A"), (1, 300, "B"), (1, 400, "B"), (1, 500, "A"),
+        (2, 100, "X"),
+        (3, 100, "C"), (3, 900, "C"),
+    ]
+    df = spark.createDataFrame(rows, "page_id long, s long, fp string")
+    st = {r.page_id: (r.visits, r.changes) for r in
+          change_stats(df, ts_col="s", fp_col="fp").collect()}
+    assert st == {1: (5, 2), 2: (1, 0), 3: (2, 0)}
+    pr = {r.page_id: (r.change_ratio_micro, r.age_s, r.score) for r in
+          recrawl_priority(df, ts_col="s", fp_col="fp").collect()}
+    assert 2 not in pr
+    # page 1: ratio 2/4 = 500000 micro, age 900-500=400 -> score 2e8
+    assert pr[1] == (500_000, 400, 200_000_000)
+    assert pr[3] == (0, 0, 0)
