@@ -109,3 +109,68 @@ def surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select("doc_id", "n_tokens", "total_bits", "avg_centibits")
     )
+
+
+# ------------------------------------------------------------ BPE training
+
+def bpe_merges(vocab: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Learn the first ``n_merges`` byte-pair-encoding merges from a
+    (word, freq) vocabulary; returns (rank, pair, pair_count).
+
+    This is Sennrich et al. 2016 tokenizer training as a dataflow: words
+    become space-separated symbol sequences; each round counts adjacent
+    symbol pairs weighted by word frequency, picks the most frequent pair
+    (ties by lexicographic pair — deterministic), and rewrites every
+    sequence with the pair fused. The rewrite is a plain non-overlapping
+    left-to-right string replace on ' '-padded sequences, which IS greedy
+    BPE application ('a a a' -> 'aa a'), and both engines' replace() scan
+    identically — so the learned merge table value-hashes against a DuckDB
+    twin that unrolls the same rounds.
+
+    Scale shape per round: one pair-explode + groupBy(pair) sum (map-side
+    combinable; the vocab table is orders of magnitude smaller than the
+    corpus — BPE training never touches raw documents after the initial
+    word count), one 1-row broadcast argmax, one map-only rewrite. Each
+    round's sequence table feeds both the next count and the next rewrite,
+    so it is lazily localCheckpointed (the HITS lesson: without lineage
+    truncation the broadcast side re-evaluates the whole prefix per round).
+    Real trainers run 30k+ merges with the same per-round plan, typically
+    switching to an incremental pair-delta update once counts stabilize.
+    """
+    seqs = vocab.select(
+        F.col("freq").cast("long").alias("freq"),
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("sym"),
+    )
+    out = None
+    for rank in range(1, n_merges + 1):
+        pairs = F.expr(
+            "CASE WHEN size(split(sym, ' ')) > 1 THEN "
+            "transform(sequence(1, size(split(sym, ' ')) - 1), "
+            "j -> concat(element_at(split(sym, ' '), j), ' ', "
+            "element_at(split(sym, ' '), j + 1))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        pc = (
+            seqs.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        m = pc.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1)
+        step = m.select(F.lit(rank).alias("rank"), "pair", "pair_count")
+        out = step if out is None else out.unionByName(step)
+        merged = F.regexp_replace(F.col("pair"), " ", "")
+        seqs = (
+            seqs.crossJoin(F.broadcast(m.select("pair")))
+            .select(
+                "freq",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(F.lit(" "), merged, F.lit(" ")),
+                    )
+                ).alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return out

@@ -2106,6 +2106,66 @@ ORDER BY score DESC, page_id LIMIT 50
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/lm.bpe_merges): the first 5 merge
+    rules learned from the corpus word-frequency vocabulary — the
+    data-side half of training a production tokenizer for an LM corpus.
+    Deterministic greedy pair fusion; the DuckDB twin unrolls the same 5
+    rounds, so the learned merge table AND its pair counts value-hash."""
+    from crawler_spark.operators.lm import bpe_merges
+
+    vocab = (
+        _tokens_df(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return bpe_merges(vocab, n_merges=5)
+
+
+def _bpe_sql(n_merges: int = 5) -> str:
+    parts = [
+        _WORDS_CTE.rstrip(),
+        """,
+vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY word),
+seq0 AS MATERIALIZED (
+  SELECT freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym FROM vocab
+),""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""pc{i} AS MATERIALIZED (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT freq,
+           unnest(list_transform(
+             range(1, len(string_split(sym, ' '))),
+             j -> string_split(sym, ' ')[j] || ' ' || string_split(sym, ' ')[j + 1]
+           )) AS pair
+    FROM seq{i - 1}
+  ) GROUP BY pair
+),
+m{i} AS MATERIALIZED (
+  SELECT pair, pair_count FROM pc{i} ORDER BY pair_count DESC, pair LIMIT 1
+),
+seq{i} AS MATERIALIZED (
+  SELECT freq,
+         trim(replace(' ' || sym || ' ',
+                      ' ' || (SELECT pair FROM m{i}) || ' ',
+                      ' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' ')) AS sym
+  FROM seq{i - 1}
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, pair, pair_count FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    parts.append(sel)
+    return "\n".join(parts)
+
+
+SQL_BPE_MERGES = _bpe_sql(5)
+
+
 def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the link graph (the first thing a crawl
     analyst plots: hub concentration / dangling mass). Same deterministic
@@ -3345,6 +3405,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "link_triangles": QuerySpec(q_link_triangles, SQL_LINK_TRIANGLES),
     "hits_scores": QuerySpec(q_hits, SQL_HITS),
     "recrawl_priority": QuerySpec(q_recrawl_priority, SQL_RECRAWL_PRIORITY),
+    "bpe_merges": QuerySpec(q_bpe_merges, SQL_BPE_MERGES),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(

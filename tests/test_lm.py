@@ -74,3 +74,33 @@ def test_hash_embed_shape_and_sign(spark):
     a1, a2 = np.array(got[1]), np.array(got[2])
     assert np.abs(a2).sum() == 1  # single occurrence of alpha
     assert np.abs(a1 - 2 * a2).sum() == 1  # exactly beta remains
+
+
+def test_bpe_merges_known_vocab(spark):
+    # classic BPE toy: {'hug':10,'pug':5,'pun':12,'bun':4,'hugs':5}
+    # pair counts r1: 'u g' 10+5+5=20 ... 'u n' 12+4=16 -> merge 'u g'
+    from crawler_spark.operators.lm import bpe_merges
+
+    vocab = spark.createDataFrame(
+        [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)],
+        "word string, freq long",
+    )
+    got = [(r.rank, r.pair, r.pair_count) for r in
+           sorted(bpe_merges(vocab, n_merges=3).collect())]
+    assert got[0] == (1, "u g", 20)
+    # after merging 'ug': pairs 'h ug' 15, 'p ug' 5, 'ug s' 5, 'u n' 16,
+    # 'p u' 12, 'b u' 4 -> round 2 merges 'u n' (16)
+    assert got[1] == (2, "u n", 16)
+    # then 'h ug' (15)
+    assert got[2] == (3, "h ug", 15)
+
+
+def test_bpe_greedy_adjacent_overlap(spark):
+    # 'aaa' must fuse left-to-right: one 'aa a' occurrence, not two.
+    from crawler_spark.operators.lm import bpe_merges
+
+    vocab = spark.createDataFrame([("aaa", 7)], "word string, freq long")
+    got = [(r.rank, r.pair, r.pair_count) for r in
+           sorted(bpe_merges(vocab, n_merges=2).collect())]
+    assert got[0] == (1, "a a", 14)      # two 'a a' pairs weighted 7
+    assert got[1] == (2, "aa a", 7)      # post-merge sequence is 'aa a'
