@@ -307,3 +307,20 @@ def hll_stream_registers(stream: DataFrame, key_col: str) -> DataFrame:
     from crawler_spark.operators.sketches import hll_registers
 
     return hll_registers(stream, key_col)
+
+
+def cms_stream_counters(stream: DataFrame, key_col: str) -> DataFrame:
+    """Streaming count-min sketch: the live frequency state over an
+    unbounded key stream (operators/sketches.cms_build on a streaming
+    source).
+
+    Counter sums are the other canonical streaming-sketch aggregation —
+    additive and map-side combinable, state bounded at depth x width rows
+    regardless of stream length. Complete-mode output; equality with the
+    batch counters over the same rows is pinned in tests. Beside the
+    crawl this answers "how hot is host X right now" (probe min over
+    rows, sketches.cms_estimate) without a per-host counter table.
+    """
+    from crawler_spark.operators.sketches import cms_build
+
+    return cms_build(stream, key_col)

@@ -412,3 +412,25 @@ def test_hll_stream_registers_match_batch(spark, tmp_path):
     g = sorted(map(tuple, got.collect()))
     e = sorted(map(tuple, expected.collect()))
     assert g == e and len(g) > 0
+
+
+def test_cms_stream_counters_match_batch(spark, tmp_path):
+    """Streaming CMS counter state == batch counters over the same rows
+    (pure additive aggregate: complete-mode streaming must converge to
+    the identical depth x width state)."""
+    from crawler_spark.functions import text as X
+    from crawler_spark.operators.sketches import cms_build
+    from crawler_spark.streaming.rollup import cms_stream_counters
+
+    src_dir = tmp_path / "docs_cms"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src_dir / "part-0.parquet")
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = lambda df: df.select(F.explode(X.tokens(F.col("text"))).alias("word"))  # noqa: E731
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+    got = _run_stream_to_memory(spark, cms_stream_counters(words(stream), "word"), "cms_sink")
+    expected = cms_build(words(batch), "word")
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, expected.collect()))
+    assert g == e and len(g) > 0
