@@ -2166,6 +2166,80 @@ seq{i} AS MATERIALIZED (
 SQL_BPE_MERGES = _bpe_sql(5)
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff: per (source, status) counts of
+    added / removed / changed / same pages between two crawl snapshots —
+    what an operator reads before deciding recrawl budgets (pairs with
+    ``recrawl_priority``; ``kmv_overlap`` is the sketch estimate of the
+    same question). Snapshots are synthesized deterministically from
+    documents (A saw doc_id % 3 != 0, B saw % 3 != 1; every doc_id % 5 == 0
+    page changed content between snapshots); change detection compares
+    hash60 content fingerprints, so text never crosses the join — at
+    10^10 URLs this is one full-outer hash join on url keyed exactly like
+    the bucketed url_seen table."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text"),
+    )
+    a = docs.where(F.col("doc_id") % 3 != 0).select(
+        "url", F.col("source").alias("src_a"), hash60(F.col("text")).alias("fp_a")
+    )
+    b = docs.where(F.col("doc_id") % 3 != 1).select(
+        "url",
+        F.col("source").alias("src_b"),
+        hash60(
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+        ).alias("fp_b"),
+    )
+    j = a.join(b, "url", "full")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.select(F.coalesce("src_a", "src_b").alias("source"), status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _sql_crawl_diff() -> str:
+    h_plain = hash60_sql("text")
+    h_v2 = hash60_sql("CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         'https://' || source || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+         text
+  FROM documents
+),
+a AS (SELECT url, source AS src_a, {h_plain} AS fp_a FROM d WHERE doc_id % 3 <> 0),
+b AS (SELECT url, source AS src_b, {h_v2} AS fp_b FROM d WHERE doc_id % 3 <> 1),
+j AS (
+  SELECT coalesce(a.src_a, b.src_b) AS source,
+         CASE WHEN a.fp_a IS NULL THEN 'added'
+              WHEN b.fp_b IS NULL THEN 'removed'
+              WHEN a.fp_a <> b.fp_b THEN 'changed'
+              ELSE 'same' END AS status
+  FROM a FULL OUTER JOIN b ON a.url = b.url
+)
+SELECT source, status, count(*) AS n_pages FROM j GROUP BY source, status
+"""
+
+
+SQL_CRAWL_DIFF = _sql_crawl_diff()
+
+
 def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the link graph (the first thing a crawl
     analyst plots: hub concentration / dangling mass). Same deterministic
@@ -3406,6 +3480,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "hits_scores": QuerySpec(q_hits, SQL_HITS),
     "recrawl_priority": QuerySpec(q_recrawl_priority, SQL_RECRAWL_PRIORITY),
     "bpe_merges": QuerySpec(q_bpe_merges, SQL_BPE_MERGES),
+    "crawl_diff": QuerySpec(q_crawl_diff, SQL_CRAWL_DIFF),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(
