@@ -164,3 +164,23 @@ def test_lm_surprisal_plan_shape(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     tplan = token_stream(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in tplan
+
+
+def test_graph_queries_prune_to_doc_id(spark):
+    """The synthetic-graph queries derive edges from doc_id alone — text,
+    lang, source must all be pruned from the documents scan. (hits_scores'
+    final plan is lineage-truncated by its per-half-step localCheckpoint,
+    so only the no-text property is assertable there.)"""
+    plan = _plan(spark, "link_triangles")
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "text" not in plan
+    assert "text" not in _plan(spark, "hits_scores")
+
+
+def test_heavy_hitters_broadcasts_sketch_and_candidates(spark):
+    """The two-pass heavy-hitter plan must probe a BROADCAST sketch and
+    semi-join a BROADCAST candidate set — a shuffle of the full stream on
+    the key would defeat the sketch prune."""
+    plan = _plan(spark, "heavy_hitters")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
