@@ -2240,6 +2240,155 @@ SELECT source, status, count(*) AS n_pages FROM j GROUP BY source, status
 SQL_CRAWL_DIFF = _sql_crawl_diff()
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph collapse: fold the page-level link graph down to weighted
+    host->host edges with a reciprocity column — the aggregation every
+    crawl runs before host-reputation / link-farm analysis (mutual
+    high-volume host pairs are the classic farm signature). Page edges are
+    the same deterministic synthesis as ``pagerank`` (made DISTINCT so both
+    engines count identical multiplicity); hosts come from joining each
+    endpoint back to documents.source. Top-30 host pairs by link count."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    n = docs.agg(F.count("*").alias("_n"))
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edge_h = hash60(
+        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
+    )
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "_n", ks)
+        .select(F.col("doc_id").alias("src"), (edge_h % F.col("_n")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    s = docs.select(F.col("doc_id").alias("src"), F.col("source").alias("src_host"))
+    d = docs.select(F.col("doc_id").alias("dst"), F.col("source").alias("dst_host"))
+    he = (
+        edges.join(s, "src")
+        .join(d, "dst")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+    rev = he.select(
+        F.col("src_host").alias("dst_host"),
+        F.col("dst_host").alias("src_host"),
+        F.col("n_links").alias("n_reverse"),
+    )
+    return (
+        he.join(rev, ["src_host", "dst_host"], "left")
+        .select(
+            "src_host",
+            "dst_host",
+            "n_links",
+            F.coalesce(F.col("n_reverse"), F.lit(0).cast("long")).alias("n_reverse"),
+        )
+        .orderBy(F.desc("n_links"), F.asc("src_host"), F.asc("dst_host"))
+        .limit(30)
+    )
+
+
+def _sql_host_graph() -> str:
+    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst
+  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
+  WHERE doc_id <> ({h} % nn.n)
+),
+he AS (
+  SELECT s.source AS src_host, d.source AS dst_host, count(*) AS n_links
+  FROM edges e
+  JOIN documents s ON s.doc_id = e.src
+  JOIN documents d ON d.doc_id = e.dst
+  GROUP BY 1, 2
+)
+SELECT a.src_host, a.dst_host, a.n_links,
+       coalesce(b.n_links, 0) AS n_reverse
+FROM he a LEFT JOIN he b
+  ON b.src_host = a.dst_host AND b.dst_host = a.src_host
+ORDER BY a.n_links DESC, a.src_host, a.dst_host LIMIT 30
+"""
+
+
+SQL_HOST_GRAPH = _sql_host_graph()
+
+
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise mutual information —
+    the phrase-extraction signal an LM corpus pipeline uses to pick
+    multi-word vocabulary entries (complements ``bpe_merges``, which works
+    at the character level). PMI is computed in integer floor-log2 bits
+    (the surprisal recipe, operators/lm): pmi_bits = ilog2(n_xy * T) -
+    ilog2(c_x) - ilog2(c_y) — within 2 bits of true PMI, exact int64 in
+    both engines so the scores value-hash. Bigrams under 5 occurrences are
+    dropped (the standard sparse-PMI guard)."""
+    toks = F.col("_t")
+    n_bg = F.size(toks) - 1
+    idx = F.when(n_bg > 0, F.sequence(F.lit(1), n_bg)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    base = _docs(spark, sf_dir).withColumn(
+        "_t",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)),
+    )
+    uni = (
+        base.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("t_uni"))
+    big = (
+        base.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_xy"))
+        .where(F.col("n_xy") >= 5)
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    ilog2 = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "n_xy",
+            "c1",
+            "c2",
+            (ilog2(F.col("n_xy") * F.col("t_uni")) - ilog2(F.col("c1")) - ilog2(F.col("c2"))).alias("pmi_bits"),
+        )
+        .orderBy(F.desc("pmi_bits"), F.desc("n_xy"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+SQL_COLLOCATIONS_PMI = """
+WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+uni AS (
+  SELECT word, count(*) AS c
+  FROM (SELECT unnest(t) AS word FROM d) GROUP BY word
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_uni FROM uni),
+big AS (
+  SELECT t[i.i] AS w1, t[i.i + 1] AS w2,
+         t[i.i] || ' ' || t[i.i + 1] AS bigram, count(*) AS n_xy
+  FROM d, LATERAL unnest(range(1, greatest(len(t), 1))) AS i(i)
+  GROUP BY 1, 2, 3 HAVING count(*) >= 5
+)
+SELECT bigram, n_xy, u1.c AS c1, u2.c AS c2,
+       (length(bin(n_xy * t_uni)) - 1)
+         - (length(bin(u1.c)) - 1) - (length(bin(u2.c)) - 1) AS pmi_bits
+FROM big JOIN uni u1 ON u1.word = big.w1
+         JOIN uni u2 ON u2.word = big.w2, tot
+ORDER BY pmi_bits DESC, n_xy DESC, bigram LIMIT 20
+"""
+
+
 def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the link graph (the first thing a crawl
     analyst plots: hub concentration / dangling mass). Same deterministic
@@ -3481,6 +3630,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "recrawl_priority": QuerySpec(q_recrawl_priority, SQL_RECRAWL_PRIORITY),
     "bpe_merges": QuerySpec(q_bpe_merges, SQL_BPE_MERGES),
     "crawl_diff": QuerySpec(q_crawl_diff, SQL_CRAWL_DIFF),
+    "host_graph": QuerySpec(q_host_graph, SQL_HOST_GRAPH),
+    "collocations_pmi": QuerySpec(q_collocations_pmi, SQL_COLLOCATIONS_PMI),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(
