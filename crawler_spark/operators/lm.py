@@ -113,18 +113,23 @@ def surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ------------------------------------------------------------ BPE training
 
-def bpe_merges(vocab: DataFrame, n_merges: int = 5) -> DataFrame:
-    """Learn the first ``n_merges`` byte-pair-encoding merges from a
-    (word, freq) vocabulary; returns (rank, pair, pair_count).
+def _bpe_run(vocab: DataFrame, n_merges: int):
+    """Shared BPE training loop (see :func:`bpe_merges` for the algorithm
+    and scale story); returns (merge table, final symbol sequences).
 
     This is Sennrich et al. 2016 tokenizer training as a dataflow: words
     become space-separated symbol sequences; each round counts adjacent
     symbol pairs weighted by word frequency, picks the most frequent pair
     (ties by lexicographic pair — deterministic), and rewrites every
-    sequence with the pair fused. The rewrite is a plain non-overlapping
-    left-to-right string replace on ' '-padded sequences, which IS greedy
-    BPE application ('a a a' -> 'aa a'), and both engines' replace() scan
-    identically — so the learned merge table value-hashes against a DuckDB
+    sequence with the pair fused. Symbols are separated by TWO spaces and
+    the sequence is padded with one space each side, so the rewrite is a
+    plain non-overlapping left-to-right string replace of
+    ' x  y ' -> ' xy ': each match consumes one space from each 2-space
+    separator, preserving the invariant for its neighbors — back-to-back
+    occurrences ('a b a b' -> 'ab ab') and overlapping runs
+    ('a a a' -> 'aa a', greedy) both come out exactly as real BPE
+    application does (pinned in tests). Both engines' replace() scan
+    identically, so the learned merge table value-hashes against a DuckDB
     twin that unrolls the same rounds.
 
     Scale shape per round: one pair-explode + groupBy(pair) sum (map-side
@@ -139,15 +144,15 @@ def bpe_merges(vocab: DataFrame, n_merges: int = 5) -> DataFrame:
     """
     seqs = vocab.select(
         F.col("freq").cast("long").alias("freq"),
-        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("sym"),
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1  ")).alias("sym"),
     )
     out = None
     for rank in range(1, n_merges + 1):
         pairs = F.expr(
-            "CASE WHEN size(split(sym, ' ')) > 1 THEN "
-            "transform(sequence(1, size(split(sym, ' ')) - 1), "
-            "j -> concat(element_at(split(sym, ' '), j), ' ', "
-            "element_at(split(sym, ' '), j + 1))) "
+            "CASE WHEN size(split(sym, '  ')) > 1 THEN "
+            "transform(sequence(1, size(split(sym, '  ')) - 1), "
+            "j -> concat(element_at(split(sym, '  '), j), ' ', "
+            "element_at(split(sym, '  '), j + 1))) "
             "ELSE CAST(array() AS ARRAY<STRING>) END"
         )
         pc = (
@@ -166,11 +171,47 @@ def bpe_merges(vocab: DataFrame, n_merges: int = 5) -> DataFrame:
                 F.trim(
                     F.replace(
                         F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+                            F.lit(" "),
+                        ),
                         F.concat(F.lit(" "), merged, F.lit(" ")),
                     )
                 ).alias("sym"),
             )
             .localCheckpoint(eager=False)
         )
+    return out, seqs
+
+
+def bpe_merges(vocab: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from a (word, freq)
+    vocabulary; returns (rank, pair, pair_count) — see :func:`_bpe_run`."""
+    out, _ = _bpe_run(vocab, n_merges)
     return out
+
+
+def bpe_compression(vocab: DataFrame, n_merges: int = 5) -> DataFrame:
+    """One row: (n_merges, tokens_before, tokens_after, saved) — the
+    corpus-weighted sequence-length reduction the learned merges buy,
+    i.e. the quantity a tokenizer team actually tunes vocabulary size by
+    (fertility). tokens_before = sum(freq * chars); tokens_after =
+    sum(freq * symbols after applying all merges greedily). Exact integers.
+    """
+    _, seqs = _bpe_run(vocab, n_merges)
+    before = vocab.select(
+        (F.col("freq") * F.length(F.col("word"))).alias("tb")
+    ).agg(F.sum("tb").alias("tokens_before"))
+    after = seqs.select(
+        (F.col("freq") * F.size(F.split(F.col("sym"), "  "))).alias("ta")
+    ).agg(F.sum("ta").alias("tokens_after"))
+    return (
+        before.crossJoin(F.broadcast(after))
+        .select(
+            F.lit(n_merges).cast("long").alias("n_merges"),
+            "tokens_before",
+            "tokens_after",
+            (F.col("tokens_before") - F.col("tokens_after")).alias("saved"),
+        )
+    )

@@ -2128,7 +2128,8 @@ def _bpe_sql(n_merges: int = 5) -> str:
         """,
 vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY word),
 seq0 AS MATERIALIZED (
-  SELECT freq, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym FROM vocab
+  -- two-space symbol separators: see operators/lm._bpe_run
+  SELECT freq, trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym FROM vocab
 ),""",
     ]
     for i in range(1, n_merges + 1):
@@ -2138,8 +2139,8 @@ seq0 AS MATERIALIZED (
   FROM (
     SELECT freq,
            unnest(list_transform(
-             range(1, len(string_split(sym, ' '))),
-             j -> string_split(sym, ' ')[j] || ' ' || string_split(sym, ' ')[j + 1]
+             range(1, len(string_split(sym, '  '))),
+             j -> string_split(sym, '  ')[j] || ' ' || string_split(sym, '  ')[j + 1]
            )) AS pair
     FROM seq{i - 1}
   ) GROUP BY pair
@@ -2150,7 +2151,7 @@ m{i} AS MATERIALIZED (
 seq{i} AS MATERIALIZED (
   SELECT freq,
          trim(replace(' ' || sym || ' ',
-                      ' ' || (SELECT pair FROM m{i}) || ' ',
+                      ' ' || replace((SELECT pair FROM m{i}), ' ', '  ') || ' ',
                       ' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' ')) AS sym
   FROM seq{i - 1}
 ),"""
@@ -2386,6 +2387,78 @@ SELECT bigram, n_xy, u1.c AS c1, u2.c AS c2,
 FROM big JOIN uni u1 ON u1.word = big.w1
          JOIN uni u2 ON u2.word = big.w2, tot
 ORDER BY pmi_bits DESC, n_xy DESC, bigram LIMIT 20
+"""
+
+
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility evidence (operators/lm.bpe_compression): how many
+    corpus-weighted symbols the 5 learned BPE merges remove — the number a
+    tokenizer team tunes vocabulary size by. Shares the training loop with
+    ``bpe_merges``; the DuckDB twin reuses the same unrolled CTE chain with
+    a different final aggregate."""
+    from crawler_spark.operators.lm import bpe_compression
+
+    vocab = (
+        _tokens_df(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return bpe_compression(vocab, n_merges=5)
+
+
+def _bpe_compression_sql(n_merges: int = 5) -> str:
+    chain = _bpe_sql(n_merges)
+    # swap the merge-table SELECT for the compression aggregate
+    head, _, _ = chain.rpartition("SELECT 1 AS rank")
+    return (
+        head
+        + f"""SELECT CAST({n_merges} AS BIGINT) AS n_merges,
+       b.tokens_before, a.tokens_after,
+       b.tokens_before - a.tokens_after AS saved
+FROM (SELECT CAST(sum(freq * length(word)) AS BIGINT) AS tokens_before FROM vocab) b,
+     (SELECT CAST(sum(freq * len(string_split(sym, '  '))) AS BIGINT) AS tokens_after FROM seq{n_merges}) a
+"""
+    )
+
+
+SQL_BPE_COMPRESSION = _bpe_compression_sql(5)
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced corpus sharding — the distributed-writer step that
+    turns a curated corpus into N equal training shards. Docs are ranked
+    by (n_chars DESC, doc_id) with the two-phase global-sequence primitive
+    (operators/ordering.with_global_seq: range-partition + per-partition
+    offsets — no single-partition window) and dealt round-robin into 8
+    shards, the classic LPT-style balancer: per-shard totals land within
+    one max-doc of each other. Output: per-shard doc count and char sum,
+    all exact integers. Build runs the operator's one offsets pass by
+    design (like corpus_shuffle); the seq cache must outlive this builder
+    — releasing it before the action would let repartitionByRange resample
+    its boundaries and scramble the offsets mapping."""
+    from crawler_spark.operators.ordering import with_global_seq
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    seq = with_global_seq(docs, [F.desc("n_chars"), F.asc("doc_id")], seq_col="seq")
+    return (
+        seq.select(F.pmod(F.col("seq"), F.lit(8)).alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_SHARD_ASSIGNMENT = """
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS seq
+  FROM documents
+)
+SELECT seq % 8 AS shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM ranked GROUP BY 1
 """
 
 
@@ -3632,6 +3705,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "crawl_diff": QuerySpec(q_crawl_diff, SQL_CRAWL_DIFF),
     "host_graph": QuerySpec(q_host_graph, SQL_HOST_GRAPH),
     "collocations_pmi": QuerySpec(q_collocations_pmi, SQL_COLLOCATIONS_PMI),
+    "bpe_compression": QuerySpec(q_bpe_compression, SQL_BPE_COMPRESSION),
+    "shard_assignment": QuerySpec(q_shard_assignment, SQL_SHARD_ASSIGNMENT),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(

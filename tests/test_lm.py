@@ -104,3 +104,12 @@ def test_bpe_greedy_adjacent_overlap(spark):
            sorted(bpe_merges(vocab, n_merges=2).collect())]
     assert got[0] == (1, "a a", 14)      # two 'a a' pairs weighted 7
     assert got[1] == (2, "aa a", 7)      # post-merge sequence is 'aa a'
+
+
+def test_bpe_compression_matches_manual(spark):
+    # 'abab' x 3: merges 'a b' then 'ab ab'; 12 chars -> 3 symbols.
+    from crawler_spark.operators.lm import bpe_compression
+
+    vocab = spark.createDataFrame([("abab", 3)], "word string, freq long")
+    row = bpe_compression(vocab, n_merges=2).collect()[0]
+    assert (row.n_merges, row.tokens_before, row.tokens_after, row.saved) == (2, 12, 3, 9)

@@ -100,7 +100,7 @@ def test_registry_builders_are_lazy(spark):
             "stream_politeness_gate", "stream_sessions", "dedup_clusters",
             "dedup_clusters_star", "training_keepset", "source_reputation",
             "corpus_shuffle", "pack_sequences", "kmeans", "kmeans_sizes",
-            "ann_neardup_kmeans", "token_budget",
+            "ann_neardup_kmeans", "token_budget", "shard_assignment",
         ):
             continue  # run by design: a streaming job / an iterative
             # label-propagation loop with a convergence probe per round /

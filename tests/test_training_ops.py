@@ -545,3 +545,21 @@ def test_pack_sequences_chunk_spans(spark):
     for r in out:
         covered.update(range(r["start_chunk"], r["end_chunk"] + 1))
     assert covered == set(range(total_chunks))
+
+
+def test_shard_assignment_balanced(spark):
+    """Round-robin dealing over the size-sorted order: shard char totals
+    must all land within one max-document of each other, and every doc is
+    assigned exactly once."""
+    from crawler_spark.queries import REGISTRY
+
+    rows = REGISTRY["shard_assignment"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r.shard for r in rows) == list(range(8))
+    assert sum(r.n_docs for r in rows) == 500
+    totals = [r.total_chars for r in rows]
+    import duckdb
+
+    max_doc = duckdb.sql(
+        "SELECT max(n_chars) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert max(totals) - min(totals) <= max_doc
