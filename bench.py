@@ -96,6 +96,10 @@ HEADLINE = [
     "recrawl_priority",
     "bpe_merges",
     "crawl_diff",
+    "host_graph",
+    "collocations_pmi",
+    "bpe_compression",
+    "shard_assignment",
 ]
 
 
