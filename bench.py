@@ -100,6 +100,8 @@ HEADLINE = [
     "collocations_pmi",
     "bpe_compression",
     "shard_assignment",
+    "cocitation",
+    "budget_allocation",
 ]
 
 

@@ -2461,6 +2461,141 @@ SELECT seq % 8 AS shard, count(*) AS n_docs,
 FROM ranked GROUP BY 1
 """
 
+_COCITE_MAX_OUT = 16  # super-spreader cap: see q_cocitation docstring
+
+
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity (Small 1973): two pages are related when many
+    pages link to BOTH — the link-graph relatedness signal that needs no
+    text, used to find substitutable sources and citation clusters. Pairs
+    come from the self-join of the (distinct) edge list on its source;
+    sources with out-degree above {cap} are dropped first — the standard
+    super-spreader guard, because a single 10^5-outlink hub contributes
+    O(outdeg^2) pairs and would dominate both the shuffle and the
+    semantics (a links-to-everything page carries no relatedness signal;
+    same degree-cap reasoning as textstats df_cap). Top-20 pairs."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("_n"))
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edge_h = hash60(
+        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
+    )
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select("doc_id", "_n", ks)
+        .select(F.col("doc_id").alias("src"), (edge_h % F.col("_n")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    kept = edges.join(
+        deg.where(F.col("outdeg") <= _COCITE_MAX_OUT).select("src"), "src"
+    )
+    e1 = kept.select("src", F.col("dst").alias("doc_a"))
+    e2 = kept.select("src", F.col("dst").alias("doc_b"))
+    return (
+        e1.join(e2, "src")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_cociting"))
+        .orderBy(F.desc("n_cociting"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
+
+
+def _sql_cocitation() -> str:
+    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst
+  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
+  WHERE doc_id <> ({h} % nn.n)
+),
+kept AS (
+  SELECT * FROM edges
+  WHERE src IN (SELECT src FROM edges GROUP BY src
+                HAVING count(*) <= {_COCITE_MAX_OUT})
+)
+SELECT a.dst AS doc_a, b.dst AS doc_b, count(*) AS n_cociting
+FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+ORDER BY n_cociting DESC, doc_a, doc_b LIMIT 20
+"""
+
+
+SQL_COCITATION = _sql_cocitation()
+
+_BUDGET_SLOTS = 1000  # global per-round fetch budget to apportion
+
+
+def q_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-budget apportionment by Hamilton's largest-remainder
+    method: split a global budget of {B} fetch slots across hosts
+    proportionally to their pending-URL counts, exactly — base quota =
+    B * pending div total, and the leftover slots go to the largest
+    remainders (ties by host) so quotas always sum to exactly B (pinned in
+    tests). This is the scheduler step between politeness (per-host caps)
+    and the global round budget (cfg.max_pages); all integer arithmetic.
+    The ranking window runs over the per-host AGGREGATE (one row per host)
+    — at 10^10 URLs that table is ~10^7 rows, trivially windowable."""
+    pend = (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.count("*").alias("pending"))
+    )
+    tot = pend.agg(F.sum("pending").alias("_t"))
+    based = (
+        pend.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "pending",
+            F.expr(f"({_BUDGET_SLOTS} * pending) div _t").alias("base"),
+            F.expr(f"({_BUDGET_SLOTS} * pending) % _t").alias("rem"),
+        )
+    )
+    from pyspark.sql import Window
+
+    leftover = based.agg(
+        (F.lit(_BUDGET_SLOTS) - F.sum("base")).cast("long").alias("_left")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (
+        based.withColumn("rrank", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "host",
+            "pending",
+            (
+                F.col("base")
+                + F.when(F.col("rrank") <= F.col("_left"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
+
+
+SQL_BUDGET_ALLOCATION = f"""
+WITH pend AS (
+  SELECT source AS host, count(*) AS pending FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(pending) AS BIGINT) AS t FROM pend),
+based AS (
+  SELECT host, pending,
+         ({_BUDGET_SLOTS} * pending) // t AS base,
+         ({_BUDGET_SLOTS} * pending) % t AS rem
+  FROM pend, tot
+),
+lft AS (SELECT {_BUDGET_SLOTS} - CAST(sum(base) AS BIGINT) AS leftover FROM based),
+ranked AS (
+  SELECT host, pending, base,
+         row_number() OVER (ORDER BY rem DESC, host) AS rrank
+  FROM based
+)
+SELECT host, pending,
+       CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM ranked, lft
+"""
+
 
 def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the link graph (the first thing a crawl
@@ -3707,6 +3842,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "collocations_pmi": QuerySpec(q_collocations_pmi, SQL_COLLOCATIONS_PMI),
     "bpe_compression": QuerySpec(q_bpe_compression, SQL_BPE_COMPRESSION),
     "shard_assignment": QuerySpec(q_shard_assignment, SQL_SHARD_ASSIGNMENT),
+    "cocitation": QuerySpec(q_cocitation, SQL_COCITATION),
+    "budget_allocation": QuerySpec(q_budget_allocation, SQL_BUDGET_ALLOCATION),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(

@@ -181,3 +181,16 @@ def test_recrawl_change_stats_semantics(spark):
     # page 1: ratio 2/4 = 500000 micro, age 900-500=400 -> score 2e8
     assert pr[1] == (500_000, 400, 200_000_000)
     assert pr[3] == (0, 0, 0)
+
+
+def test_budget_allocation_sums_to_budget(spark):
+    """Hamilton largest-remainder: quotas sum EXACTLY to the budget and
+    each host gets floor or floor+1 of its proportional share."""
+    from crawler_spark.queries import REGISTRY
+
+    rows = REGISTRY["budget_allocation"].fn(spark, "/root/testdata/sf0.001").collect()
+    total_pending = sum(r.pending for r in rows)
+    assert sum(r.quota for r in rows) == 1000
+    for r in rows:
+        base = (1000 * r.pending) // total_pending
+        assert r.quota in (base, base + 1), r
