@@ -102,6 +102,7 @@ HEADLINE = [
     "shard_assignment",
     "cocitation",
     "budget_allocation",
+    "ann_int8_recall",
 ]
 
 

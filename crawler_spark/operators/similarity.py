@@ -258,3 +258,68 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ------------------------------------------------- int8 quantization recall
+
+def int8_quantize(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qvec, qnorm): symmetric int8 quantization with ONE global scale
+    127/max|x| — the memory/bandwidth lever of large-scale ANN (a 10^10 x
+    64-dim float corpus is 2.5 TB; int8 is a quarter of that and the dot
+    products become exact int64 arithmetic). Floor quantization (not
+    round-half-even) because floor((x*127.0)/amax) is bit-identical across
+    engines; the global abs-max is an exact aggregation of doubles.
+    qnorm (the self dot product) is precomputed per row so the pairwise
+    stage never recomputes it.
+    """
+    amax = vectors.select(
+        F.explode(vec_col).alias("_x")
+    ).agg(F.max(F.abs(F.col("_x").cast("double"))).alias("_amax"))
+    qvec = F.expr(
+        f"transform({vec_col}, x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / _amax) AS BIGINT))"
+    )
+    return (
+        vectors.crossJoin(F.broadcast(amax))
+        .select(F.col(id_col), qvec.alias("qvec"))
+        .select(
+            id_col,
+            "qvec",
+            F.expr(
+                "aggregate(transform(qvec, x -> x * x), 0L, (a, x) -> a + x)"
+            ).alias("qnorm"),
+        )
+    )
+
+
+def quantized_cosine_topk(
+    vectors: DataFrame, query_pred, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Brute-force top-k under the int8-quantized cosine: integer dot
+    products, one double division at the end (identical int inputs give
+    identical doubles in both engines). Same output contract as
+    cosine_topk: (query_id, neighbor_id, rank), self excluded, ties by
+    neighbor_id."""
+    from pyspark.sql import Window
+
+    qt = int8_quantize(vectors, id_col=id_col)
+    q = qt.where(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("_qv"),
+        F.col("qnorm").alias("_qn"),
+    )
+    pairs = qt.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("query_id"))
+    qdot = F.expr(
+        "aggregate(zip_with(qvec, _qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    )
+    qcos = qdot.cast("double") / (
+        F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("_qn").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", F.col(id_col).alias("neighbor_id"), qcos.alias("_qcos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

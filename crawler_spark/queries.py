@@ -2597,6 +2597,74 @@ FROM ranked, lft
 """
 
 
+def q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-recall evidence (similarity.int8_quantize): per query,
+    how many of the exact-cosine top-5 survive in the int8-quantized
+    top-5 — the measurement that justifies shipping a 4x-smaller vector
+    corpus at 10^10 scale. Both rankings and their overlap are computed in
+    both engines from identical integer inputs, so the per-query overlap
+    counts value-hash."""
+    from crawler_spark.operators.similarity import quantized_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=5)
+    quant = quantized_cosine_topk(emb, lambda c: c < 20, k=5)
+    hit = exact.join(quant, ["query_id", "neighbor_id"], "semi")
+    overlap = hit.groupBy("query_id").agg(F.count("*").alias("n_overlap"))
+    qids = exact.select("query_id").distinct()
+    return qids.join(overlap, "query_id", "left").select(
+        "query_id", F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap")
+    )
+
+
+SQL_ANN_INT8_RECALL = f"""
+WITH am AS (
+  SELECT max(abs(CAST(x AS DOUBLE))) AS amax
+  FROM (SELECT unnest(embedding) AS x FROM embeddings)
+),
+qt AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / amax) AS BIGINT)) AS qvec
+  FROM embeddings, am
+),
+qn AS (
+  SELECT vec_id, qvec,
+         CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS qnorm
+  FROM qt
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY ({_COS_SQL}) DESC, b.vec_id) AS rank
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 20
+  ) WHERE rank <= 5
+),
+quant AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             (CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec),
+                                           p -> p[1] * p[2])) AS DOUBLE)
+              / (sqrt(CAST(a.qnorm AS DOUBLE)) * sqrt(CAST(b.qnorm AS DOUBLE)))) DESC,
+             b.vec_id) AS rank
+    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 20
+  ) WHERE rank <= 5
+)
+SELECT q.query_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN (
+  SELECT e.query_id, count(*) AS n_overlap
+  FROM exact e JOIN quant x
+    ON x.query_id = e.query_id AND x.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+) o ON o.query_id = q.query_id
+"""
+
+
 def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the link graph (the first thing a crawl
     analyst plots: hub concentration / dangling mass). Same deterministic
@@ -3844,6 +3912,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "shard_assignment": QuerySpec(q_shard_assignment, SQL_SHARD_ASSIGNMENT),
     "cocitation": QuerySpec(q_cocitation, SQL_COCITATION),
     "budget_allocation": QuerySpec(q_budget_allocation, SQL_BUDGET_ALLOCATION),
+    "ann_int8_recall": QuerySpec(q_ann_int8_recall, SQL_ANN_INT8_RECALL),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(
