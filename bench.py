@@ -103,6 +103,7 @@ HEADLINE = [
     "cocitation",
     "budget_allocation",
     "ann_int8_recall",
+    "hyperball_reach",
 ]
 
 

@@ -222,3 +222,84 @@ def hits(edges: DataFrame, n_iter: int = 3, scale: int = HITS_SCALE) -> DataFram
             "node", F.expr(f"(hr * {scale}) DIV hmax").alias("hub")
         )
     return auth.join(hub, "node")
+
+
+# ----------------------------------------------- HyperBall (neighborhood fn)
+
+def hyperball_registers(edges: DataFrame, radius: int = 2) -> DataFrame:
+    """(node, register, rho_max): per-node HLL register state of the
+    OUT-ball of the given radius — HyperBall (Boldi & Vigna 2013), the
+    algorithm behind every published web-graph neighborhood-function /
+    average-distance measurement, expressed as DataFrame rounds.
+
+    State init: each node's sketch holds only itself. Round: every node
+    max-merges its successors' sketches into its own —
+    state_{t+1}(v) = max(state_t(v), state_t(u) for v->u) — so after r
+    rounds node v holds the HLL of ball_out(v, r). The merge is the HLL
+    register max (operators/sketches), which is exactly why this scales:
+    per-node state is <= m rows FOREVER, no matter how large the ball
+    gets (the exact-set version of this computation is the one that dies
+    at web scale). Each round is one equality join edges-to-state plus one
+    map-side-combinable groupBy max.
+    """
+    from crawler_spark.operators.sketches import HLL_M, hll_rho
+    from crawler_spark.functions.hashing import hash60
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = hash60(F.col("node").cast("string"))
+    state = nodes.select(
+        "node",
+        F.pmod(h, F.lit(HLL_M)).alias("register"),
+        hll_rho(F.expr(f"CAST(conv(substring(md5(CAST(node AS STRING)), 1, 15), 16, 10) AS BIGINT) div {HLL_M}")).alias("rho_max"),
+    )
+    e = edges.select("src", "dst").distinct()
+    for _ in range(radius):
+        prop = (
+            e.join(state, e.dst == state.node)
+            .select(F.col("src").alias("node"), "register", "rho_max")
+        )
+        state = (
+            state.unionByName(prop)
+            .groupBy("node", "register")
+            .agg(F.max("rho_max").alias("rho_max"))
+        )
+    return state
+
+
+def hyperball_summary(edges: DataFrame, radius: int = 2, top_n: int = 20) -> DataFrame:
+    """Top-N nodes by estimated out-ball size: (node, z30, est_hll) — the
+    fixed-point HLL estimate (sketches module doc) over the hyperball
+    register state, all exact integers."""
+    from crawler_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_FP_SHIFT,
+        HLL_M,
+    )
+
+    regs = hyperball_registers(edges, radius)
+    groups = regs.select("node").distinct()
+    grid = groups.crossJoin(
+        edges.sparkSession.range(HLL_M).select(F.col("id").alias("register"))
+    )
+    dense = grid.join(regs, ["node", "register"], "left").select(
+        "node", F.coalesce(F.col("rho_max"), F.lit(0)).alias("m_j")
+    )
+    term = F.when(
+        F.col("m_j") <= HLL_FP_SHIFT,
+        F.expr(f"shiftleft(1L, CAST({HLL_FP_SHIFT} - m_j AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        dense.groupBy("node")
+        .agg(F.sum(term).alias("z30"))
+        .select(
+            "node",
+            "z30",
+            F.expr(f"CAST({HLL_EST_NUM} AS BIGINT) div z30 div 1000000").alias("est_hll"),
+        )
+        .orderBy(F.desc("est_hll"), F.asc("node"))
+        .limit(top_n)
+    )

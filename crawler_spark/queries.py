@@ -2665,6 +2665,124 @@ LEFT JOIN (
 """
 
 
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall 2-hop reach (operators/graph.hyperball_summary): per-node
+    HLL registers max-merged along out-edges for 2 rounds — the web-graph
+    neighborhood-function algorithm (Boldi & Vigna 2013), whose per-node
+    state stays <= m rows no matter how big the ball grows. Same synthetic
+    edges as ``pagerank``; the exact 2-hop ball size rides along so the
+    sketch's error is itself value-hashed (registers, fixed-point
+    estimate, and exact count all exact integers in both engines)."""
+    from crawler_spark.operators.graph import hyperball_summary
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("_n"))
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edge_h = hash60(
+        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
+    )
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select("doc_id", "_n", ks)
+        .select(F.col("doc_id").alias("src"), (edge_h % F.col("_n")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    summary = hyperball_summary(edges, radius=2, top_n=20)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reach = (
+        nodes.select("node", F.col("node").alias("r"))
+        .unionByName(edges.select(F.col("src").alias("node"), F.col("dst").alias("r")))
+        .unionByName(
+            edges.alias("a")
+            .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("node"), F.col("b.dst").alias("r"))
+        )
+    )
+    ball = reach.groupBy("node").agg(F.countDistinct("r").alias("exact_ball"))
+    return (
+        summary.join(ball, "node")
+        .select("node", "z30", "est_hll", "exact_ball")
+        .orderBy(F.desc("est_hll"), F.asc("node"))
+    )
+
+
+def _sql_hyperball() -> str:
+    from crawler_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_FP_SHIFT,
+        HLL_M,
+        HLL_RHO_MAX,
+    )
+
+    eh = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+    nh = hash60_sql("CAST(node AS VARCHAR)")
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src, ({eh} % nn.n) AS dst
+  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
+  WHERE doc_id <> ({eh} % nn.n)
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+s0 AS MATERIALIZED (
+  SELECT node, h % {HLL_M} AS register,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+              ELSE length(bin((h // {HLL_M}) & -(h // {HLL_M}))) END AS rho_max
+  FROM (SELECT node, {nh} AS h FROM nodes)
+),
+s1 AS MATERIALIZED (
+  SELECT node, register, max(rho_max) AS rho_max FROM (
+    SELECT * FROM s0
+    UNION ALL
+    SELECT e.src AS node, s.register, s.rho_max FROM edges e JOIN s0 s ON s.node = e.dst
+  ) GROUP BY node, register
+),
+s2 AS MATERIALIZED (
+  SELECT node, register, max(rho_max) AS rho_max FROM (
+    SELECT * FROM s1
+    UNION ALL
+    SELECT e.src AS node, s.register, s.rho_max FROM edges e JOIN s1 s ON s.node = e.dst
+  ) GROUP BY node, register
+),
+grid AS (
+  SELECT n.node, g.register
+  FROM nodes n, (SELECT unnest(range(0, {HLL_M})) AS register) g
+),
+dense AS (
+  SELECT grid.node, coalesce(s2.rho_max, 0) AS m_j
+  FROM grid LEFT JOIN s2 ON s2.node = grid.node AND s2.register = grid.register
+),
+agg AS (
+  SELECT node,
+         CAST(sum(CASE WHEN m_j <= {HLL_FP_SHIFT}
+                       THEN 1::BIGINT << CAST({HLL_FP_SHIFT} - m_j AS INT)
+                       ELSE 0 END) AS BIGINT) AS z30
+  FROM dense GROUP BY node
+),
+ball AS (
+  SELECT node, count(DISTINCT r) AS exact_ball FROM (
+    SELECT node, node AS r FROM nodes
+    UNION ALL SELECT src AS node, dst AS r FROM edges
+    UNION ALL SELECT e1.src AS node, e2.dst AS r
+              FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+  ) GROUP BY node
+)
+SELECT agg.node, z30,
+       CAST({HLL_EST_NUM} AS BIGINT) // z30 // 1000000 AS est_hll,
+       exact_ball
+FROM agg JOIN ball ON ball.node = agg.node
+ORDER BY est_hll DESC, agg.node LIMIT 20
+"""
+
+
+SQL_HYPERBALL = _sql_hyperball()
+
+
 def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree histogram of the link graph (the first thing a crawl
     analyst plots: hub concentration / dangling mass). Same deterministic
@@ -3913,6 +4031,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cocitation": QuerySpec(q_cocitation, SQL_COCITATION),
     "budget_allocation": QuerySpec(q_budget_allocation, SQL_BUDGET_ALLOCATION),
     "ann_int8_recall": QuerySpec(q_ann_int8_recall, SQL_ANN_INT8_RECALL),
+    "hyperball_reach": QuerySpec(q_hyperball, SQL_HYPERBALL),
     "event_sessions": QuerySpec(q_event_sessions, SQL_EVENT_SESSIONS),
     "event_transitions": QuerySpec(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "stream_politeness_gate": QuerySpec(

@@ -194,3 +194,31 @@ def test_budget_allocation_sums_to_budget(spark):
     for r in rows:
         base = (1000 * r.pending) // total_pending
         assert r.quota in (base, base + 1), r
+
+
+def test_hyperball_exact_on_small_ball(spark):
+    # With few distinct elements every ball sketch has no register
+    # collisions at m=64... but the HLL estimate is biased at tiny n, so
+    # check the REGISTERS: state(v) after r rounds must equal the HLL
+    # registers of the exact ball set (the defining invariant).
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.graph import hyperball_registers
+    from crawler_spark.operators.sketches import hll_registers
+
+    # path 1->2->3->4 plus 1->3: ball2(1) = {1,2,3,4}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long"
+    )
+    state = {
+        (r.node, r.register): r.rho_max
+        for r in hyperball_registers(edges, radius=2).collect()
+    }
+    for node, ball in {1: [1, 2, 3, 4], 2: [2, 3, 4], 3: [3, 4], 4: [4]}.items():
+        df = spark.createDataFrame([(b,) for b in ball], "node long")
+        want = {
+            (node, r.register): r.rho_max
+            for r in hll_registers(df, "node").collect()
+        }
+        got = {k: v for k, v in state.items() if k[0] == node}
+        assert got == want, node
