@@ -331,3 +331,45 @@ def url_template_stats(spark: SparkSession, workdir: str) -> DataFrame | None:
         )
         .orderBy(F.desc("n_urls"), "host", "template")
     )
+
+
+def crawl_overlap(
+    spark: SparkSession, workdir_a: str, workdir_b: str, k: int = 64
+) -> dict:
+    """Cross-session URL-seen overlap — how much of crawl B re-fetched
+    crawl A's pages — via the KMV set-operation sketch
+    (operators/sketches.kmv_overlap_summary) over the two sessions' seen
+    tables, with the exact union/intersection counts alongside (at 10^10
+    URLs only the sketch is affordable; the exacts here are the honesty
+    column and the small-catalog answer). KMV estimates degrade when a
+    seen set holds fewer than k URLs — pass a smaller k for mini-crawls.
+    """
+    from crawler_spark.operators.sketches import kmv_overlap_summary
+
+    a = SnapshotCatalog(workdir_a).read_seen(spark).select("canonical")
+    b = SnapshotCatalog(workdir_b).read_seen(spark).select("canonical")
+    row = kmv_overlap_summary(a, b, "canonical", k).collect()[0]
+    return {
+        "k": row["k"],
+        "est_a": row["est_a"],
+        "est_b": row["est_b"],
+        "est_union": row["est_union"],
+        "est_intersection": row["est_intersection"],
+        "exact_union": a.unionByName(b).distinct().count(),
+        "exact_intersection": a.intersect(b).count(),
+    }
+
+
+def hot_hosts(spark: SparkSession, workdir: str, phi_denom: int = 20) -> DataFrame:
+    """Hosts holding more than 1/phi of the whole frontier — EXACT, through
+    the lossless count-min prune (operators/sketches.cms_heavy_hitters):
+    the skew report an operator reads before retuning politeness budgets
+    or salting. Empty frontier -> empty result."""
+    from crawler_spark.operators.sketches import cms_heavy_hitters
+
+    fr = _read(spark, workdir, "frontier")
+    if fr is None:
+        return spark.createDataFrame([], "host string, freq long")
+    return cms_heavy_hitters(fr.select("host"), "host", phi_denom).orderBy(
+        F.desc("freq"), F.asc("host")
+    )

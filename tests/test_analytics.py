@@ -306,3 +306,32 @@ def test_url_template_stats(spark, crawl):
     assert any(r.template == "/page{n}" for r in rows)
     for r in rows:
         assert 0 < r.distinct_bp <= 10000
+
+
+def test_crawl_overlap_and_hot_hosts(spark, crawl, second_crawl):
+    """crawl_overlap: exact union/intersection over two sessions' seen sets
+    match set algebra on the raw tables; KMV estimates carry the documented
+    small-set caveat, so only their presence/type is asserted at this size.
+    hot_hosts: the CMS-pruned exact heavy hitters equal a naive groupBy."""
+    from crawler_spark.tables import SnapshotCatalog
+
+    wd1, _ = crawl
+    wd2 = second_crawl
+    ov = analytics.crawl_overlap(spark, wd1, wd2, k=16)
+    a = {r.canonical for r in SnapshotCatalog(wd1).read_seen(spark).collect()}
+    b = {r.canonical for r in SnapshotCatalog(wd2).read_seen(spark).collect()}
+    assert ov["exact_union"] == len(a | b)
+    assert ov["exact_intersection"] == len(a & b)
+    assert ov["k"] == 16 and ov["est_union"] > 0
+
+    from pyspark.sql import functions as F
+
+    hh = {(r.host, r.freq) for r in analytics.hot_hosts(spark, wd1, phi_denom=4).collect()}
+    fr = analytics._read(spark, wd1, "frontier")
+    n = fr.count()
+    naive = {
+        (r.host, r.freq)
+        for r in fr.groupBy("host").agg(F.count("*").alias("freq")).collect()
+        if r.freq * 4 > n
+    }
+    assert hh == naive
