@@ -76,10 +76,19 @@ def main() -> None:
                         analytics.url_template_stats(spark, wd).limit(args.top).collect()
                     )
                 ],
+                "hot_hosts": [
+                    r.asDict()
+                    for r in analytics.hot_hosts(spark, wd).collect()
+                ],
             }
         else:
             out = {
                 **analytics.cross_session_summary(spark, args.workdir),
+                # pairwise seen-set overlap of the first two sessions (the
+                # KMV sketch path; exact counts included)
+                "overlap": analytics.crawl_overlap(
+                    spark, args.workdir[0], args.workdir[1]
+                ),
                 "top_words": [
                     r.asDict()
                     for r in analytics.cross_session_top_words(
