@@ -113,3 +113,57 @@ def test_bpe_compression_matches_manual(spark):
     vocab = spark.createDataFrame([("abab", 3)], "word string, freq long")
     row = bpe_compression(vocab, n_merges=2).collect()[0]
     assert (row.n_merges, row.tokens_before, row.tokens_after, row.saved) == (2, 12, 3, 9)
+
+
+def _bpe_reference(vocab: dict[str, int], n_merges: int):
+    """Pure-python greedy BPE trainer (Sennrich et al. 2016 reference
+    algorithm) used as the property-test oracle for operators/lm._bpe_run."""
+    seqs = {tuple(w): f for w, f in vocab.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, f in seqs.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        # max count, ties by lexicographic pair — the engine's tiebreak
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((" ".join(pair), counts[pair]))
+        fused = "".join(pair)
+        new = {}
+        for sym, f in seqs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        seqs = new
+    return merges
+
+
+def test_bpe_matches_reference_on_random_vocabs(spark):
+    """Property: the dataflow BPE trainer equals the classic in-memory
+    greedy algorithm — merges AND weighted pair counts — on adversarial
+    little vocabularies (repeats, overlaps, back-to-back pairs)."""
+    import random
+
+    from crawler_spark.operators.lm import bpe_merges
+
+    rng = random.Random(7)
+    for trial in range(4):
+        words = {
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 6))): rng.randint(1, 9)
+            for _ in range(rng.randint(2, 8))
+        }
+        want = _bpe_reference(words, 4)
+        vocab = spark.createDataFrame(list(words.items()), "word string, freq long")
+        got = [
+            (r.pair, r.pair_count)
+            for r in sorted(bpe_merges(vocab, n_merges=4).collect())
+        ]
+        assert got == want, (trial, words, got, want)
