@@ -142,10 +142,13 @@ def _bpe_run(vocab: DataFrame, n_merges: int):
     Real trainers run 30k+ merges with the same per-round plan, typically
     switching to an incremental pair-delta update once counts stabilize.
     """
+    # checkpointed at init too: round 1's pair count AND round 1's rewrite
+    # both consume seq0 — without truncation each re-derives it from the
+    # vocab (for a corpus-derived vocab that is a full re-tokenization)
     seqs = vocab.select(
         F.col("freq").cast("long").alias("freq"),
         F.trim(F.regexp_replace(F.col("word"), "(.)", "$1  ")).alias("sym"),
-    )
+    ).localCheckpoint(eager=False)
     out = None
     for rank in range(1, n_merges + 1):
         pairs = F.expr(

@@ -40,6 +40,9 @@ def build_report(spark: SparkSession, workdir: str, top_n: int = 20) -> dict:
             {r["status"]: r["n"] for r in dists["status"].collect()} if dists else {}
         ),
         "top_hosts": [r.asDict() for r in dists["host"].limit(10).collect()] if dists else [],
+        # exact frontier heavy hitters via the lossless CMS prune
+        # (analytics.hot_hosts): the skew warning an operator acts on
+        "hot_hosts": [r.asDict() for r in analytics.hot_hosts(spark, workdir).collect()],
     }
 
 
