@@ -398,30 +398,38 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, phi_denom: int) -> DataFrame:
     The 10^10-frontier question "which hosts dominate the pending queue"
     cannot afford an exact count of every host: this is the classic
     two-pass sketch plan instead. Pass 1 builds the bounded count-min
-    state (depth x width counters, map-side combinable — the only
-    full-stream aggregation has 1024 groups, not |keys|). Pass 2 probes
-    the broadcast sketch per DISTINCT key and keeps keys whose estimate
-    clears the threshold; only those candidates' occurrences are then
-    exactly counted and re-filtered. CMS never underestimates, so
-    cms_est * phi >= count * phi > n — the prune provably cannot drop a
-    true heavy hitter (pinned in tests/test_sketches.py), which is why
-    the final output is EXACT and sits under the value-hash oracle while
-    the shuffle that produces it only carries candidate rows.
+    state (depth x width counters, map-side combinable — a full-stream
+    aggregation with 1024 groups, not |keys|). Pass 2 probes the sketch
+    PER ROW, MAP-SIDE: the depth counter rows are each broadcast and
+    joined on the row's computed column index, the estimate is the least
+    of the probed counters, and rows whose estimate clears the threshold
+    are the only ones that ever reach the exact groupBy — the sole
+    key-cardinality shuffle in the whole plan carries candidate
+    occurrences only (no distinct over the key universe anywhere). CMS
+    never underestimates, so cms_est * phi >= count * phi > n — the prune
+    provably cannot drop a true heavy hitter (pinned in
+    tests/test_sketches.py), which is why the final output is EXACT and
+    sits under the value-hash oracle.
     """
     total = df.agg(F.count("*").alias("_n"))
     sketch = cms_build(df, key_col)
-    keys = df.select(key_col).distinct()
-    cand = (
-        cms_estimate(keys, sketch, key_col)
-        .crossJoin(F.broadcast(total))
-        .where(F.col("cms_est") * phi_denom > F.col("_n"))
-        .select(key_col)
-    )
+    key = F.col(key_col).cast("string")
+    probed = df.select(F.col(key_col))
+    est = None
+    for i in range(CMS_DEPTH):
+        si = sketch.where(F.col("row") == i).select(
+            F.col("col").alias(f"_col{i}"), F.col("c").alias(f"_c{i}")
+        )
+        probed = probed.join(
+            F.broadcast(si), _cms_col(i, key) == F.col(f"_col{i}"), "left"
+        )
+        ci = F.coalesce(F.col(f"_c{i}"), F.lit(0).cast("long"))
+        est = ci if est is None else F.least(est, ci)
     return (
-        df.join(F.broadcast(cand), key_col, "semi")
+        probed.crossJoin(F.broadcast(total))
+        .where(est * phi_denom > F.col("_n"))
         .groupBy(key_col)
-        .agg(F.count("*").alias("freq"))
-        .crossJoin(F.broadcast(total))
+        .agg(F.count("*").alias("freq"), F.max("_n").alias("_n"))
         .where(F.col("freq") * phi_denom > F.col("_n"))
         .select(key_col, "freq")
     )
