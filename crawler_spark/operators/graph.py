@@ -188,6 +188,8 @@ def hits(edges: DataFrame, n_iter: int = 3, scale: int = HITS_SCALE) -> DataFram
     would re-evaluate the full upstream lineage once per half-step
     (exponential in n_iter — measured 124 s -> ~5 s at n_iter=3).
     """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))

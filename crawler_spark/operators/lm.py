@@ -116,6 +116,7 @@ def surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _bpe_run(vocab: DataFrame, n_merges: int):
     """Shared BPE training loop (see :func:`bpe_merges` for the algorithm
     and scale story); returns (merge table, final symbol sequences).
+    n_merges must be >= 1.
 
     This is Sennrich et al. 2016 tokenizer training as a dataflow: words
     become space-separated symbol sequences; each round counts adjacent
@@ -142,6 +143,8 @@ def _bpe_run(vocab: DataFrame, n_merges: int):
     Real trainers run 30k+ merges with the same per-round plan, typically
     switching to an incremental pair-delta update once counts stabilize.
     """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
     # checkpointed at init too: round 1's pair count AND round 1's rewrite
     # both consume seq0 — without truncation each re-derives it from the
     # vocab (for a corpus-derived vocab that is a full re-tokenization)
@@ -167,21 +170,31 @@ def _bpe_run(vocab: DataFrame, n_merges: int):
         step = m.select(F.lit(rank).alias("rank"), "pair", "pair_count")
         out = step if out is None else out.unionByName(step)
         merged = F.regexp_replace(F.col("pair"), " ", "")
+        # LEFT join on true, not crossJoin: when the vocabulary is fully
+        # merged before n_merges rounds the argmax frame is EMPTY, and a
+        # cross join would silently empty the sequence table (NULL
+        # compression totals); with the left join the pair is NULL and the
+        # rewrite keeps every sequence unchanged. The DuckDB twin's scalar
+        # subquery goes NULL in the same case and its CASE guard matches.
         seqs = (
-            seqs.crossJoin(F.broadcast(m.select("pair")))
+            seqs.join(F.broadcast(m.select("pair")), F.lit(True), "left")
             .select(
                 "freq",
-                F.trim(
-                    F.replace(
-                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
-                            F.lit(" "),
-                        ),
-                        F.concat(F.lit(" "), merged, F.lit(" ")),
+                F.when(F.col("pair").isNull(), F.col("sym"))
+                .otherwise(
+                    F.trim(
+                        F.replace(
+                            F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                            F.concat(
+                                F.lit(" "),
+                                F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+                                F.lit(" "),
+                            ),
+                            F.concat(F.lit(" "), merged, F.lit(" ")),
+                        )
                     )
-                ).alias("sym"),
+                )
+                .alias("sym"),
             )
             .localCheckpoint(eager=False)
         )

@@ -313,8 +313,15 @@ def quantized_cosine_topk(
     qdot = F.expr(
         "aggregate(zip_with(qvec, _qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
     )
-    qcos = qdot.cast("double") / (
-        F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("_qn").cast("double"))
+    # zero-norm guard: a vector whose components all quantize to 0 would
+    # produce 0/0 = NaN, and Spark sorts NaN ABOVE every real cosine in a
+    # descending window — pin such pairs to -2.0 (below any true cosine)
+    # in BOTH engines instead
+    qcos = F.when(
+        (F.col("qnorm") == 0) | (F.col("_qn") == 0), F.lit(-2.0)
+    ).otherwise(
+        qdot.cast("double")
+        / (F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("_qn").cast("double")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("neighbor_id"))
     return (

@@ -2150,9 +2150,11 @@ m{i} AS MATERIALIZED (
 ),
 seq{i} AS MATERIALIZED (
   SELECT freq,
-         trim(replace(' ' || sym || ' ',
+         CASE WHEN (SELECT pair FROM m{i}) IS NULL THEN sym
+              ELSE trim(replace(' ' || sym || ' ',
                       ' ' || replace((SELECT pair FROM m{i}), ' ', '  ') || ' ',
-                      ' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' ')) AS sym
+                      ' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' '))
+         END AS sym
   FROM seq{i - 1}
 ),"""
         )
@@ -2646,9 +2648,11 @@ quant AS (
   SELECT query_id, neighbor_id FROM (
     SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY a.vec_id ORDER BY
-             (CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec),
-                                           p -> p[1] * p[2])) AS DOUBLE)
-              / (sqrt(CAST(a.qnorm AS DOUBLE)) * sqrt(CAST(b.qnorm AS DOUBLE)))) DESC,
+             (CASE WHEN a.qnorm = 0 OR b.qnorm = 0 THEN -2.0
+                   ELSE CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec),
+                                                     p -> p[1] * p[2])) AS DOUBLE)
+                        / (sqrt(CAST(a.qnorm AS DOUBLE)) * sqrt(CAST(b.qnorm AS DOUBLE)))
+              END) DESC,
              b.vec_id) AS rank
     FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
     WHERE a.vec_id < 20

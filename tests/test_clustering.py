@@ -91,3 +91,24 @@ def test_empty_cluster_drops_deterministically(spark):
     out = kmeans(base, k=4, n_iter=2).collect()
     assert len(out) == 6
     assert len({r["cluster"] for r in out}) <= 2
+
+
+def test_quantized_topk_zero_vector_ranks_last(spark):
+    # A vector that quantizes to all zeros must never become anyone's
+    # nearest neighbor (0/0 would be NaN, which Spark sorts ABOVE real
+    # cosines in a descending window).
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.similarity import quantized_cosine_topk
+
+    rows = [
+        (0, [1000.0, 0.0, 0.0, 0.0]),       # sets the global amax
+        (1, [900.0, 10.0, 0.0, 0.0]),
+        (2, [800.0, -20.0, 0.0, 0.0]),
+        (3, [1.0, 1.0, 1.0, 1.0]),           # quantizes to all zeros
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = quantized_cosine_topk(emb, lambda c: c < 3, k=2)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in top.collect()}
+    # vector 3 must be everyone's LAST candidate, never rank 1
+    assert all(got[(q, 1)] != 3 for q in (0, 1, 2)), got

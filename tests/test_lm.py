@@ -167,3 +167,16 @@ def test_bpe_matches_reference_on_random_vocabs(spark):
             for r in sorted(bpe_merges(vocab, n_merges=4).collect())
         ]
         assert got == want, (trial, words, got, want)
+
+
+def test_bpe_survives_full_merge(spark):
+    # 'ab' fully merges in round 1; later rounds have no pairs left — the
+    # rewrite must keep sequences intact (not silently empty the table)
+    # and compression totals must stay non-NULL.
+    from crawler_spark.operators.lm import bpe_compression, bpe_merges
+
+    vocab = spark.createDataFrame([("ab", 3)], "word string, freq long")
+    merges = sorted(bpe_merges(vocab, n_merges=3).collect())
+    assert [(r.rank, r.pair, r.pair_count) for r in merges] == [(1, "a b", 3)]
+    row = bpe_compression(vocab, n_merges=3).collect()[0]
+    assert (row.tokens_before, row.tokens_after, row.saved) == (6, 3, 3)
