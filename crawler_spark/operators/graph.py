@@ -244,19 +244,22 @@ def hyperball_registers(edges: DataFrame, radius: int = 2) -> DataFrame:
     at web scale). Each round is one equality join edges-to-state plus one
     map-side-combinable groupBy max.
     """
-    from crawler_spark.operators.sketches import HLL_M, hll_rho
-    from crawler_spark.functions.hashing import hash60
+    from crawler_spark.operators.sketches import HLL_M, _h_sql, hll_rho
 
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    h = hash60(F.col("node").cast("string"))
+    # one hash expression, shared by register and rho — _h_sql is the same
+    # portable-hash recipe hll_registers uses, so the register-exactness
+    # invariant (state == hll_registers of the exact ball) holds by
+    # construction
+    h = F.expr(_h_sql("node"))
     state = nodes.select(
         "node",
         F.pmod(h, F.lit(HLL_M)).alias("register"),
-        hll_rho(F.expr(f"CAST(conv(substring(md5(CAST(node AS STRING)), 1, 15), 16, 10) AS BIGINT) div {HLL_M}")).alias("rho_max"),
+        hll_rho(F.expr(f"{_h_sql('node')} div {HLL_M}")).alias("rho_max"),
     )
     e = edges.select("src", "dst").distinct()
     for _ in range(radius):

@@ -1828,6 +1828,38 @@ FROM o ORDER BY doc
 """
 
 
+
+def _synth_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE deterministic synthetic link graph, shared verbatim by every
+    graph query (pagerank, link_degree_dist, link_triangles, hits_scores,
+    host_graph, cocitation, hyperball_reach): 3 pseudo-random out-links
+    per doc, dst = hash60('pr:doc:k') % n_docs computed in-plan, self-loops
+    dropped, DISTINCT (src, dst). Mirrored exactly by _EDGES_CTE — keep the
+    two in lockstep or every graph oracle desynchronizes at once."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("_n"))
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edge_h = hash60(
+        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(n))
+        .select("doc_id", "_n", ks)
+        .select(F.col("doc_id").alias("src"), (edge_h % F.col("_n")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_EDGE_H_SQL = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+# SQL twin of _synth_edges; use as: f"WITH {_EDGES_CTE}, ..."
+_EDGES_CTE = f"""nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src, ({_EDGE_H_SQL} % nn.n) AS dst
+  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
+  WHERE doc_id <> ({_EDGE_H_SQL} % nn.n)
+)"""
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank (operators/graph.pagerank) over a
     deterministic synthetic link graph: every doc gets 3 pseudo-random
@@ -1839,23 +1871,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs is computed in-plan (broadcast 1-row agg, no driver count)."""
     from crawler_spark.operators.graph import pagerank
 
-    docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.agg(F.count("*").alias("_n"))
-    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    edge_h = hash60(
-        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
-    )
-    edges = (
-        docs.crossJoin(F.broadcast(n))
-        .select("doc_id", "_n", ks)
-        .select(
-            F.col("doc_id").alias("src"),
-            (edge_h % F.col("_n")).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-    )
     return (
-        pagerank(edges, n_iter=5)
+        pagerank(_synth_edges(spark, sf_dir), n_iter=5)
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
         .select(F.col("node").alias("doc_id"), "pr")
@@ -1863,14 +1880,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql(n_iter: int = 5) -> str:
-    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
     parts = [
-        "WITH nn AS (SELECT count(*) AS n FROM documents),",
-        "edges AS (",
-        f"  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst",
-        "  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)",
-        f"  WHERE doc_id <> ({h} % nn.n)",
-        "),",
+        f"WITH {_EDGES_CTE},",
         "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
         "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),",
@@ -1907,33 +1918,12 @@ def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks."""
     from crawler_spark.operators.graph import clustering_summary
 
-    docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.agg(F.count("*").alias("_n"))
-    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    edge_h = hash60(
-        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
-    )
-    edges = (
-        docs.crossJoin(F.broadcast(n))
-        .select("doc_id", "_n", ks)
-        .select(
-            F.col("doc_id").alias("src"),
-            (edge_h % F.col("_n")).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-    )
-    return clustering_summary(edges, top_n=20)
+    return clustering_summary(_synth_edges(spark, sf_dir), top_n=20)
 
 
 def _sql_link_triangles() -> str:
-    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
     return f"""
-WITH nn AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst
-  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
-  WHERE doc_id <> ({h} % nn.n)
-),
+WITH {_EDGES_CTE},
 und AS (
   SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
 ),
@@ -1981,22 +1971,8 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     score values hash-match."""
     from crawler_spark.operators.graph import hits
 
-    docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.agg(F.count("*").alias("_n"))
-    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    edge_h = hash60(
-        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
-    )
-    edges = (
-        docs.crossJoin(F.broadcast(n))
-        .select("doc_id", "_n", ks)
-        .select(
-            F.col("doc_id").alias("src"),
-            (edge_h % F.col("_n")).alias("dst"),
-        )
-    )
     return (
-        hits(edges, n_iter=3)
+        hits(_synth_edges(spark, sf_dir), n_iter=3)
         .orderBy(F.desc("auth"), F.asc("node"))
         .limit(20)
         .select(F.col("node").alias("doc_id"), "auth", "hub")
@@ -2006,15 +1982,9 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hits_sql(n_iter: int = 3) -> str:
     from crawler_spark.operators.graph import HITS_SCALE
 
-    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
     s = HITS_SCALE
     parts = [
-        "WITH nn AS (SELECT count(*) AS n FROM documents),",
-        "edges AS (",
-        f"  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst",
-        "  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)",
-        f"  WHERE doc_id <> ({h} % nn.n)",
-        "),",
+        f"WITH {_EDGES_CTE},",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
         f"h0 AS (SELECT node, CAST({s} AS BIGINT) AS hub FROM nodes),",
     ]
@@ -2252,19 +2222,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines count identical multiplicity); hosts come from joining each
     endpoint back to documents.source. Top-30 host pairs by link count."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
-    n = docs.agg(F.count("*").alias("_n"))
-    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    edge_h = hash60(
-        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
-    )
-    edges = (
-        docs.select("doc_id")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id", "_n", ks)
-        .select(F.col("doc_id").alias("src"), (edge_h % F.col("_n")).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _synth_edges(spark, sf_dir)
     s = docs.select(F.col("doc_id").alias("src"), F.col("source").alias("src_host"))
     d = docs.select(F.col("doc_id").alias("dst"), F.col("source").alias("dst_host"))
     he = (
@@ -2292,14 +2250,8 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_host_graph() -> str:
-    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
     return f"""
-WITH nn AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst
-  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
-  WHERE doc_id <> ({h} % nn.n)
-),
+WITH {_EDGES_CTE},
 he AS (
   SELECT s.source AS src_host, d.source AS dst_host, count(*) AS n_links
   FROM edges e
@@ -2476,19 +2428,7 @@ def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(outdeg^2) pairs and would dominate both the shuffle and the
     semantics (a links-to-everything page carries no relatedness signal;
     same degree-cap reasoning as textstats df_cap). Top-20 pairs."""
-    docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.agg(F.count("*").alias("_n"))
-    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    edge_h = hash60(
-        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
-    )
-    edges = (
-        docs.crossJoin(F.broadcast(n))
-        .select("doc_id", "_n", ks)
-        .select(F.col("doc_id").alias("src"), (edge_h % F.col("_n")).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _synth_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     kept = edges.join(
         deg.where(F.col("outdeg") <= _COCITE_MAX_OUT).select("src"), "src"
@@ -2506,14 +2446,8 @@ def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cocitation() -> str:
-    h = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
     return f"""
-WITH nn AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT doc_id AS src, ({h} % nn.n) AS dst
-  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
-  WHERE doc_id <> ({h} % nn.n)
-),
+WITH {_EDGES_CTE},
 kept AS (
   SELECT * FROM edges
   WHERE src IN (SELECT src FROM edges GROUP BY src
@@ -2679,19 +2613,7 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate, and exact count all exact integers in both engines)."""
     from crawler_spark.operators.graph import hyperball_summary
 
-    docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.agg(F.count("*").alias("_n"))
-    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    edge_h = hash60(
-        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
-    )
-    edges = (
-        docs.crossJoin(F.broadcast(n))
-        .select("doc_id", "_n", ks)
-        .select(F.col("doc_id").alias("src"), (edge_h % F.col("_n")).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _synth_edges(spark, sf_dir)
     summary = hyperball_summary(edges, radius=2, top_n=20)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -2723,15 +2645,9 @@ def _sql_hyperball() -> str:
         HLL_RHO_MAX,
     )
 
-    eh = hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
     nh = hash60_sql("CAST(node AS VARCHAR)")
     return f"""
-WITH nn AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT doc_id AS src, ({eh} % nn.n) AS dst
-  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
-  WHERE doc_id <> ({eh} % nn.n)
-),
+WITH {_EDGES_CTE},
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 s0 AS MATERIALIZED (
   SELECT node, h % {HLL_M} AS register,
@@ -2794,21 +2710,7 @@ def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc, self-loops dropped, distinct), in-degree 0 docs included via
     a left join — exact integer counts end to end."""
     docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.agg(F.count("*").alias("_n"))
-    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    edge_h = hash60(
-        F.concat_ws(":", F.lit("pr"), F.col("doc_id").cast("string"), F.col("k").cast("string"))
-    )
-    edges = (
-        docs.crossJoin(F.broadcast(n))
-        .select("doc_id", ks, F.col("_n"))
-        .select(
-            F.col("doc_id").alias("src"),
-            F.pmod(edge_h, F.col("_n")).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _synth_edges(spark, sf_dir)
     ind = (
         docs.join(edges, docs.doc_id == edges.dst, "left")
         .groupBy(docs.doc_id)
@@ -2818,13 +2720,7 @@ def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LINK_DEGREE_DIST = f"""
-WITH nn AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT doc_id AS src,
-         ({hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % nn.n) AS dst
-  FROM documents, nn, (VALUES (0),(1),(2)) AS ks(k)
-  WHERE doc_id <> ({hash60_sql("'pr:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % nn.n)
-),
+WITH {_EDGES_CTE},
 ind AS (
   SELECT d.doc_id, count(e.dst) AS in_degree
   FROM documents d LEFT JOIN edges e ON e.dst = d.doc_id
