@@ -104,6 +104,8 @@ HEADLINE = [
     "budget_allocation",
     "ann_int8_recall",
     "hyperball_reach",
+    "c4_filters",
+    "ccnet_buckets",
 ]
 
 

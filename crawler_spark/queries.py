@@ -3104,6 +3104,84 @@ WHERE ({_COS_SQL}) >= 0.4
 """
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule filters (Raffel et al. 2020 / Dolma): the cheap
+    deterministic per-doc booleans every web-corpus pipeline applies
+    before any model-based scoring — minimum word count, curly-brace
+    (code) exclusion, placeholder-text exclusion, terminal-punctuation
+    check — plus the conjunction keep flag. Pure column expressions
+    (one map-only pass, no shuffle); complements the ratio-based
+    ``doc_quality`` metrics."""
+    t = F.col("text")
+    low = F.lower(t)
+    n_words = F.size(F.regexp_extract_all(low, F.lit("[a-z]+"), F.lit(0)))
+    has_brace = low.contains("{") | low.contains("}")
+    has_lorem = low.contains("lorem ipsum")
+    ends_punct = F.rtrim(t).rlike("[.!?\"']$")
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("doc"),
+        n_words.cast("long").alias("n_words"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        ends_punct.alias("ends_punct"),
+        ((n_words >= 5) & ~has_brace & ~has_lorem & ends_punct).alias("keep"),
+    )
+
+
+SQL_C4_FILTERS = """
+SELECT doc_id AS doc,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+       (contains(lower(text), '{') OR contains(lower(text), '}')) AS has_brace,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       regexp_matches(rtrim(text), '[.!?"'']$') AS ends_punct,
+       (len(regexp_extract_all(lower(text), '[a-z]+')) >= 5
+        AND NOT (contains(lower(text), '{') OR contains(lower(text), '}'))
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND regexp_matches(rtrim(text), '[.!?"'']$')) AS keep
+FROM documents
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity terciles (Wenzek et al. 2020): split the corpus
+    into head / middle / tail by LM surprisal — the bucketing CCNet uses
+    to mix clean and diverse data. ntile(3) over (avg_centibits, doc_id)
+    is deterministic and identical in both engines. Scale note: the
+    global ntile window is the oracle-exact form; a production pass
+    computes the two bucket thresholds once (approx_percentile or a
+    2-value exact selection) and assigns map-side — the output contract
+    (bucket, n_docs, centibit range) is the same."""
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.lm import surprisal
+
+    s = surprisal(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    w = Window.orderBy(F.asc("avg_centibits"), F.asc("doc_id"))
+    return (
+        s.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("avg_centibits").alias("min_centibits"),
+            F.max("avg_centibits").alias("max_centibits"),
+        )
+    )
+
+
+SQL_CCNET_BUCKETS = """
+WITH surp AS ({SURP}),
+ranked AS (
+  SELECT avg_centibits,
+         ntile(3) OVER (ORDER BY avg_centibits, doc_id) AS bucket
+  FROM surp
+)
+SELECT bucket, count(*) AS n_docs,
+       min(avg_centibits) AS min_centibits,
+       max(avg_centibits) AS max_centibits
+FROM ranked GROUP BY bucket
+"""
+
+
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM surprisal scoring (operators/lm.surprisal): the
     perplexity-style quality filter of CCNet-class curation pipelines,
@@ -3136,6 +3214,9 @@ SELECT doc_id, n_tokens, n_tokens * lt - s AS total_bits,
        (n_tokens * lt - s) * 100 // n_tokens AS avg_centibits
 FROM per, tot
 """
+
+SQL_CCNET_BUCKETS = SQL_CCNET_BUCKETS.format(SURP=SQL_LM_SURPRISAL)
+
 
 
 def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3942,6 +4023,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "kmeans_sizes": QuerySpec(q_kmeans_sizes, SQL_KMEANS_SIZES),
     "ann_neardup_kmeans": QuerySpec(q_ann_neardup_kmeans, SQL_ANN_NEARDUP_KMEANS),
     "lm_surprisal": QuerySpec(q_lm_surprisal, SQL_LM_SURPRISAL),
+    "c4_filters": QuerySpec(q_c4_filters, SQL_C4_FILTERS),
+    "ccnet_buckets": QuerySpec(q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "token_budget": QuerySpec(q_token_budget, SQL_TOKEN_BUDGET),
     "text_embed_hash": QuerySpec(q_text_embed_hash, SQL_TEXT_EMBED_HASH),
     "bloom_prune": QuerySpec(q_bloom_prune, SQL_BLOOM_PRUNE),
