@@ -368,3 +368,88 @@ def source_reputation(
             F.sum("_chars").alias("sum_chars"),
         )
     )
+
+
+def curate_crawl(
+    spark,
+    workdir: str,
+    out_dir: str,
+    n_shards: int = 8,
+    lang: str = "en",
+) -> dict:
+    """End-to-end curation of a finished crawl: pages sink -> keepset ->
+    size-balanced training shards on disk + a scorecard dict.
+
+    The composition a training-data team actually runs: successful fetches
+    (one row per page, latest fetch attempt wins by seq) go through the
+    quality -> language -> exact-dup -> near-dup keepset
+    (:func:`training_keepset`), survivors are ranked by text length with
+    the two-phase global-sequence primitive and dealt round-robin into
+    ``n_shards`` size-balanced parquet shards (the shard_assignment
+    balancer), written under ``out_dir/shards/shard=N/``. Returns the
+    scorecard: per-status drop counts and per-shard doc/char totals —
+    the dict the report layer and the CLI serialize.
+
+    Scale shape: keepset cost is the MinHash near-dup pass (single
+    banded shuffle); the shard rank is the same range-partition +
+    per-partition-offset plan as corpus_shuffle; the write is one pass
+    partitioned by shard.
+    """
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.ordering import release_global_seq, with_global_seq
+    from crawler_spark.tables import SnapshotCatalog
+
+    from pyspark.sql import Window
+
+    pages = SnapshotCatalog(workdir).read(spark, "pages")
+    if pages is None:
+        return {"kept": 0, "dropped": {}, "shards": []}
+    # one row per page: the LATEST successful fetch wins (seq restarts
+    # every round, so order by (round, seq)); the numeric doc id the
+    # keepset needs is the canonical-URL hash
+    w = Window.partitionBy("canonical").orderBy(F.desc("round"), F.desc("seq"))
+    docs = (
+        pages.where(F.col("success") & F.col("text").isNotNull())
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            hash60(F.col("canonical")).alias("doc_id"), "canonical", "text"
+        )
+        .localCheckpoint(eager=False)
+    )
+    ks = training_keepset(docs, "doc_id", "text", lang=lang)
+    status_counts = {
+        r["status"]: r["n"]
+        for r in ks.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    kept = docs.join(
+        ks.where(F.col("status") == "kept").select(F.col("doc").alias("doc_id")),
+        "doc_id",
+    ).withColumn("n_chars", F.length("text"))
+    seq = with_global_seq(
+        kept, [F.desc("n_chars"), F.asc("doc_id")], seq_col="_rank"
+    )
+    sharded = seq.withColumn(
+        "shard", F.pmod(F.col("_rank"), F.lit(n_shards)).cast("int")
+    ).drop("_rank")
+    out_path = f"{out_dir}/shards"
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+    release_global_seq(seq)
+    shard_stats = [
+        {"shard": r["shard"], "n_docs": r["n"], "total_chars": r["chars"]}
+        for r in (
+            spark.read.parquet(out_path)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+            .orderBy("shard")
+            .collect()
+        )
+    ]
+    return {
+        "kept": status_counts.get("kept", 0),
+        "dropped": {k: v for k, v in status_counts.items() if k != "kept"},
+        "n_shards": n_shards,
+        "out": out_path,
+        "shards": shard_stats,
+    }

@@ -44,6 +44,12 @@ def main() -> None:
                     help="snapshot catalog root (repeat for cross-session merge)")
     pa.add_argument("--top", type=int, default=20, help="top-N words")
 
+    pc = sub.add_parser("curate", help="keepset-filter a crawl into training shards")
+    pc.add_argument("--workdir", required=True)
+    pc.add_argument("--out", required=True, help="output directory")
+    pc.add_argument("--shards", type=int, default=8)
+    pc.add_argument("--lang", default="en")
+
     pr = sub.add_parser("report", help="render a session report file")
     pr.add_argument("--workdir", required=True)
     pr.add_argument("--out", required=True, help="output path")
@@ -97,6 +103,11 @@ def main() -> None:
                 ],
             }
         print(json.dumps(out, indent=2, default=str))
+    elif args.cmd == "curate":
+        from crawler_spark.operators.pipeline import curate_crawl
+
+        card = curate_crawl(spark, args.workdir, args.out, args.shards, args.lang)
+        print(json.dumps(card, indent=2, default=str))
     else:
         path = reporting.generate_session_report(
             spark, args.workdir, args.out, args.format, args.top

@@ -335,3 +335,28 @@ def test_crawl_overlap_and_hot_hosts(spark, crawl, second_crawl):
         if r.freq * 4 > n
     }
     assert hh == naive
+
+
+def test_curate_crawl_end_to_end(spark, crawl, tmp_path):
+    """crawl catalog -> keepset -> size-balanced shards on disk: every
+    kept doc lands in exactly one shard, statuses account for every
+    distinct successful page, and shard char totals balance within one
+    max-document."""
+    from crawler_spark.operators.pipeline import curate_crawl
+    from pyspark.sql import functions as F
+
+    wd, _ = crawl
+    card = curate_crawl(spark, wd, str(tmp_path / "curated"), n_shards=4)
+    pages = SnapshotCatalog(wd).read(spark, "pages")
+    n_success = (
+        pages.where(F.col("success") & F.col("text").isNotNull())
+        .select("canonical").distinct().count()
+    )
+    assert card["kept"] + sum(card["dropped"].values()) == n_success
+    assert card["kept"] > 0
+    sharded = spark.read.parquet(card["out"])
+    assert sharded.count() == card["kept"]
+    assert sharded.select("doc_id").distinct().count() == card["kept"]
+    totals = [s["total_chars"] for s in card["shards"]]
+    max_doc = sharded.agg(F.max("n_chars")).collect()[0][0]
+    assert max(totals) - min(totals) <= max_doc
