@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship analytics query (the reference's headline
 top-words aggregation, storage/database.py:422-433) on sf0.001.
 ``queries()`` / ``oracle_sql()`` expose the full operator registry from
-``crawler_spark.queries`` (73 entries, 71 with SQL twins) — one entry per
+``crawler_spark.queries`` (94 entries, 92 with SQL twins) — one entry per
 implemented operator family of SURVEY.md §2 plus the training-data ops
 (dedup x6 incl. IVF-blocked and hyperplane-LSH scale paths / similarity /
 exact quantized k-means / text analysis incl. unigram-LM surprisal /
@@ -11,7 +11,13 @@ token-budget selection / multimodal / fetch-outcome and link
 classification / the approx-percentile production plan / the partitioned
 Bloom filter, cuckoo fingerprint filter, HyperLogLog cardinality and
 count-min heavy-hitter sketches as exact bit arithmetic / link-graph
-PageRank and in-degree distribution / exact media-payload dedup / the
+PageRank, HITS, triangle counting, co-citation, host-graph collapse
+and HyperBall 2-hop reach / KMV set-operation sketches and exact
+CMS-pruned heavy hitters / adaptive recrawl priority, crawl snapshot
+diff and largest-remainder budget apportionment / BPE merge learning +
+compression, PMI collocations, C4 rule filters and CCNet terciles /
+int8-quantization recall / size-balanced shard assignment / exact
+media-payload dedup / the
 stateful
 streaming politeness gate, whose SQL twin is the closed form of its
 recurrence, and streaming session_window sessionization). The two
