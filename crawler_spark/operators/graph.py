@@ -46,7 +46,7 @@ def pagerank(
     dst_col: str = "dst",
     n_iter: int = 5,
     scale: int = PR_SCALE,
-    checkpoint_every: int = 0,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Integer power-iteration PageRank; returns (node, pr) with pr int64.
 
@@ -54,7 +54,16 @@ def pagerank(
     filtered by the caller. int64 headroom: sum of in-contributions per node
     is bounded by n_nodes * scale, so 85 * sum stays under 2^63 for
     n_nodes * scale < 10^17 (e.g. 10^8 nodes at the default scale).
+
+    ``checkpoint_every=None`` (the default) picks a safe cadence
+    automatically: pure-lazy for short runs (n_iter <= 8 — plan depth is
+    linear in n_iter and the registry's n_iter=5 plan stays byte-identical),
+    localCheckpoint every 3 iterations beyond that — a 20+-iteration
+    production run must not build 20-deep join lineage (the measured
+    hits_scores 124 s -> 5 s lesson; VERDICT r3 #3).
     """
+    if checkpoint_every is None:
+        checkpoint_every = 0 if n_iter <= 8 else 3
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     contrib_src = e.join(deg, "src")  # (src, dst, outdeg): static across rounds

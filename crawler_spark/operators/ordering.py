@@ -74,6 +74,22 @@ def release_global_seq(df: DataFrame) -> None:
         cached.unpersist()
 
 
+def carry_seq_cache(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Copy the release_global_seq handle onto a derived projection.
+
+    Any .select()/.drop() on a with_global_seq/with_global_cumsum result is
+    a NEW DataFrame object without the ``_global_seq_cache`` attribute;
+    builders that post-project must carry it forward or the caller's
+    release_global_seq silently leaks the persisted intermediate."""
+    cached = getattr(src, "_global_seq_cache", None)
+    if cached is not None:
+        out._global_seq_cache = cached
+    total = getattr(src, "_global_seq_total", None)
+    if total is not None:
+        out._global_seq_total = total
+    return out
+
+
 def top_per_key(
     df: DataFrame,
     key: str,
@@ -185,9 +201,13 @@ def with_global_cumsum(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    # coalesce: a range partition whose value_col rows are all NULL would
+    # otherwise yield sums[pid] = None and break the offset accumulation
     sums = {
         r["_pid"]: r["_s"]
-        for r in d.groupBy("_pid").agg(F.sum(value_col).cast("long").alias("_s")).collect()
+        for r in d.groupBy("_pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).cast("long").alias("_s"))
+        .collect()
     }
     if not sums:
         d.unpersist()

@@ -231,11 +231,15 @@ def corpus_shuffle(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Cache contract: release with ordering.release_global_seq after
     materializing (registry usage collects immediately).
     """
-    from crawler_spark.operators.ordering import with_global_seq
+    from crawler_spark.operators.ordering import carry_seq_cache, with_global_seq
 
     keyed = df.withColumn("_shuf", hash60(F.col(id_col).cast("string")))
     order = [F.asc("_shuf"), F.asc(id_col)]
-    return with_global_seq(keyed, order, seq_col="seq").drop("_shuf")
+    seq = with_global_seq(keyed, order, seq_col="seq")
+    # re-attach the cache handle the .drop() projection would discard —
+    # without it release_global_seq is a silent no-op and the persisted
+    # intermediate leaks across the 90+ registry runs (ADVICE r3)
+    return carry_seq_cache(seq, seq.drop("_shuf"))
 
 
 def pack_sequences(
@@ -256,7 +260,7 @@ def pack_sequences(
     (ordering.with_global_cumsum), never a single-task global window.
     Returns (doc, n_tok, cum_before, start_chunk, end_chunk).
     """
-    from crawler_spark.operators.ordering import with_global_cumsum
+    from crawler_spark.operators.ordering import carry_seq_cache, with_global_cumsum
 
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+"), F.lit(0))
     d = df.select(
@@ -266,16 +270,19 @@ def pack_sequences(
     )
     order = [F.asc("_shuf"), F.asc("doc")]
     c = with_global_cumsum(d, order, "n_tok", out_col="cum_before")
-    b = F.lit(int(budget))
-    return c.select(
+    # integer `div`, not floor(a/b): double division loses exactness once
+    # cumulative token counts pass 2^53 — real at the 10^10-doc design point
+    bi = int(budget)
+    out = c.select(
         "doc",
         "n_tok",
         "cum_before",
-        F.floor(F.col("cum_before") / b).cast("long").alias("start_chunk"),
-        F.floor(
-            (F.col("cum_before") + F.greatest(F.col("n_tok"), F.lit(1)) - 1) / b
-        ).cast("long").alias("end_chunk"),
+        F.expr(f"cum_before div {bi}").cast("long").alias("start_chunk"),
+        F.expr(f"(cum_before + greatest(n_tok, 1L) - 1) div {bi}")
+        .cast("long")
+        .alias("end_chunk"),
     )
+    return carry_seq_cache(c, out)
 
 
 def token_budget_select(
@@ -302,14 +309,14 @@ def token_budget_select(
     (doc_id, avg_centibits, n_tokens, cum_tokens) for the kept prefix.
     """
     from crawler_spark.operators.lm import surprisal
-    from crawler_spark.operators.ordering import with_global_cumsum
+    from crawler_spark.operators.ordering import carry_seq_cache, with_global_cumsum
 
     scored = surprisal(df, text_col).select(
         F.col("doc_id"), "avg_centibits", "n_tokens"
     )
     order = [F.asc("avg_centibits"), F.asc("doc_id")]
     c = with_global_cumsum(scored, order, "n_tokens", out_col="_cum_before")
-    return (
+    out = (
         c.where(F.col("_cum_before") + F.col("n_tokens") <= F.lit(int(budget)))
         .select(
             "doc_id",
@@ -318,6 +325,7 @@ def token_budget_select(
             (F.col("_cum_before") + F.col("n_tokens")).alias("cum_tokens"),
         )
     )
+    return carry_seq_cache(c, out)
 
 
 def source_reputation(

@@ -176,6 +176,12 @@ def run_crawl(
     catalog = SnapshotCatalog(workdir)
     if catalog.current_manifest() is None:
         init_state(spark, catalog, seeds, cfg, sitemaps_df=sitemaps_df)
+    else:
+        # resume path — we ARE the writer now: drop any part-files a killed
+        # round staged but never committed, restoring the bucketed fast scan
+        # (read_seen itself never deletes; a concurrent analytics reader must
+        # not race a live round's staged files)
+        catalog.cleanup_orphan_seen()
 
     scheduled_total = sum(
         m.get("scheduled", 0) for m in catalog.metrics_history()

@@ -180,17 +180,37 @@ class SnapshotCatalog:
         )
         return name
 
+    def cleanup_orphan_seen(self) -> int:
+        """WRITER-ONLY: delete seen-table part-files not in the committed
+        manifest (left by a killed round's staged-but-uncommitted append).
+        Only the resuming writer may call this — a concurrent reader that
+        deleted them would race a LIVE round's staged files, whose manifest
+        would then list vanished files (silent url_seen loss). Returns the
+        number of files removed."""
+        m = self.current_manifest()
+        meta = (m or {}).get("seen")
+        if meta is None:
+            return 0
+        d = os.path.join(self.root, meta["dir"])
+        orphans = _part_files(d) - set(meta["files"])
+        for orphan in orphans:
+            os.remove(os.path.join(d, orphan))
+        return len(orphans)
+
     def read_seen(self, spark: SparkSession) -> DataFrame:
-        """The committed seen set as a BUCKETED scan (no Exchange in joins
-        keyed on SEEN_KEYS). Deletes orphan part-files first — files written
-        by a killed round that never committed are invisible by manifest and
-        must not leak into the resumed run's dedup (they would anti-join away
-        the re-run round's fresh rows)."""
+        """The committed seen set — NON-destructive (safe for a second
+        reader against a live crawl). Hot path: the BUCKETED table scan (no
+        Exchange in joins keyed on SEEN_KEYS). If the dir holds part-files
+        outside the committed manifest (a killed round's staged append, or a
+        live round mid-write), the bucketed scan would leak them into the
+        anti-join, so fall back to scanning exactly the committed files
+        (unbucketed — correctness over the saved Exchange; rare, and the
+        resuming writer restores the fast path via cleanup_orphan_seen())."""
         meta = self.current_manifest()["seen"]
         d = os.path.join(self.root, meta["dir"])
         committed = set(meta["files"])
-        for orphan in _part_files(d) - committed:
-            os.remove(os.path.join(d, orphan))
+        if _part_files(d) - committed:
+            return spark.read.parquet(*[os.path.join(d, f) for f in sorted(committed)])
         name = self._ensure_seen_registered(spark, meta)
         spark.catalog.refreshTable(name)  # appends/prunes since last read
         return spark.table(name)
@@ -205,8 +225,7 @@ class SnapshotCatalog:
             return 0
         n_files = len(meta["files"])
         d = os.path.join(self.root, meta["dir"])
-        for orphan in _part_files(d) - set(meta["files"]):
-            os.remove(os.path.join(d, orphan))
+        self.cleanup_orphan_seen()  # compaction runs in the writer process
         # raw parquet read (not spark.table): the rewrite must not depend on
         # the catalog entry stage_seen_init is about to drop and re-create
         df = spark.read.parquet(d)
@@ -478,7 +497,9 @@ class RoundCommit:
         """Append fresh rows to the bucketed url_seen table. Only ADDS
         part-files; the manifest's file list is what makes them visible, so
         a kill between this write and commit() leaves invisible orphans that
-        read_seen() deletes on resume. Returns the new file names."""
+        the resuming writer deletes via cleanup_orphan_seen() (read_seen()
+        itself is non-destructive and scans committed files only while
+        orphans exist). Returns the new file names."""
         assert self.seen is not None, "url_seen not initialized (stage_seen_init)"
         loc = os.path.abspath(os.path.join(self.catalog.root, self.seen["dir"]))
         before = _part_files(loc)

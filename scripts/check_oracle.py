@@ -36,6 +36,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    from crawler_spark.operators.ordering import release_global_seq
     from crawler_spark.queries import REGISTRY
     from crawler_spark.sparkutils import get_spark
 
@@ -53,6 +54,10 @@ def main() -> int:
             df = spec.fn(spark, sf_dir)
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]
+            # drop the persisted intermediate the cumsum/seq builders carry
+            # (carry_seq_cache) — 90+ registry runs would otherwise pile up
+            # cached RDDs in one session
+            release_global_seq(df)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name:24s} SPARK ERROR: {type(e).__name__}: {e}")

@@ -76,10 +76,14 @@ def main() -> None:
                     r.asDict()
                     for r in analytics.top_words(spark, wd, args.top).collect()
                 ],
+                # url_template_stats returns None on a catalog with no
+                # frontier table — emit [] rather than crash the whole report
                 "url_templates": [
                     r.asDict()
                     for r in (
-                        analytics.url_template_stats(spark, wd).limit(args.top).collect()
+                        uts.limit(args.top).collect()
+                        if (uts := analytics.url_template_stats(spark, wd)) is not None
+                        else []
                     )
                 ],
                 "hot_hosts": [

@@ -54,7 +54,11 @@ def test_seen_orphan_files_invisible(spark, tmp_path):
     """A kill AFTER the url_seen bucketed append but BEFORE the manifest
     commit must leave those rows invisible: on resume the re-run round's
     fresh candidates would otherwise anti-join against their own orphaned
-    copies and vanish. read_seen deletes the orphan part-files."""
+    copies and vanish. read_seen excludes them NON-destructively (a second
+    reader must never delete a live round's staged files — ADVICE r3);
+    the resuming writer deletes them via cleanup_orphan_seen()."""
+    import os
+
     from pyspark.sql import functions as F
 
     cat = SnapshotCatalog(str(tmp_path / "cat"))
@@ -71,7 +75,13 @@ def test_seen_orphan_files_invisible(spark, tmp_path):
     doomed = cat.begin(0)
     new_files = doomed.stage_seen_append(spark, mk(100, 150))
     assert new_files  # files landed in the table dir
-    # resume: the staged-but-uncommitted rows must not be visible
+    seen_dir = os.path.join(cat.root, cat.current_manifest()["seen"]["dir"])
+    # a concurrent READER: staged-but-uncommitted rows invisible, files intact
+    assert cat.read(spark, "url_seen").count() == 100
+    assert all(os.path.exists(os.path.join(seen_dir, f)) for f in new_files)
+    # the resuming WRITER cleans up, restoring the bucketed fast path
+    assert cat.cleanup_orphan_seen() == len(new_files)
+    assert not any(os.path.exists(os.path.join(seen_dir, f)) for f in new_files)
     assert cat.read(spark, "url_seen").count() == 100
     # and the re-run of round 0 appends cleanly to the same state
     redo = cat.begin(0)
