@@ -182,9 +182,12 @@ def srp_neardup(
         F.concat(F.lit(f"{b}:"), *bits[b * band_size : (b + 1) * band_size])
         for b in range(n_bands)
     ]
+    # materialize the bit projection ONCE: the candidate self-join would
+    # otherwise evaluate all n_planes 64-element dot products on BOTH sides
+    # (the r3 shingling-CSE lesson, VERDICT r3 #2 / dedup.doc_shingles note)
     keyed = vectors.select(
         F.col(id_col).alias("vid"), F.explode(F.array(*band_keys)).alias("bucket")
-    )
+    ).localCheckpoint(eager=False)
     a = keyed.select(F.col("vid").alias("vec_a"), "bucket")
     b = keyed.select(F.col("vid").alias("vec_b"), "bucket")
     cand = (

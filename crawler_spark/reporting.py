@@ -243,3 +243,198 @@ def generate_session_report(
     with open(path, "w") as f:
         f.write(rendered)
     return path
+
+
+# -- word-cloud / chart-data export (reference visualizer.py:25-62,406-459) ---
+
+def word_cloud_data(report: dict, max_words: int = 100) -> dict:
+    """Word-cloud scaling data (visualizer.generate_word_cloud_data,
+    visualizer.py:25-62): size = int(freq / max_freq * 100) + 10 per word
+    (the reference's 10-110 font scale), over the report's top words."""
+    limited = report.get("top_words", [])[:max_words]
+    if not limited:
+        return {"words": [], "max_frequency": 0}
+    max_freq = max(w["total_freq"] for w in limited)
+    return {
+        "words": [
+            {
+                "text": w["word"],
+                "frequency": w["total_freq"],
+                "size": int((w["total_freq"] / max_freq) * 100) + 10,
+            }
+            for w in limited
+        ],
+        "max_frequency": max_freq,
+        "total_words": len(limited),
+    }
+
+
+def export_chart_data(chart_data: dict, fmt: str = "json") -> str:
+    """Chart-data export (visualizer.export_chart_data, visualizer.py:406-459):
+    'json' dumps the structure; 'csv' flattens labels/series (and word-cloud
+    word lists) into section rows, mirroring the reference's _convert_to_csv
+    Metric/Value + per-table layout."""
+    if fmt.lower() == "json":
+        return json.dumps(chart_data, indent=2, default=str)
+    if fmt.lower() != "csv":
+        raise ValueError(f"unsupported export format: {fmt}")
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    if "words" in chart_data:  # word-cloud structure
+        w.writerow(["word", "frequency", "size"])
+        for row in chart_data["words"]:
+            w.writerow([row["text"], row["frequency"], row["size"]])
+        return buf.getvalue()
+    labels = chart_data.get("labels", [])
+    w.writerow(["series", *labels])
+    for name, vals in chart_data.get("series", {}).items():
+        w.writerow([name, *vals])
+    return buf.getvalue()
+
+
+# -- comparison dashboard (reference visualizer.py:296-405) -------------------
+
+def build_comparison_report(
+    spark: SparkSession, workdirs: list[str], top_n: int = 12
+) -> dict:
+    """Cross-session comparison data (visualizer.create_comparison_dashboard):
+    per-session summary rows, grouped comparison chart series, a comparison
+    table, and best-performer callouts; plus the distributed cross-session
+    word merge (analytics.cross_session_top_words — one shuffle regardless of
+    session count, unlike the reference's driver-side Counter addition)."""
+    cross = analytics.cross_session_summary(spark, workdirs)
+    sessions = cross["sessions"]
+    labels = [
+        (analytics._session_id(wd) or wd).rsplit("/", 1)[-1] for wd in workdirs
+    ]
+
+    def series(key):
+        return [int(sessions[wd].get(key) or 0) for wd in workdirs]
+
+    pages, failures, words = (
+        series("pages_crawled"), series("fetch_failures"), series("total_words")
+    )
+    table = []
+    for lbl, wd in zip(labels, workdirs):
+        s = sessions[wd]
+        attempts = (s.get("pages_crawled") or 0) + (s.get("fetch_failures") or 0)
+        table.append(
+            {
+                "session": lbl,
+                "rounds": s.get("rounds"),
+                "pages_crawled": s.get("pages_crawled"),
+                "fetch_failures": s.get("fetch_failures"),
+                "success_rate_pct": (
+                    round((s.get("pages_crawled") or 0) / attempts * 100, 1)
+                    if attempts
+                    else 0.0
+                ),
+                "total_words": s.get("total_words"),
+                "unique_words": s.get("unique_words"),
+                "hosts_fetched": s.get("hosts_fetched"),
+            }
+        )
+    best = {}
+    if table:
+        best = {
+            "most_pages": max(table, key=lambda r: r["pages_crawled"] or 0)["session"],
+            "most_words": max(table, key=lambda r: r["total_words"] or 0)["session"],
+            "highest_success_rate": max(table, key=lambda r: r["success_rate_pct"])[
+                "session"
+            ],
+        }
+    return {
+        "session_info": {"session_count": len(workdirs), "session_names": labels},
+        "charts": {
+            "pages_comparison": {
+                "labels": labels,
+                "series": {"pages": pages, "failures": failures},
+            },
+            "words_comparison": {"labels": labels, "series": {"words": words}},
+        },
+        "comparison_table": table,
+        "best_performers": best,
+        "combined": cross["combined"],
+        "top_words": [
+            r.asDict()
+            for r in analytics.cross_session_top_words(spark, workdirs, top_n).collect()
+        ],
+    }
+
+
+def render_comparison_html(report: dict) -> str:
+    """Self-contained comparison dashboard page (no JS, inline SVG) — the S13
+    analog of the reference's chart.js comparison dashboard payload."""
+    info = report["session_info"]
+    charts = report["charts"]
+    pages_chart = _svg_bar_chart(
+        charts["pages_comparison"]["labels"],
+        charts["pages_comparison"]["series"],
+        "Pages crawled vs failed fetches per session",
+    )
+    words_chart = _svg_bar_chart(
+        charts["words_comparison"]["labels"],
+        charts["words_comparison"]["series"],
+        "Words extracted per session",
+    )
+    topw_chart = _svg_bar_chart(
+        [w["word"] for w in report["top_words"]],
+        {"total_freq": [w["total_freq"] for w in report["top_words"]]},
+        "Trending words across sessions",
+    )
+    tbl_headers = (
+        list(report["comparison_table"][0].keys())
+        if report["comparison_table"]
+        else ["session"]
+    )
+    table = _html_table(
+        tbl_headers, [list(r.values()) for r in report["comparison_table"]]
+    )
+    best = _html_table(
+        ["category", "session"], [[k, v] for k, v in report["best_performers"].items()]
+    )
+    combined = _html_table(
+        ["metric", "value"], [[k, v] for k, v in report["combined"].items()]
+    )
+    topw = _html_table(
+        ["word", "total_freq", "n_pages", "n_sessions"],
+        [
+            [w["word"], w["total_freq"], w["n_pages"], w["n_sessions"]]
+            for w in report["top_words"]
+        ],
+    )
+    return f"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8"/>
+<title>Crawl comparison dashboard</title>
+<style>
+body {{ font-family: system-ui, sans-serif; margin: 2rem; color: #1a1a2e; }}
+h1, h2 {{ border-bottom: 1px solid #ddd; padding-bottom: .3rem; }}
+table {{ border-collapse: collapse; margin: 1rem 0; }}
+th, td {{ border: 1px solid #ccc; padding: .35rem .6rem; text-align: left; }}
+th {{ background: #f0f0f5; }}
+tbody tr:nth-child(even) {{ background: #fafafa; }}
+</style></head><body>
+<h1>Crawl comparison dashboard ({info["session_count"]} sessions)</h1>
+<h2>Sessions</h2>{pages_chart}{words_chart}{table}
+<h2>Best performers</h2>{best}
+<h2>Combined totals</h2>{combined}
+<h2>Trending words</h2>{topw_chart}{topw}
+</body></html>
+"""
+
+
+def generate_comparison_report(
+    spark: SparkSession,
+    workdirs: list[str],
+    path: str,
+    fmt: str = "html",
+    top_n: int = 12,
+) -> str:
+    """Comparison-dashboard entry point: build + render + write."""
+    report = build_comparison_report(spark, workdirs, top_n)
+    rendered = (
+        render_json(report) if fmt == "json" else render_comparison_html(report)
+    )
+    with open(path, "w") as f:
+        f.write(rendered)
+    return path

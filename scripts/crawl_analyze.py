@@ -57,6 +57,15 @@ def main() -> None:
                     choices=["json", "md", "markdown", "html", "csv"])
     pr.add_argument("--top", type=int, default=20)
 
+    pm = sub.add_parser(
+        "compare", help="render a cross-session comparison dashboard"
+    )
+    pm.add_argument("--workdir", action="append", required=True,
+                    help="snapshot catalog root (repeat, >=2)")
+    pm.add_argument("--out", required=True, help="output path")
+    pm.add_argument("--format", default="html", choices=["json", "html"])
+    pm.add_argument("--top", type=int, default=12)
+
     args = p.parse_args()
     spark = _spark()
     from crawler_spark import analytics, reporting
@@ -112,6 +121,11 @@ def main() -> None:
 
         card = curate_crawl(spark, args.workdir, args.out, args.shards, args.lang)
         print(json.dumps(card, indent=2, default=str))
+    elif args.cmd == "compare":
+        path = reporting.generate_comparison_report(
+            spark, args.workdir, args.out, args.format, args.top
+        )
+        print(path)
     else:
         path = reporting.generate_session_report(
             spark, args.workdir, args.out, args.format, args.top

@@ -360,3 +360,78 @@ def test_curate_crawl_end_to_end(spark, crawl, tmp_path):
     totals = [s["total_chars"] for s in card["shards"]]
     max_doc = sharded.agg(F.max("n_chars")).collect()[0][0]
     assert max(totals) - min(totals) <= max_doc
+
+
+def test_comparison_dashboard(spark, crawl, second_crawl, tmp_path):
+    """VERDICT r3 #6 (reference visualizer.py:296-405): the two-catalog
+    comparison dashboard renders a well-formed page whose tables/charts agree
+    with the per-session summaries."""
+    from xml.etree import ElementTree
+
+    from crawler_spark import reporting
+
+    wd1, _ = crawl
+    wd2 = second_crawl
+    report = reporting.build_comparison_report(spark, [wd1, wd2])
+    assert report["session_info"]["session_count"] == 2
+    assert len(report["comparison_table"]) == 2
+    # chart series mirror the per-session summaries exactly
+    per = {r["session"]: r for r in report["comparison_table"]}
+    for lbl, pages in zip(
+        report["charts"]["pages_comparison"]["labels"],
+        report["charts"]["pages_comparison"]["series"]["pages"],
+    ):
+        assert pages == per[lbl]["pages_crawled"]
+    assert set(report["best_performers"]) == {
+        "most_pages", "most_words", "highest_success_rate",
+    }
+    assert {r["session"] for r in report["comparison_table"]} >= set(
+        report["best_performers"].values()
+    )
+    assert report["combined"]["sessions"] == 2
+    assert report["top_words"], "cross-session word merge must be non-empty"
+
+    path = reporting.generate_comparison_report(
+        spark, [wd1, wd2], str(tmp_path / "cmp.html")
+    )
+    html = open(path).read()
+    assert html.startswith("<!DOCTYPE html>")
+    root = ElementTree.fromstring(html.split("\n", 1)[1])
+    assert "<script" not in html
+    svgs = root.findall(".//{http://www.w3.org/2000/svg}svg")
+    assert len(svgs) == 3  # pages/failures, words, trending words
+    for svg in svgs:
+        assert svg.findall(".//{http://www.w3.org/2000/svg}rect")
+
+
+def test_word_cloud_and_chart_export(spark, crawl):
+    """Word-cloud scaling data (visualizer.py:25-62: size 10-110) and the
+    json/csv chart-data exports (visualizer.py:406-459)."""
+    import csv as _csv
+    import io as _io
+    import json as _json
+
+    from crawler_spark import reporting
+
+    workdir, _ = crawl
+    report = reporting.build_report(spark, workdir)
+    wc = reporting.word_cloud_data(report, max_words=10)
+    assert 0 < len(wc["words"]) <= 10
+    assert wc["max_frequency"] == max(w["frequency"] for w in wc["words"])
+    for w in wc["words"]:
+        assert 10 <= w["size"] <= 110
+    assert any(w["size"] == 110 for w in wc["words"])  # the max-freq word
+
+    as_json = reporting.export_chart_data(wc, "json")
+    assert _json.loads(as_json)["total_words"] == len(wc["words"])
+    rows = list(_csv.reader(_io.StringIO(reporting.export_chart_data(wc, "csv"))))
+    assert rows[0] == ["word", "frequency", "size"]
+    assert len(rows) == len(wc["words"]) + 1
+
+    chart = {
+        "labels": ["a", "b"],
+        "series": {"pages": [1, 2], "failures": [0, 1]},
+    }
+    rows = list(_csv.reader(_io.StringIO(reporting.export_chart_data(chart, "csv"))))
+    assert rows[0] == ["series", "a", "b"]
+    assert ["pages", "1", "2"] in rows and ["failures", "0", "1"] in rows
