@@ -266,8 +266,12 @@ def bench_frontier(spark: SparkSession, n: int) -> dict:
     growth: dict[str, float] = {}
     # skipped in scaling runs (BENCH_SKIP_QUERIES): growth evidence is
     # orthogonal to the N-vs-4N comparison and 4x seen at 32M rows would
-    # dominate the level's wall time
-    if not os.environ.get("BENCH_SKIP_SEEN_GROWTH") and not os.environ.get("BENCH_SKIP_QUERIES"):
+    # dominate the level's wall time. BENCH_FORCE_SEEN_GROWTH overrides for
+    # frontier-only growth reps (the 10^8-row sweep skips the query suite
+    # but exists precisely for the growth evidence).
+    if os.environ.get("BENCH_FORCE_SEEN_GROWTH") or (
+        not os.environ.get("BENCH_SKIP_SEEN_GROWTH") and not os.environ.get("BENCH_SKIP_QUERIES")
+    ):
         for mult, tag in ((2, "2x"), (4, "4x")):
             _bucketed_seen(spark, 0, mult * n, data_dir, tag)
         plain4 = f"{data_dir}/seen_plain_4x.parquet"

@@ -3739,8 +3739,13 @@ def _mini_crawl_workdir(spark: SparkSession) -> str:
 
     documents, seeds, robots = gen_corpus(hosts=3, pages_per_host=8, seed=42)
     pkg_root = pathlib.Path(_pkg.__file__).parent
+    # (path, mtime_ns, size) per file instead of reading every source byte:
+    # same invalidation semantics for edits made through any normal tool, at
+    # stat() cost (VERDICT r3 nit #4). A touch without content change only
+    # OVER-invalidates — one spare 10 s mini-crawl, never a stale catalog.
     src = "".join(
-        p.read_text() for p in sorted(pkg_root.rglob("*.py"))
+        f"{p.relative_to(pkg_root)}:{p.stat().st_mtime_ns}:{p.stat().st_size};"
+        for p in sorted(pkg_root.rglob("*.py"))
     )
     params = "hosts=3;pph=8;seed=42;mp=60;mr=6;nb=4;" + hashlib.md5(src.encode()).hexdigest()
     tag = hashlib.md5(params.encode()).hexdigest()[:12]

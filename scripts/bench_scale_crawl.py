@@ -7,8 +7,12 @@ frequencies, link discovery + canonicalization pandas UDFs, dedup, frontier
 rewrite, snapshot commit — on a corpus of 10^5+ pages generated JVM-side
 (sources/corpus_spark.py; no driver data).
 
-Usage: python scripts/bench_scale_crawl.py [hosts] [pages_per_host] [rounds]
-Prints one JSON line with per-round metrics and pages/sec.
+Usage: python scripts/bench_scale_crawl.py [hosts] [pages_per_host] [rounds] [curate_shards]
+Prints one JSON line with per-round metrics and pages/sec. A non-zero 4th
+arg additionally times the end-to-end curation leg (pipeline.curate_crawl:
+catalog -> keepset filters -> size-balanced shards on disk) over the
+just-committed catalog and reports wall seconds, keep/drop rates, and
+shard balance (VERDICT r3 #7).
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ def main() -> None:
     hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     pages = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    curate_shards = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from crawler_spark.config import CrawlConfig
     from crawler_spark.plans.engine import run_crawl
@@ -80,6 +85,29 @@ def main() -> None:
         "wall_sec": round(wall, 1),
         "pages_per_sec": round(scheduled / wall, 1),
     }
+    if curate_shards:
+        from crawler_spark.operators.pipeline import curate_crawl
+
+        t1 = time.time()
+        card = curate_crawl(
+            spark, workdir, os.path.join(workdir, "curated"), curate_shards
+        )
+        cwall = time.time() - t1
+        sizes = [s["total_chars"] for s in card["shards"]]
+        out["curate"] = {
+            "wall_sec": round(cwall, 1),
+            "kept": card["kept"],
+            "dropped": card["dropped"],
+            "docs_per_sec": round(card["kept"] / cwall, 1),
+            "n_shards": card["n_shards"],
+            "shard_chars_min": min(sizes) if sizes else 0,
+            "shard_chars_max": max(sizes) if sizes else 0,
+            "shard_balance_pct": (
+                round((max(sizes) - min(sizes)) / max(sizes) * 100, 2)
+                if sizes and max(sizes)
+                else 0.0
+            ),
+        }
     shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps(out))
 
