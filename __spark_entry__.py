@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship analytics query (the reference's headline
 top-words aggregation, storage/database.py:422-433) on sf0.001.
 ``queries()`` / ``oracle_sql()`` expose the full operator registry from
-``crawler_spark.queries`` (94 entries, ALL 94 with SQL twins; the registry's
+``crawler_spark.queries`` (95 entries, ALL 95 with SQL twins; the registry's
 first 50 — the driver's check window — sample every operator family) — one
 entry per
 implemented operator family of SURVEY.md §2 plus the training-data ops
@@ -19,7 +19,7 @@ CMS-pruned heavy hitters / adaptive recrawl priority, crawl snapshot
 diff and largest-remainder budget apportionment / BPE merge learning +
 compression, PMI collocations, C4 rule filters and CCNet terciles /
 int8-quantization recall / size-balanced shard assignment / exact
-media-payload dedup / the
+media-payload dedup / DSIR hashed-ngram importance weighting / the
 stateful
 streaming politeness gate, whose SQL twin is the closed form of its
 recurrence, and streaming session_window sessionization). Since r4 the

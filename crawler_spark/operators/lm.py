@@ -111,6 +111,85 @@ def surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dsir_logratio(
+    docs: DataFrame,
+    is_target,
+    buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed n-gram features are under a TARGET
+    distribution than under the background SOURCE distribution — the
+    standard way a web-scale pipeline selects raw-crawl documents that
+    "look like" a curated corpus without training a classifier.
+
+    ``is_target`` is a boolean Column marking the docs that define the
+    target distribution (e.g. ``F.col("lang") == "en"`` for
+    curated-English selection). Features are unigrams ∪ bigrams of the raw
+    [a-z]+ token stream, hashed into ``buckets`` buckets (the paper's
+    hashed bag-of-ngrams generative model). As with :func:`surprisal`, all
+    arithmetic is integer floor-log2 bits so the score value-hashes
+    against a DuckDB twin exactly:
+
+        bits(b)       = ilog2(c_t(b)+1) - ilog2(c_s(b)+1)     [add-1 smooth]
+        logratio_bits = sum over doc's feature occurrences of bits(b)
+                        + n_feats * (ilog2(T_s+B) - ilog2(T_t+B))
+
+    which is the floor-bit form of sum log2( p_t(f) / p_s(f) ) with
+    Laplace smoothing. Rankings track the true log-ratio within ~1 bit
+    per feature; selection takes the top of the ranking (the paper
+    resamples with Gumbel noise — deterministic top-rank here, same
+    contract as ``ccnet_buckets``'s deterministic ntile).
+
+    Returns (doc_id, n_feats, logratio_bits); docs with no [a-z]+ token
+    are omitted (no features, no mass — same contract as surprisal).
+
+    Scale shape: one explode to (doc, bucket) feature rows
+    (localCheckpointed — they feed both the count pass and the re-join),
+    ONE groupBy(bucket) with two conditional sums (map-side combinable;
+    the count table is at most ``buckets`` rows, broadcast back), one
+    re-aggregation on doc_id. The bucket-count table is O(buckets) —
+    independent of corpus size — so at 10^10 docs this is two shuffles
+    over the token stream and nothing else.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_RAW_WORD), F.lit(0))
+    base = docs.select("doc_id", is_target.alias("_tgt"), toks.alias("_t"))
+    uni = F.col("_t")
+    n_bi = F.size(uni) - 1
+    bi = F.when(
+        n_bi > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_bi),
+            lambda i: F.concat(F.element_at(uni, i), F.lit(" "), F.element_at(uni, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        base.select("doc_id", "_tgt", F.explode(F.concat(uni, bi)).alias("g"))
+        .select("doc_id", "_tgt", F.pmod(hash60(F.col("g")), F.lit(buckets)).alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    cnt = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).cast("long").alias("cs"),
+    )
+    tot = cnt.groupBy().agg(
+        _ilog2(F.sum("ct") + buckets).alias("ltt"),
+        _ilog2(F.sum("cs") + buckets).alias("lts"),
+    )
+    per = (
+        feats.join(F.broadcast(cnt), "b")
+        .select("doc_id", (_ilog2(F.col("ct") + 1) - _ilog2(F.col("cs") + 1)).alias("bits"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("bits").alias("s"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_feats",
+        (F.col("s") + F.col("n_feats") * (F.col("lts") - F.col("ltt"))).alias("logratio_bits"),
+    )
+
+
 # ------------------------------------------------------------ BPE training
 
 def _bpe_run(vocab: DataFrame, n_merges: int):

@@ -3679,6 +3679,60 @@ GROUP BY g.doc_id
 """
 
 
+_DSIR_BUCKETS = 4096
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/lm.dsir_logratio; Xie et al.
+    2023): rank every document by the hashed-ngram log-likelihood ratio
+    of a target distribution (here the corpus's English docs — the
+    'looks like curated English' selector) over the background source
+    distribution. Integer floor-log2 bits throughout so the score
+    value-hashes against the DuckDB twin."""
+    from crawler_spark.operators.lm import dsir_logratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_logratio(docs, F.col("lang") == "en", buckets=_DSIR_BUCKETS)
+
+
+SQL_DSIR_WEIGHTS = rf"""
+WITH base AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         regexp_extract_all(lower(text), '\b[a-z]+\b') AS t
+  FROM documents
+),
+uni AS (SELECT doc_id, tgt, unnest(t) AS g FROM base),
+bi AS (
+  SELECT doc_id, tgt, t[i.i] || ' ' || t[i.i + 1] AS g
+  FROM base, LATERAL unnest(range(1, greatest(len(t), 1))) AS i(i)
+),
+feats AS (
+  SELECT doc_id, tgt,
+         ({hash60_sql('g')}) % {_DSIR_BUCKETS} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+cnt AS (
+  SELECT b,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cs
+  FROM feats GROUP BY b
+),
+tot AS (
+  SELECT CAST(length(printf('%b', CAST(sum(ct) + {_DSIR_BUCKETS} AS BIGINT))) - 1 AS BIGINT) AS ltt,
+         CAST(length(printf('%b', CAST(sum(cs) + {_DSIR_BUCKETS} AS BIGINT))) - 1 AS BIGINT) AS lts
+  FROM cnt
+),
+per AS (
+  SELECT doc_id, count(*) AS n_feats,
+         sum(CAST(length(printf('%b', ct + 1)) - 1 AS BIGINT)
+             - CAST(length(printf('%b', cs + 1)) - 1 AS BIGINT)) AS s
+  FROM feats JOIN cnt USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_feats, s + n_feats * (lts - ltt) AS logratio_bits
+FROM per CROSS JOIN tot
+"""
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget prefix selection (pipeline.token_budget_select): rank
     every document by unigram-surprisal quality and keep the best-first
@@ -4089,4 +4143,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "link_degree_dist": QuerySpec(q_link_degree_dist, SQL_LINK_DEGREE_DIST),
     "media_dedup": QuerySpec(q_media_dedup, SQL_MEDIA_DEDUP),
     "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "dsir_weights": QuerySpec(q_dsir_weights, SQL_DSIR_WEIGHTS),
 }

@@ -180,3 +180,39 @@ def test_bpe_survives_full_merge(spark):
     assert [(r.rank, r.pair, r.pair_count) for r in merges] == [(1, "a b", 3)]
     row = bpe_compression(vocab, n_merges=3).collect()[0]
     assert (row.tokens_before, row.tokens_after, row.saved) == (6, 3, 3)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # Target docs speak "alpha beta"; source docs speak "gamma delta".
+    # A candidate written in target language must outscore one written in
+    # source language, and per-feature bits must follow the add-1 floor-log2
+    # spec exactly.
+    from crawler_spark.operators.lm import dsir_logratio
+
+    rows = [
+        (1, "alpha beta alpha beta alpha beta", True),
+        (2, "alpha beta alpha beta", True),
+        (3, "gamma delta gamma delta gamma delta", False),
+        (4, "gamma delta gamma delta", False),
+        (5, "alpha beta alpha", False),   # candidate: target-like
+        (6, "gamma delta gamma", False),  # candidate: source-like
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r["doc_id"]: r["logratio_bits"]
+        for r in dsir_logratio(docs, F.col("tgt"), buckets=4096).collect()
+    }
+    assert got[5] > got[6]
+    assert got[1] > got[3]
+
+
+def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
+    from crawler_spark.operators.lm import dsir_logratio
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", True), (2, "x", False), (3, "!!!", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    got = {r["doc_id"]: r["n_feats"] for r in dsir_logratio(docs, F.col("tgt")).collect()}
+    # doc 1: 3 unigrams + 2 bigrams; doc 2: 1 unigram; doc 3: omitted
+    assert got == {1: 5, 2: 1}
