@@ -106,6 +106,8 @@ HEADLINE = [
     "hyperball_reach",
     "c4_filters",
     "ccnet_buckets",
+    # round 4: DSIR importance weighting
+    "dsir_weights",
 ]
 
 
