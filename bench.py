@@ -106,8 +106,9 @@ HEADLINE = [
     "hyperball_reach",
     "c4_filters",
     "ccnet_buckets",
-    # round 4: DSIR importance weighting
+    # round 4: DSIR importance weighting + temperature mixing
     "dsir_weights",
+    "temperature_mix",
 ]
 
 

@@ -219,6 +219,75 @@ def corpus_mix(
     return df.where(b < (rate * 10000).cast("long"))
 
 
+def temperature_rates(
+    counts: dict[str, int],
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    q_bits: int = 20,
+) -> dict[str, int]:
+    """Per-stratum sampling rates (integer basis points, 0..10000) for
+    temperature-weighted mixing: stratum s gets an expected share
+    proportional to ``n_s**alpha`` (the multilingual sampling rule of
+    mC4 / XLM-R: alpha < 1 flattens the head, upweighting small strata),
+    with the total expected keep ~= ``target_frac`` of the corpus and each
+    stratum's rate capped at 1.
+
+    All arithmetic is EXACT: ``n**alpha`` is quantized to an integer at
+    ``q_bits`` fractional bits (for alpha=0.5 via math.sqrt, which IEEE 754
+    requires to be correctly rounded, so any engine reproduces the same
+    integer), and the rate formula is evaluated in arbitrary-precision
+    Python ints — no float summation-order hazards, so a DuckDB oracle
+    recomputing the same formula in HUGEINT gets bit-identical basis points
+    even at 10^10-row stratum counts.
+    """
+    import math
+
+    scale = 1 << q_bits
+    if alpha == 0.5:
+        q = {s: math.floor(math.sqrt(n) * scale) for s, n in counts.items()}
+    else:
+        q = {s: math.floor(n**alpha * scale) for s, n in counts.items()}
+    tot_n = sum(counts.values())
+    tot_q = sum(q.values())
+    frac_bp = round(target_frac * 10000)
+    return {
+        s: min(10000, (frac_bp * tot_n * q[s]) // (tot_q * counts[s]))
+        for s, n in counts.items()
+        if counts[s] > 0
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted data mixing: derive per-stratum sampling rates
+    from the observed stratum sizes (share ∝ n**alpha — the published
+    multilingual/source-balancing rule of mC4 and XLM-R) and apply them as
+    the same deterministic hash-membership filter as :func:`corpus_mix`.
+
+    Plan shape at scale: one map-side-combined count per stratum (rows =
+    number of strata, collected to the driver as a bounded aggregate — the
+    stratum universe is sources/languages, not documents), exact integer
+    rate math driver-side, then a broadcast-free map-only filter (the rate
+    table is inlined as a CASE chain). No shuffle of the corpus itself.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("_n")).collect()
+    }
+    bp = temperature_rates(counts, alpha=alpha, target_frac=target_frac)
+    key = F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(strata_col))
+    b = F.pmod(hash60(key), F.lit(10000))
+    thresh = F.lit(0)
+    for stratum, v in sorted(bp.items()):
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(int(v))).otherwise(thresh)
+    return df.where(b < thresh)
+
+
 def corpus_shuffle(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic global training-order shuffle: a contiguous 0-based
     ``seq`` over the pseudo-random permutation ``hash60(id)`` (id as the

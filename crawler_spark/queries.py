@@ -4030,6 +4030,49 @@ class QuerySpec:
 # sketches, search, LM, curation — rather than listing families in the order
 # they were built (VERDICT r3 #9). The full sweep over all entries runs in
 # scripts/check_oracle.py either way.
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (pipeline.temperature_mix; the
+    n**alpha multilingual sampling rule of mC4 / XLM-R, alpha=0.5): rates
+    are derived from the observed per-source counts with exact integer
+    math (sqrt quantized to 2^20 fractional bits — IEEE-correctly-rounded,
+    so DuckDB re-derives the identical basis points), then applied as the
+    deterministic hash-membership filter. The per-source xor of kept ids
+    is a full membership fingerprint, same contract as corpus_mix."""
+    from crawler_spark.operators.pipeline import temperature_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        temperature_mix(docs, alpha=0.5, target_frac=0.5, strata_col="source", id_col="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.bit_xor(hash60(F.col("doc_id").cast("string"))).alias("xor_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+q AS (
+  SELECT source, CAST(n AS HUGEINT) AS n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS HUGEINT) AS qv
+  FROM c
+),
+t AS (SELECT sum(n) AS tn, sum(qv) AS tq FROM q),
+r AS (
+  SELECT source,
+         least(CAST(10000 AS HUGEINT), (5000 * tn * qv) // (tq * n)) AS bp
+  FROM q, t
+)
+SELECT d.source AS source, count(*) AS n_kept,
+       bit_xor({hash60_sql("CAST(doc_id AS VARCHAR)")}) AS xor_fp
+FROM documents d JOIN r ON d.source = r.source
+WHERE ({hash60_sql("CAST(doc_id AS VARCHAR) || ':' || d.source")} % 10000) < bp
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4144,4 +4187,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "media_dedup": QuerySpec(q_media_dedup, SQL_MEDIA_DEDUP),
     "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dsir_weights": QuerySpec(q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "temperature_mix": QuerySpec(q_temperature_mix, SQL_TEMPERATURE_MIX),
 }

@@ -563,3 +563,45 @@ def test_shard_assignment_balanced(spark):
         "SELECT max(n_chars) FROM '/root/testdata/sf0.001/documents.parquet'"
     ).fetchone()[0]
     assert max(totals) - min(totals) <= max_doc
+
+
+def test_temperature_rates_flatten_and_cap():
+    """alpha=0.5 upweights small strata (keep-rate decreases with stratum
+    size), alpha=1 degenerates to a uniform target_frac rate, and rates
+    never exceed 10000 bp even when the formula over-allocates to a tiny
+    stratum."""
+    from crawler_spark.operators.pipeline import temperature_rates
+
+    # mild skew + low target: no stratum hits the cap, so the pure
+    # flattening order and the total-mass identity are both visible
+    counts = {"big": 1_000_000, "mid": 100_000, "small": 10_000}
+    bp = temperature_rates(counts, alpha=0.5, target_frac=0.1)
+    assert bp["small"] > bp["mid"] > bp["big"]
+    assert bp["small"] < 10000
+    tot = sum(counts.values())
+    expected = sum(counts[s] * bp[s] / 10000 for s in counts)
+    assert abs(expected / tot - 0.1) < 0.01
+    # heavy skew: tiny strata saturate at 100% keep (the cap), and the
+    # capped mass is forfeited rather than redistributed
+    bp_cap = temperature_rates({"big": 1_000_000, "tiny": 100}, 0.5, 0.5)
+    assert bp_cap["tiny"] == 10000
+    assert bp_cap["big"] < 5100
+    # alpha=1: share == natural share, so every stratum keeps target_frac
+    bp1 = temperature_rates(counts, alpha=1.0, target_frac=0.25)
+    assert set(bp1.values()) == {2500}
+
+
+def test_temperature_mix_membership_nested(spark):
+    """Raising target_frac can only ADD documents (per-stratum thresholds
+    are monotone in target_frac and membership is b < bp), and the kept set
+    is deterministic across invocations."""
+    from crawler_spark.operators.pipeline import temperature_mix
+
+    rows = [(i, "src%d" % (i % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    keep_lo = {r.doc_id for r in temperature_mix(df, 0.5, 0.3).collect()}
+    keep_hi = {r.doc_id for r in temperature_mix(df, 0.5, 0.7).collect()}
+    keep_lo2 = {r.doc_id for r in temperature_mix(df, 0.5, 0.3).collect()}
+    assert keep_lo == keep_lo2
+    assert keep_lo <= keep_hi
+    assert len(keep_lo) < len(keep_hi)
