@@ -310,7 +310,17 @@ def main() -> None:
     from crawler_spark.queries import REGISTRY
     from crawler_spark.sparkutils import get_spark
 
-    spark = get_spark("crawler-spark-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    # shuffle partitions scale with the frontier size: the growth sweep
+    # joins a seen set of up to 4n rows, and a fixed 32 partitions at
+    # n=10^8 builds 12.5M-row hash maps per task (measured
+    # SparkOutOfMemoryError) — size partitions so the LARGEST joined side
+    # stays a few million rows each, exactly what a real cluster tunes
+    shuffle = int(
+        os.environ.get(
+            "BENCH_SHUFFLE_PARTITIONS", str(max(cpus, 8, n_frontier // 1_000_000))
+        )
+    )
+    spark = get_spark("crawler-spark-bench", cores=cpus, shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}

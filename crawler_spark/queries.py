@@ -4073,6 +4073,97 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/RefinedWeb-style URL quality filtering
+    (functions.urls.url_quality_cols; Penedo et al. 2023/2024): lexical
+    URL subscores — length, digit density, query-param count, path depth,
+    host hyphens, soft-spam vocabulary — as pure codegen column
+    expressions, the pre-fetch admission filter a 10^10-row frontier runs
+    before spending a politeness slot. URLs are synthesized
+    deterministically from doc_id (the url_templates convention): three
+    clean families plus a planted spam-host family (blockwords) and a
+    planted session-id family (digit-heavy, 9 query params). All counting
+    is integer length-difference arithmetic, so every subscore
+    value-hashes against the SQL twin."""
+    from crawler_spark.functions.urls import url_quality_cols
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("http://host"), s(F.pmod(d, F.lit(7))), F.lit(".test"))
+    url = (
+        F.when(
+            F.pmod(d, F.lit(17)) == 0,
+            F.concat(
+                F.lit("http://best-online-casino-deals-"), s(F.pmod(d, F.lit(5))),
+                F.lit(".test/win/lottery?aff="), s(d),
+            ),
+        )
+        .when(
+            F.pmod(d, F.lit(13)) == 0,
+            F.concat(
+                host, F.lit("/s/"), s(d), s(d), s(d),
+                F.lit("/x?sid=1234567890"), s(d),
+                F.lit("&a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8"),
+            ),
+        )
+        .when(F.pmod(d, F.lit(3)) == 0, F.concat(host, F.lit("/article/"), s(d), F.lit("/view")))
+        .when(
+            F.pmod(d, F.lit(3)) == 1,
+            F.concat(host, F.lit("/product/"), s(d), F.lit("?ref="), s(F.pmod(d, F.lit(5)))),
+        )
+        .otherwise(F.concat(host, F.lit("/static/page"), s(F.pmod(d, F.lit(10))), F.lit(".html")))
+    )
+    cols = url_quality_cols(F.col("url"))
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select("doc_id", "url", *(c.alias(n) for n, c in cols.items()))
+        .orderBy("doc_id")
+    )
+
+
+SQL_URL_QUALITY = """
+WITH u AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 17 = 0 THEN 'http://best-online-casino-deals-' || (doc_id % 5) || '.test/win/lottery?aff=' || doc_id
+      WHEN doc_id % 13 = 0 THEN 'http://host' || (doc_id % 7) || '.test/s/' || doc_id || doc_id || doc_id || '/x?sid=1234567890' || doc_id || '&a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8'
+      WHEN doc_id % 3 = 0 THEN 'http://host' || (doc_id % 7) || '.test/article/' || doc_id || '/view'
+      WHEN doc_id % 3 = 1 THEN 'http://host' || (doc_id % 7) || '.test/product/' || doc_id || '?ref=' || (doc_id % 5)
+      ELSE 'http://host' || (doc_id % 7) || '.test/static/page' || (doc_id % 10) || '.html'
+    END AS url
+  FROM documents
+),
+f AS (
+  SELECT doc_id, url, lower(url) AS lu, length(url) AS url_len,
+         CASE WHEN position('?' IN lower(url)) > 0
+              THEN substr(lower(url), position('?' IN lower(url)) + 1)
+              ELSE '' END AS q,
+         regexp_replace(regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*', ''), '[?#].*$', '') AS path,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
+  FROM u
+),
+m AS (
+  SELECT doc_id, url, url_len,
+         CAST(floor((url_len - length(regexp_replace(lu, '[0-9]', '', 'g'))) * 10000 / greatest(url_len, 1)) AS BIGINT) AS digit_bp,
+         CAST(CASE WHEN q = '' THEN 0 ELSE 1 + length(q) - length(regexp_replace(q, '&', '', 'g')) END AS BIGINT) AS n_params,
+         CAST(length(path) - length(regexp_replace(path, '/', '', 'g')) AS BIGINT) AS depth,
+         CAST(length(host) - length(regexp_replace(host, '-', '', 'g')) AS BIGINT) AS host_hyphens,
+         CAST((CASE WHEN position('casino' IN lu) > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN position('viagra' IN lu) > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN position('xxx' IN lu) > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN position('porn' IN lu) > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN position('lottery' IN lu) > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN position('loan' IN lu) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blockwords
+  FROM f
+)
+SELECT doc_id, url, url_len, digit_bp, n_params, depth, host_hyphens, n_blockwords,
+       (url_len <= 200 AND digit_bp <= 4000 AND n_params <= 8 AND depth <= 10
+        AND host_hyphens <= 4 AND n_blockwords = 0) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4188,4 +4279,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dsir_weights": QuerySpec(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "temperature_mix": QuerySpec(q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "url_quality": QuerySpec(q_url_quality, SQL_URL_QUALITY),
 }
