@@ -109,6 +109,7 @@ HEADLINE = [
     # round 4: DSIR importance weighting + temperature mixing
     "dsir_weights",
     "temperature_mix",
+    "dedup_spans",
 ]
 
 

@@ -710,3 +710,83 @@ def winnow_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def dup_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicate-substring removal (Lee et al. 2022, *Deduplicating
+    Training Data Makes Language Models Better* — the ExactSubstr pass).
+
+    Every SLIDING ``n``-token window is hashed; a window whose exact token
+    sequence occurs more than once across the whole corpus (including twice
+    within one document) marks all ``n`` of its positions as duplicated, and
+    those positions are removed. For fixed ``n`` this is the paper's
+    suffix-array duplication criterion expressed as a dataflow: a
+    corpus-wide n-gram occurrence count instead of a suffix array.
+
+    Unlike :func:`segment_dedup` (disjoint windows: catches only repeats
+    aligned to segment boundaries) this is alignment-free — a duplicated run
+    is caught at ANY offset, and overlapping duplicated windows merge into
+    one removed span.
+
+    Returns (doc, n_tokens, n_removed, clean_text). Documents shorter than
+    ``n`` tokens (or empty) keep every token.
+
+    Plan shape (the 10^10-doc form): one explode to sliding-window start
+    rows carrying only (doc, pos, hash60(window)) — window text never
+    travels; an 8-byte-keyed occurrence count; an equality join back; a
+    per-doc covered-position explode (``distinct`` bounds it at one row per
+    token); a left-anti join on (doc, pos) against the token rows; one
+    groupBy(doc) rebuild. Every shuffle is linear in corpus token count; no
+    pairwise stage, no windows over the corpus, no Python.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    # one tokenize pass: n_tok, the window stream and the rebuild all read
+    # this materialization (Catalyst otherwise re-scans + re-tokenizes the
+    # corpus once per consumer — the recurring CSE cost in this repo)
+    a = df.select(F.col(id_col).alias("doc"), toks.alias("t")).localCheckpoint(
+        eager=False
+    )
+    n_tok = a.select("doc", F.size("t").alias("n_tokens"))
+    # hash60 inline inside the lambda so only (doc, pos, h) ever leave the scan
+    win = F.expr(
+        f"transform(sequence(0, size(t) - {n}), i -> named_struct("
+        f"'pos', i, "
+        f"'h', CAST(conv(substr(md5(array_join(slice(t, i + 1, {n}), ' ')), 1, 15), 16, 10) AS BIGINT)))"
+    )
+    starts = (
+        a.where(F.size("t") >= n)
+        .select("doc", F.explode(win).alias("w"))
+        .select("doc", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        # window hashing feeds both the occurrence count and the join-back
+        # side; materialize so each window is hashed once, not twice
+        .localCheckpoint(eager=False)
+    )
+    counts = starts.groupBy("h").agg(F.count("*").alias("c"))
+    dup_starts = starts.join(counts.where(F.col("c") >= 2), "h").select("doc", "pos")
+    covered = dup_starts.select(
+        "doc",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("p"),
+    ).distinct()
+    tok_rows = a.select("doc", F.posexplode("t").alias("p", "tok"))
+    kept = tok_rows.join(covered, ["doc", "p"], "left_anti")
+    reb = kept.groupBy("doc").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return n_tok.join(reb, "doc", "left").select(
+        "doc",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

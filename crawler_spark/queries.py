@@ -4164,6 +4164,87 @@ FROM m ORDER BY doc_id
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring removal (dedup.dup_span_removal — the
+    ExactSubstr pass of Lee et al. 2022). A 12-token quote is planted into
+    every 7th doc behind a VARIABLE-length pad (doc_id % 3 'pad' tokens), so
+    the duplicated run sits at a different token offset in each planted doc —
+    the case the alignment-free sliding window must catch and the disjoint
+    segment_dedup would mostly miss. Verified by md5 of every rebuilt text."""
+    from crawler_spark.operators.dedup import dup_span_removal
+
+    quote = "the quick brown fox jumps over the lazy dog near riverbank tonight"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.concat(
+                F.expr("repeat('pad ', CAST(doc_id % 3 AS INT))"),
+                F.lit(quote + " "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        dup_span_removal(docs, n=8)
+        .select(
+            "doc",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc")
+    )
+
+
+SQL_DEDUP_SPANS = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN repeat('pad ', CAST(doc_id % 3 AS INT))
+                   || 'the quick brown fox jumps over the lazy dog near riverbank tonight '
+                   || text
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z]+') AS t FROM aug
+),
+starts AS (
+  SELECT doc, i AS pos, array_to_string(t.t[(i+1):(i+8)], ' ') AS w
+  FROM t, LATERAL unnest(range(0, greatest(len(t.t) - 7, 0))) u(i)
+),
+c AS (SELECT w, count(*) AS n FROM starts GROUP BY 1),
+covered AS (
+  SELECT DISTINCT s.doc, s.pos + j AS p
+  FROM starts s JOIN c USING (w), LATERAL unnest(range(0, 8)) v(j)
+  WHERE c.n >= 2
+),
+tok AS (
+  SELECT doc, i - 1 AS p, t.t[i] AS tok
+  FROM t, LATERAL unnest(range(1, len(t.t) + 1)) u(i)
+),
+kept AS (
+  SELECT tok.doc, tok.p, tok.tok
+  FROM tok LEFT JOIN covered ON covered.doc = tok.doc AND covered.p = tok.p
+  WHERE covered.p IS NULL
+),
+reb AS (
+  SELECT doc, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY p) AS clean
+  FROM kept GROUP BY 1
+),
+base AS (SELECT doc, len(t.t) AS n_tokens FROM t)
+SELECT base.doc AS doc,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(clean, '')) AS clean_md5
+FROM base LEFT JOIN reb USING (doc)
+ORDER BY doc
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4280,4 +4361,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "dsir_weights": QuerySpec(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "temperature_mix": QuerySpec(q_temperature_mix, SQL_TEMPERATURE_MIX),
     "url_quality": QuerySpec(q_url_quality, SQL_URL_QUALITY),
+    "dedup_spans": QuerySpec(q_dedup_spans, SQL_DEDUP_SPANS),
 }

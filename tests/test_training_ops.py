@@ -456,6 +456,36 @@ def test_segment_dedup_drops_shared_boilerplate(spark):
     assert got[4]["clean_text"] == ""
 
 
+def test_dup_span_removal_alignment_free(spark):
+    """An 8-token run shared at DIFFERENT offsets is removed from both docs
+    (the case segment_dedup's disjoint windows miss); unique docs and docs
+    shorter than n are untouched; a doc made of the same run twice is fully
+    removed (intra-doc duplication counts); empty text keeps an empty row."""
+    from crawler_spark.operators.dedup import dup_span_removal
+
+    run = "ra rb rc rd re rf rg rh"
+    b = "ba bb bc bd be bf bg bh"
+    df = spark.createDataFrame(
+        [
+            (1, f"xa xb {run} tailone"),
+            (2, f"{run} other words here"),
+            (3, "completely unique words that stand alone just fine here today"),
+            (4, "short doc only"),
+            (5, f"{b} {b}"),
+            (6, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r for r in dup_span_removal(df, n=8).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_removed"]) == (11, 8)
+    assert got[1]["clean_text"] == "xa xb tailone"
+    assert (got[2]["n_removed"], got[2]["clean_text"]) == (8, "other words here")
+    assert got[3]["n_removed"] == 0
+    assert (got[4]["n_removed"], got[4]["clean_text"]) == (0, "short doc only")
+    assert (got[5]["n_removed"], got[5]["clean_text"]) == (16, "")
+    assert (got[6]["n_tokens"], got[6]["clean_text"]) == (0, "")
+
+
 def test_with_global_cumsum_equals_naive_window(spark):
     """The two-phase distributed prefix sum must equal the single-task
     global window on any input, including ties in the order key."""
