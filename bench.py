@@ -110,6 +110,7 @@ HEADLINE = [
     "dsir_weights",
     "temperature_mix",
     "dedup_spans",
+    "semdedup",
 ]
 
 

@@ -177,3 +177,54 @@ def semantic_neardup(
         .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
         .select("vec_a", "vec_b")
     )
+
+
+def semdedup_keepset(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic-duplicate PRUNING over fitted
+    k-means clusters — the keepset twin of :func:`semantic_neardup`.
+
+    Where semantic_neardup reports the duplicate PAIRS, this returns the
+    curation decision itself: within each fitted cluster, a vector is
+    dropped when some LOWER-id member of the same cluster sits above the
+    cosine threshold (the paper's keep-one-per-epsilon-group rule with the
+    deterministic lowest-id representative). Returns
+    (vec_id, cluster, keep) for every input vector.
+
+    Scale shape: the fitted assignment is computed once (localCheckpointed
+    — it feeds both sides of the candidate join), candidates never leave a
+    cluster-equality join, and the per-cluster pairwise verify is the
+    algorithm's own cost model (SemDeDup runs k proportional to corpus size
+    precisely so cluster populations stay bounded). No global pairwise
+    stage; output carries ids only.
+    """
+    from crawler_spark.operators.similarity import cosine
+
+    fit = kmeans(vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    assigned = fit.join(
+        vectors.select(F.col(id_col).alias("vec_id"), vec_col), "vec_id"
+    ).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col("vec_id").alias("_ida"), F.col(vec_col).alias("_va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("_idb"), F.col(vec_col).alias("_vb"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("_idb") < F.col("_ida"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_ida").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.select("vec_id", "cluster").join(
+        dropped.withColumn("_d", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id", "cluster", F.coalesce(F.col("_d"), F.lit(False)).alias("dropped")
+    ).select("vec_id", "cluster", (~F.col("dropped")).alias("keep"))

@@ -4245,6 +4245,36 @@ ORDER BY doc
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keepset (clustering.semdedup_keepset — Abbas et al. 2023):
+    the curation DECISION view of the fitted-cluster embedding near-dup —
+    within each k-means cluster, drop any vector with a lower-id neighbor
+    at cosine >= 0.4, keep everything else. Full-corpus output: every
+    vec_id carries its fitted cluster and keep flag, so the value hash
+    pins the entire fit + threshold decision, not just the dup pairs."""
+    from crawler_spark.operators.clustering import semdedup_keepset
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_keepset(emb, threshold=0.4, k=8, n_iter=2).orderBy("vec_id")
+
+
+SQL_SEMDEDUP = f"""
+WITH base AS ({SQL_KMEANS}),
+assigned AS (
+  SELECT b.vec_id, b.cluster, e.embedding
+  FROM base b JOIN embeddings e ON e.vec_id = b.vec_id
+)
+SELECT a.vec_id AS vec_id, a.cluster AS cluster,
+       NOT EXISTS (
+         SELECT 1 FROM assigned b
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND ({_COS_SQL}) >= 0.4
+       ) AS keep
+FROM assigned a
+ORDER BY vec_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4362,4 +4392,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "temperature_mix": QuerySpec(q_temperature_mix, SQL_TEMPERATURE_MIX),
     "url_quality": QuerySpec(q_url_quality, SQL_URL_QUALITY),
     "dedup_spans": QuerySpec(q_dedup_spans, SQL_DEDUP_SPANS),
+    "semdedup": QuerySpec(q_semdedup, SQL_SEMDEDUP),
 }

@@ -112,3 +112,25 @@ def test_quantized_topk_zero_vector_ranks_last(spark):
     got = {(r.query_id, r.rank): r.neighbor_id for r in top.collect()}
     # vector 3 must be everyone's LAST candidate, never rank 1
     assert all(got[(q, 1)] != 3 for q in (0, 1, 2)), got
+
+
+def test_semdedup_keepset_consistent_with_pair_view(spark):
+    """semdedup_keepset must equal the pair view: a vector is dropped
+    exactly when it appears as the HIGHER id of a semantic_neardup pair
+    (same fit, same threshold); the lowest id of every cluster is always
+    kept, and keepset covers every input vector exactly once."""
+    from crawler_spark.operators.clustering import semantic_neardup, semdedup_keepset
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    keep = semdedup_keepset(emb, threshold=0.4, k=8, n_iter=2).collect()
+    pairs = semantic_neardup(emb, threshold=0.4, k=8, n_iter=2).collect()
+    dropped_expected = {r["vec_b"] for r in pairs}
+    got_dropped = {r["vec_id"] for r in keep if not r["keep"]}
+    assert got_dropped == dropped_expected
+    assert len(keep) == emb.count()
+    by_cluster = {}
+    for r in keep:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert lowest["keep"]
