@@ -111,6 +111,7 @@ HEADLINE = [
     "temperature_mix",
     "dedup_spans",
     "semdedup",
+    "dedup_incremental",
 ]
 
 

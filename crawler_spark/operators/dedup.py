@@ -790,3 +790,86 @@ def dup_span_removal(
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def _band_rows(sig: DataFrame, k: int, band_size: int) -> DataFrame:
+    """(doc, band) LSH band-key rows for a signature frame (shared by the
+    batch and incremental pairers)."""
+    bands = []
+    for b in range(k // band_size):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.concat_ws(":", F.lit(str(b)), *[c.cast("string") for c in cols])
+        )
+    return sig.select("doc", F.explode(F.array(*bands)).alias("band"))
+
+
+def incremental_lsh_keepset(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    band_size: int = LSH_BAND_SIZE,
+) -> DataFrame:
+    """Incremental near-dup keepset: dedup a NEW crawl increment against an
+    already-INDEXED corpus — the continuous-crawl pattern where old x old
+    pairs are never re-derived.
+
+    A new document is dropped when LSH candidates + exact-Jaccard verify
+    find a near-dup (jaccard >= threshold) either in the old corpus (any
+    id) or among LOWER-id new documents (the deterministic first-occurrence
+    rule, as in exact_dedup). Returns one row per new document:
+    (doc, n_old_dups, n_new_dups, keep). Ids must be unique across both
+    inputs (in the crawl they are url_hash-derived). Documents that shingle
+    empty have no candidates and are kept.
+
+    Scale shape: the old side's shingles + signatures are computed once
+    here but are exactly what a production pipeline PERSISTS between
+    increments (signature store), so the recurring cost is the increment's
+    own O(new x K) signatures plus band joins whose left side is only the
+    increment — the whole point of incremental dedup at 10^10 docs. No
+    old x old pair ever forms: the band join is new-vs-(old + lower new).
+    """
+    sh_new = doc_shingles(new_df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh_old = doc_shingles(old_df, id_col, text_col, n).localCheckpoint(eager=False)
+    nb = _band_rows(minhash_signature(sh_new, k), k, band_size)
+    ob = _band_rows(minhash_signature(sh_old, k), k, band_size)
+    rhs = ob.withColumn("side", F.lit("old")).unionByName(
+        nb.withColumn("side", F.lit("new"))
+    )
+    cand = (
+        nb.alias("a")
+        .join(rhs.alias("b"), "band")
+        .where((F.col("b.side") == "old") | (F.col("b.doc") < F.col("a.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    ver = (
+        _pair_jaccard(cand, sh_new.unionByName(sh_old))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b")
+    )
+    old_ids = old_df.select(F.col(id_col).alias("doc_b"), F.lit(1).alias("_is_old"))
+    agg = (
+        ver.join(old_ids, "doc_b", "left")
+        .groupBy("doc_a")
+        .agg(
+            F.sum(F.coalesce(F.col("_is_old"), F.lit(0))).alias("n_old_dups"),
+            F.sum(F.when(F.col("_is_old").isNull(), 1).otherwise(0)).alias(
+                "n_new_dups"
+            ),
+        )
+    )
+    return (
+        new_df.select(F.col(id_col).alias("doc"))
+        .join(agg.withColumnRenamed("doc_a", "doc"), "doc", "left")
+        .select(
+            "doc",
+            F.coalesce(F.col("n_old_dups"), F.lit(0)).cast("long").alias("n_old_dups"),
+            F.coalesce(F.col("n_new_dups"), F.lit(0)).cast("long").alias("n_new_dups"),
+        )
+        .withColumn("keep", (F.col("n_old_dups") + F.col("n_new_dups")) == F.lit(0))
+    )

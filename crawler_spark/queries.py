@@ -4275,6 +4275,68 @@ ORDER BY vec_id
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup keepset (dedup.incremental_lsh_keepset): the
+    continuous-crawl pattern — even-id documents play the already-indexed
+    corpus, odd-id documents the new increment; a new doc is dropped on a
+    verified near-dup in the old corpus (any id) or among lower-id new
+    docs. Full keep/drop row per new doc so the value hash pins both
+    counts and the decision."""
+    from crawler_spark.operators.dedup import incremental_lsh_keepset
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    new = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return incremental_lsh_keepset(new, old, threshold=0.5).orderBy("doc")
+
+
+_INC_BAND_KEYS = ", ".join(
+    "concat("
+    + ", ':', ".join(
+        [str(b)] + [f"mh{b * dedup.LSH_BAND_SIZE + j}" for j in range(dedup.LSH_BAND_SIZE)]
+    )
+    + ")"
+    for b in range(dedup.MINHASH_K // dedup.LSH_BAND_SIZE)
+)
+
+SQL_DEDUP_INCREMENTAL = (
+    _SH_CTE
+    + f"""
+, sig AS (SELECT doc, {_MH_COLS} FROM sh GROUP BY doc)
+, bands AS (SELECT doc, unnest([{_INC_BAND_KEYS}]) AS band FROM sig)
+, pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band
+  WHERE a.doc % 2 = 1 AND (b.doc % 2 = 0 OR b.doc < a.doc)
+)
+, sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc)
+, inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN sh a ON a.doc = p.doc_a JOIN sh b ON b.doc = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
+)
+, ver AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc = i.doc_a JOIN sizes sb ON sb.doc = i.doc_b
+  WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5
+)
+, agg AS (
+  SELECT doc_a,
+         sum(CASE WHEN doc_b % 2 = 0 THEN 1 ELSE 0 END) AS n_old_dups,
+         sum(CASE WHEN doc_b % 2 = 1 THEN 1 ELSE 0 END) AS n_new_dups
+  FROM ver GROUP BY 1
+)
+SELECT d.doc_id AS doc,
+       CAST(coalesce(n_old_dups, 0) AS BIGINT) AS n_old_dups,
+       CAST(coalesce(n_new_dups, 0) AS BIGINT) AS n_new_dups,
+       coalesce(n_old_dups, 0) + coalesce(n_new_dups, 0) = 0 AS keep
+FROM documents d LEFT JOIN agg ON agg.doc_a = d.doc_id
+WHERE d.doc_id % 2 = 1
+ORDER BY doc
+"""
+)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4393,4 +4455,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "url_quality": QuerySpec(q_url_quality, SQL_URL_QUALITY),
     "dedup_spans": QuerySpec(q_dedup_spans, SQL_DEDUP_SPANS),
     "semdedup": QuerySpec(q_semdedup, SQL_SEMDEDUP),
+    "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
 }

@@ -486,6 +486,37 @@ def test_dup_span_removal_alignment_free(spark):
     assert (got[6]["n_tokens"], got[6]["clean_text"]) == (0, "")
 
 
+def test_incremental_lsh_keepset_decisions(spark):
+    """A new doc duplicating an OLD doc is dropped with n_old_dups counted;
+    of two identical NEW docs only the lower id survives (first-occurrence
+    rule); unique new docs keep; old x old pairs are never reported."""
+    from crawler_spark.operators.dedup import incremental_lsh_keepset
+
+    a = "alpha beta gamma delta epsilon"
+    d = "some brand new unique document text"
+    old = spark.createDataFrame(
+        [
+            (0, a),
+            (2, "completely different words here today"),
+            (4, "unrelated text about nothing much"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, a), (3, d), (5, d), (7, "yet another standalone fresh page")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc"]: r
+        for r in incremental_lsh_keepset(new, old, threshold=0.5).collect()
+    }
+    assert set(got) == {1, 3, 5, 7}
+    assert (got[1]["n_old_dups"], got[1]["keep"]) == (1, False)
+    assert (got[3]["n_old_dups"], got[3]["n_new_dups"], got[3]["keep"]) == (0, 0, True)
+    assert (got[5]["n_new_dups"], got[5]["keep"]) == (1, False)
+    assert got[7]["keep"]
+
+
 def test_with_global_cumsum_equals_naive_window(spark):
     """The two-phase distributed prefix sum must equal the single-task
     global window on any input, including ties in the order key."""
