@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_spans",
     "semdedup",
     "dedup_incremental",
+    "lm_surprisal_bigram",
 ]
 
 

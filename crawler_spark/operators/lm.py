@@ -111,6 +111,114 @@ def surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def surprisal_bigram(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    text_col: str = "text",
+    alpha_bits: int = 2,
+) -> DataFrame:
+    """Per-doc bigram-LM surprisal with Stupid Backoff (Brants et al. 2007,
+    *Large Language Models in Machine Translation*) — the bigram upgrade of
+    :func:`surprisal` for perplexity-style quality filtering, scored
+    against a model estimated on ``train_docs`` (the CCNet pattern: a
+    clean reference corpus scores the raw crawl; defaults to ``docs``
+    itself, in which case every bigram is trivially in-model and backoff
+    never fires — pass a real training split for meaningful backoff).
+
+    Token ``w_i`` after context ``w_{i-1}`` scores
+    ``ilog2(c(w_{i-1})) - ilog2(c(w_{i-1} w_i))`` bits when the training
+    corpus saw the bigram, else it BACKS OFF to the unigram score
+    ``ilog2(N) - ilog2(c(w_i))`` plus ``alpha_bits`` penalty bits — the
+    integer-log form of Brants' S(w|v) = c(vw)/c(v), backoff alpha *
+    c(w)/N. The default penalty of exactly 2 bits is alpha = 0.25 (a
+    power of two, so the whole score stays in exact integer arithmetic;
+    Brants' 0.4 is within a factor 1.6). Out-of-vocabulary tokens count
+    as c = 1 (ilog2 = 0). Each document's FIRST token scores as a plain
+    unigram with no penalty.
+
+    Returns (doc_id, n_tokens, n_backoffs, total_bits, avg_centibits);
+    docs with no [a-z]+ token are omitted (same contract as
+    :func:`surprisal`).
+
+    Scale shape: each corpus is tokenized once (localCheckpoint); shuffles
+    are the two training-count aggregates plus their equality join-backs
+    onto the scored stream and one final groupBy(doc) — all linear in
+    corpus token count, no windows over the corpus, no Python.
+    """
+    def _prep(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(_RAW_WORD), F.lit(0)
+            ).alias("_t"),
+        ).localCheckpoint(eager=False)
+
+    def _pairs(base: DataFrame) -> DataFrame:
+        return (
+            base.where(F.size("_t") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_t") - 1),
+                        lambda i: F.struct(
+                            F.get(F.col("_t"), i - 1).alias("prev"),
+                            F.get(F.col("_t"), i).alias("w"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+        )
+
+    base = _prep(docs)
+    tbase = _prep(train_docs) if train_docs is not None else base
+    ttok = tbase.select("doc_id", F.explode("_t").alias("w"))
+    cnt = ttok.groupBy("w").agg(F.count("*").alias("c"))
+    total = cnt.groupBy().agg(_ilog2(F.sum("c")).alias("ln"))
+    big = _pairs(tbase).groupBy("prev", "w").agg(F.count("*").alias("cb"))
+    prev_cnt = cnt.select(F.col("w").alias("prev"), F.col("c").alias("cp"))
+
+    lc = _ilog2(F.coalesce(F.col("c"), F.lit(1)))
+    pair_bits = (
+        _pairs(base)
+        .join(big, ["prev", "w"], "left")
+        .join(prev_cnt, "prev", "left")
+        .join(cnt, "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cb").isNotNull(), _ilog2(F.col("cp")) - _ilog2(F.col("cb"))
+            )
+            .otherwise(F.col("ln") - lc + F.lit(alpha_bits))
+            .alias("bits"),
+            F.col("cb").isNull().cast("long").alias("backoff"),
+        )
+    )
+    first_bits = (
+        base.where(F.size("_t") >= 1)
+        .select("doc_id", F.get(F.col("_t"), 0).alias("w"))
+        .join(cnt, "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.col("ln") - lc).alias("bits"),
+            F.lit(0).cast("long").alias("backoff"),
+        )
+    )
+    return (
+        first_bits.unionByName(pair_bits)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("backoff").alias("n_backoffs"),
+            F.sum("bits").alias("total_bits"),
+        )
+        .withColumn("avg_centibits", F.expr("(total_bits * 100) div n_tokens"))
+    )
+
+
 def dsir_logratio(
     docs: DataFrame,
     is_target,

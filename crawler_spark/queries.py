@@ -4337,6 +4337,67 @@ ORDER BY doc
 )
 
 
+def q_lm_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff surprisal (lm.surprisal_bigram, Brants et al.
+    2007): even-id documents train the bigram model, odd-id documents are
+    scored — the CCNet split where a reference corpus scores the raw
+    crawl, so the backoff path genuinely fires. Exact integer bits
+    throughout (alpha = 0.25 = 2 penalty bits)."""
+    from crawler_spark.operators.lm import surprisal_bigram
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    score = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return surprisal_bigram(score, train).orderBy("doc_id")
+
+
+def _ilog2_sql(expr: str) -> str:
+    return f"CAST(length(printf('%b', CAST({expr} AS BIGINT))) - 1 AS BIGINT)"
+
+
+SQL_LM_SURPRISAL_BIGRAM = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\b[a-z]+\b') AS t FROM documents
+),
+ttok AS (SELECT unnest(t.t) AS w FROM t WHERE doc_id % 2 = 0),
+cnt AS (SELECT w, count(*) AS c FROM ttok GROUP BY 1),
+tot AS (SELECT {_ilog2_sql('sum(c)')} AS ln FROM cnt),
+tpair AS (
+  SELECT t.t[i] AS prev, t.t[i+1] AS w
+  FROM t, LATERAL unnest(range(1, len(t.t))) u(i)
+  WHERE doc_id % 2 = 0
+),
+big AS (SELECT prev, w, count(*) AS cb FROM tpair GROUP BY 1, 2),
+spair AS (
+  SELECT doc_id, t.t[i] AS prev, t.t[i+1] AS w
+  FROM t, LATERAL unnest(range(1, len(t.t))) u(i)
+  WHERE doc_id % 2 = 1
+),
+pair_bits AS (
+  SELECT s.doc_id,
+         CASE WHEN b.cb IS NOT NULL
+              THEN {_ilog2_sql('cp.c')} - {_ilog2_sql('b.cb')}
+              ELSE tot.ln - {_ilog2_sql('coalesce(c.c, 1)')} + 2 END AS bits,
+         CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM spair s
+  LEFT JOIN big b ON b.prev = s.prev AND b.w = s.w
+  LEFT JOIN cnt cp ON cp.w = s.prev
+  LEFT JOIN cnt c ON c.w = s.w, tot
+),
+first_bits AS (
+  SELECT t.doc_id, tot.ln - {_ilog2_sql('coalesce(c.c, 1)')} AS bits, 0 AS backoff
+  FROM t LEFT JOIN cnt c ON c.w = t.t[1], tot
+  WHERE doc_id % 2 = 1 AND len(t.t) >= 1
+),
+allb AS (SELECT * FROM first_bits UNION ALL SELECT * FROM pair_bits)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(backoff) AS BIGINT) AS n_backoffs,
+       CAST(sum(bits) AS BIGINT) AS total_bits,
+       (CAST(sum(bits) AS BIGINT) * 100) // count(*) AS avg_centibits
+FROM allb GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4456,4 +4517,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_spans": QuerySpec(q_dedup_spans, SQL_DEDUP_SPANS),
     "semdedup": QuerySpec(q_semdedup, SQL_SEMDEDUP),
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "lm_surprisal_bigram": QuerySpec(q_lm_surprisal_bigram, SQL_LM_SURPRISAL_BIGRAM),
 }

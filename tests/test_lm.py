@@ -216,3 +216,29 @@ def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
     got = {r["doc_id"]: r["n_feats"] for r in dsir_logratio(docs, F.col("tgt")).collect()}
     # doc 1: 3 unigrams + 2 bigrams; doc 2: 1 unigram; doc 3: omitted
     assert got == {1: 5, 2: 1}
+
+
+def test_surprisal_bigram_stupid_backoff_hand_computed(spark):
+    """Hand-derived Stupid-Backoff scores: train counts the=3 cat=2 others=1
+    (N=9, ilog2=3), bigram (the,cat)=2 others=1. Scoring 'the cat sat on
+    zzz': first 'the' = 3-1=2 bits; (the,cat) seen = ilog2(3)-ilog2(2) = 0;
+    (cat,sat) = ilog2(2)-0 = 1; (sat,on) = 0-0 = 0; (on,zzz) unseen bigram,
+    OOV word -> 3 - 0 + 2 = 5 backoff bits. Single-token doc scores as one
+    unigram."""
+    from crawler_spark.operators.lm import surprisal_bigram
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (2, "the cat ran")], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [(1, "the cat sat on zzz"), (3, "mat")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in surprisal_bigram(score, train).collect()}
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["n_backoffs"], r1["total_bits"], r1["avg_centibits"]) == (
+        5, 1, 8, 160,
+    )
+    r3 = got[3]
+    assert (r3["n_tokens"], r3["n_backoffs"], r3["total_bits"], r3["avg_centibits"]) == (
+        1, 0, 3, 300,
+    )
