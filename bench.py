@@ -113,6 +113,7 @@ HEADLINE = [
     "semdedup",
     "dedup_incremental",
     "lm_surprisal_bigram",
+    "ngram_novelty",
 ]
 
 

@@ -873,3 +873,44 @@ def incremental_lsh_keepset(
         )
         .withColumn("keep", (F.col("n_old_dups") + F.col("n_new_dups")) == F.lit(0))
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc n-gram novelty against a reference corpus: the share of the
+    document's DISTINCT word-``n``-gram shingles that the reference never
+    contains — the inverse view of benchmark contamination and the cheap
+    screen for verbatim memorization / boilerplate recycling (a doc whose
+    shingles all exist in the reference adds no new n-gram mass).
+
+    Returns (doc, n_shingles, n_novel, novelty_pct) with novelty_pct in
+    exact integer percent (``div``). Documents shorter than ``n`` tokens
+    have no shingles and are omitted (same contract as the shingle-based
+    dedup family).
+
+    Scale shape: both shingle streams are 8-byte hashes (text never
+    travels); the reference side collapses to a DISTINCT shingle set once
+    (persistable between increments, like the incremental-LSH signature
+    store) and the scored side anti-joins it — one hash-keyed shuffle each,
+    no pairwise stage.
+    """
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    ref = doc_shingles(ref_df, id_col, text_col, n).select("sh").distinct()
+    tot = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    nov = sh.join(ref, "sh", "left_anti").groupBy("doc").agg(
+        F.count("*").alias("n_novel")
+    )
+    return (
+        tot.join(nov, "doc", "left")
+        .select(
+            "doc",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn("novelty_pct", F.expr("(n_novel * 100) div n_shingles"))
+    )

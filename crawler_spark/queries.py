@@ -4398,6 +4398,41 @@ FROM allb GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty screen (dedup.ngram_novelty): odd-id documents scored
+    against the even-id reference corpus — the share of each doc's distinct
+    3-gram shingles absent from the reference, in exact integer percent.
+    The inverse of the contamination check and the verbatim-memorization
+    signal of the curation suite."""
+    from crawler_spark.operators.dedup import ngram_novelty
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    mine = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return ngram_novelty(mine, ref).orderBy("doc")
+
+
+SQL_NGRAM_NOVELTY = (
+    _SH_CTE
+    + """
+, ref AS (SELECT DISTINCT sh FROM sh WHERE doc % 2 = 0)
+, mine AS (SELECT doc, sh FROM sh WHERE doc % 2 = 1)
+, tot AS (SELECT doc, count(*) AS n_shingles FROM mine GROUP BY 1)
+, nov AS (
+  SELECT m.doc, count(*) AS n_novel
+  FROM mine m LEFT JOIN ref r ON r.sh = m.sh
+  WHERE r.sh IS NULL GROUP BY 1
+)
+SELECT t.doc AS doc,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       (coalesce(n_novel, 0) * 100) // n_shingles AS novelty_pct
+FROM tot t LEFT JOIN nov USING (doc)
+ORDER BY doc
+"""
+)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4518,4 +4553,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "semdedup": QuerySpec(q_semdedup, SQL_SEMDEDUP),
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "lm_surprisal_bigram": QuerySpec(q_lm_surprisal_bigram, SQL_LM_SURPRISAL_BIGRAM),
+    "ngram_novelty": QuerySpec(q_ngram_novelty, SQL_NGRAM_NOVELTY),
 }

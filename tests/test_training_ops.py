@@ -517,6 +517,26 @@ def test_incremental_lsh_keepset_decisions(spark):
     assert got[7]["keep"]
 
 
+def test_ngram_novelty_fractions(spark):
+    """Half-overlapping doc scores 50, fully novel doc 100; docs too short
+    to shingle are omitted; counts are exact integers."""
+    from crawler_spark.operators.dedup import ngram_novelty
+
+    ref = spark.createDataFrame([(0, "alpha beta gamma delta")], ["doc_id", "text"])
+    mine = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+            (5, "alpha beta"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r for r in ngram_novelty(mine, ref).collect()}
+    assert set(got) == {1, 3}
+    assert (got[1]["n_shingles"], got[1]["n_novel"], got[1]["novelty_pct"]) == (2, 1, 50)
+    assert (got[3]["n_shingles"], got[3]["n_novel"], got[3]["novelty_pct"]) == (2, 2, 100)
+
+
 def test_with_global_cumsum_equals_naive_window(spark):
     """The two-phase distributed prefix sum must equal the single-task
     global window on any input, including ties in the order key."""
