@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_incremental",
     "lm_surprisal_bigram",
     "ngram_novelty",
+    "span_interleaving",
 ]
 
 

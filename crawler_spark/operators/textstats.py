@@ -170,6 +170,50 @@ def span_structure_counts(
     )
 
 
+def span_interleaving_stats(
+    df: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Interleaving-structure statistics over the spans array — the
+    multimodal layout view of the input_hint's interleaved document shape
+    (text + media spans in offset order), complementing the per-kind
+    histogram of :func:`span_structure_counts`.
+
+    Per document: n_spans, n_kinds (distinct kind alphabet used),
+    n_media / n_text (kind buckets), n_transitions (adjacent spans whose
+    kind differs — 0 for a single-kind doc), and media_permille (exact
+    integer parts-per-thousand of media spans). Pure array expressions on
+    the already-loaded spans column: zero shuffles, zero Python — the map-
+    side profile that precedes any media-aware sharding/mixing decision.
+    """
+    spans = F.col(spans_col)
+    kinds = F.transform(spans, lambda s: s["kind"])
+    trans = F.when(
+        F.size(spans) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(spans) - 1),
+                lambda i: F.get(kinds, i) != F.get(kinds, i - 1),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] == "media"))
+    n_text = F.size(
+        F.filter(spans, lambda s: s["kind"].isin("text", "main", "title"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(spans).cast("long").alias("n_spans"),
+        F.size(F.array_distinct(kinds)).cast("long").alias("n_kinds"),
+        n_text.cast("long").alias("n_text"),
+        n_media.cast("long").alias("n_media"),
+        trans.cast("long").alias("n_transitions"),
+        F.expr(
+            f"(size(filter({spans_col}, s -> s.kind = 'media')) * 1000)"
+            f" div size({spans_col})"
+        ).alias("media_permille"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive 60-bit doc fingerprint + MinHash-style sketch value.
 

@@ -4433,6 +4433,39 @@ ORDER BY doc
 )
 
 
+def q_span_interleaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaving-structure profile of the input_hint's interleaved
+    document shape (textstats.span_interleaving_stats) over the fixed
+    mini-corpus: per doc the span count, kind alphabet, text/media bucket
+    counts, adjacent-kind transitions and exact integer media density — the
+    layout stats a media-aware sharding/mixing stage reads first. The
+    DuckDB twin recomputes every statistic from the SAME materialized spans
+    parquet the flagship crawl oracle uses."""
+    from crawler_spark.minicrawl_oracle import HOSTS, PAGES_PER_HOST, SEED
+    from crawler_spark.operators.textstats import span_interleaving_stats
+    from crawler_spark.sources.corpus import gen_corpus, to_documents_df
+
+    documents, _, _ = gen_corpus(hosts=HOSTS, pages_per_host=PAGES_PER_HOST, seed=SEED)
+    return span_interleaving_stats(to_documents_df(spark, documents)).orderBy("doc")
+
+
+from crawler_spark.minicrawl_oracle import mini_inputs_dir as _mini_inputs  # noqa: E402
+
+SQL_SPAN_INTERLEAVING = f"""
+WITH d AS (SELECT doc_id, spans FROM read_parquet('{_mini_inputs()}/documents.parquet'))
+SELECT doc_id AS doc,
+       CAST(len(spans) AS BIGINT) AS n_spans,
+       CAST(len(list_distinct([s.kind for s in spans])) AS BIGINT) AS n_kinds,
+       CAST(len([s for s in spans if s.kind IN ('text', 'main', 'title')]) AS BIGINT) AS n_text,
+       CAST(len([s for s in spans if s.kind = 'media']) AS BIGINT) AS n_media,
+       CAST(CASE WHEN len(spans) >= 2
+            THEN len([i for i in range(2, len(spans) + 1) if spans[i].kind <> spans[i - 1].kind])
+            ELSE 0 END AS BIGINT) AS n_transitions,
+       (len([s for s in spans if s.kind = 'media']) * 1000) // len(spans) AS media_permille
+FROM d ORDER BY doc
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4554,4 +4587,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "lm_surprisal_bigram": QuerySpec(q_lm_surprisal_bigram, SQL_LM_SURPRISAL_BIGRAM),
     "ngram_novelty": QuerySpec(q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "span_interleaving": QuerySpec(q_span_interleaving, SQL_SPAN_INTERLEAVING),
 }

@@ -184,3 +184,12 @@ def test_heavy_hitters_broadcasts_sketch_and_candidates(spark):
     plan = _plan(spark, "heavy_hitters")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_spans_shuffles_on_window_hash(spark):
+    """dup_span_removal's occurrence count must shuffle on the 8-byte
+    window hash (never the window string), and no pairwise stage may
+    appear anywhere in the plan."""
+    plan = _plan(spark, "dedup_spans")
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(h#" in plan

@@ -686,3 +686,40 @@ def test_temperature_mix_membership_nested(spark):
     assert keep_lo == keep_lo2
     assert keep_lo <= keep_hi
     assert len(keep_lo) < len(keep_hi)
+
+
+def test_span_interleaving_stats_hand_computed(spark):
+    """[title,nav,text,text,media,text] -> 6 spans, 4 kinds, 4 text-bucket
+    spans, 1 media, 4 adjacent-kind transitions, 166 permille media; a
+    single-span doc has zero transitions."""
+    from crawler_spark.operators.textstats import span_interleaving_stats
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        (
+            "a",
+            [
+                ("title", "t", "", 0),
+                ("nav", "n", "", 1),
+                ("text", "x", "", 2),
+                ("text", "y", "", 3),
+                ("media", "", "http://h/i.png", 4),
+                ("text", "z", "", 5),
+            ],
+        ),
+        ("b", [("text", "solo", "", 0)]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["doc"]: r for r in span_interleaving_stats(df).collect()}
+    a = got["a"]
+    assert (
+        a["n_spans"], a["n_kinds"], a["n_text"], a["n_media"],
+        a["n_transitions"], a["media_permille"],
+    ) == (6, 4, 4, 1, 4, 166)
+    b = got["b"]
+    assert (b["n_spans"], b["n_kinds"], b["n_transitions"], b["media_permille"]) == (
+        1, 1, 0, 0,
+    )
