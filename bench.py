@@ -115,6 +115,7 @@ HEADLINE = [
     "lm_surprisal_bigram",
     "ngram_novelty",
     "span_interleaving",
+    "source_gini",
 ]
 
 

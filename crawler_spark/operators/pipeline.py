@@ -447,6 +447,42 @@ def source_reputation(
     )
 
 
+def source_gini(
+    df: DataFrame, strat_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gini coefficient of the per-stratum document share — the one-number
+    balance audit of a corpus mix (0 bp = perfectly even strata, ~10000 bp
+    = one stratum holds everything). The standard fairness check before and
+    after domain_cap / temperature_mix, and the skew report for per-host
+    crawl budgets.
+
+    Exact integer basis points: with stratum sizes x_1 <= ... <= x_n
+    (ties broken by stratum name so the rank is deterministic) and
+    S = sum(x),  G_bp = ((2 * sum(i * x_i) - (n + 1) * S) * 10000) div
+    (n * S) — the classic mean-difference identity, no floats anywhere.
+
+    Returns a single row (n_strata, n_docs, gini_bp). One count aggregate
+    over the corpus plus a window over the STRATUM table only (bounded by
+    stratum cardinality — hosts/sources, never documents), then a one-row
+    total: safe at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.count(id_col).alias("x")
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("stratum"))
+    ranked = counts.select("stratum", "x", F.row_number().over(w).alias("i"))
+    return ranked.groupBy().agg(
+        F.count("*").alias("n_strata"),
+        F.sum("x").alias("n_docs"),
+        F.expr(
+            "((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 10000)"
+            " div (count(*) * sum(x))"
+        ).alias("gini_bp"),
+    )
+
+
 def curate_crawl(
     spark,
     workdir: str,

@@ -4466,6 +4466,27 @@ FROM d ORDER BY doc
 """
 
 
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance Gini audit (pipeline.source_gini): the per-source
+    document-share Gini coefficient in exact integer basis points — the
+    one-number skew check run before/after domain caps and temperature
+    mixing, and the per-host budget-fairness twin for the crawl."""
+    from crawler_spark.operators.pipeline import source_gini
+
+    return source_gini(_docs(spark, sf_dir))
+
+
+SQL_SOURCE_GINI = """
+WITH c AS (SELECT source AS stratum, count(doc_id) AS x FROM documents GROUP BY 1),
+r AS (SELECT stratum, x, row_number() OVER (ORDER BY x, stratum) AS i FROM c)
+SELECT count(*) AS n_strata,
+       CAST(sum(x) AS BIGINT) AS n_docs,
+       CAST(((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 10000)
+            // (count(*) * sum(x)) AS BIGINT) AS gini_bp
+FROM r
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4588,4 +4609,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "lm_surprisal_bigram": QuerySpec(q_lm_surprisal_bigram, SQL_LM_SURPRISAL_BIGRAM),
     "ngram_novelty": QuerySpec(q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "span_interleaving": QuerySpec(q_span_interleaving, SQL_SPAN_INTERLEAVING),
+    "source_gini": QuerySpec(q_source_gini, SQL_SOURCE_GINI),
 }

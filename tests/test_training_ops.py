@@ -723,3 +723,19 @@ def test_span_interleaving_stats_hand_computed(spark):
     assert (b["n_spans"], b["n_kinds"], b["n_transitions"], b["media_permille"]) == (
         1, 1, 0, 0,
     )
+
+
+def test_source_gini_hand_computed(spark):
+    """Strata of sizes (1, 3): G = (2*(1*1 + 2*3) - 3*4) / (2*4) = 0.25 ->
+    2500 bp; perfectly even strata score 0."""
+    from crawler_spark.operators.pipeline import source_gini
+
+    skewed = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "b")], ["doc_id", "source"]
+    )
+    r = source_gini(skewed).collect()[0]
+    assert (r["n_strata"], r["n_docs"], r["gini_bp"]) == (2, 4, 2500)
+    even = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], ["doc_id", "source"]
+    )
+    assert source_gini(even).collect()[0]["gini_bp"] == 0
