@@ -116,6 +116,7 @@ HEADLINE = [
     "ngram_novelty",
     "span_interleaving",
     "source_gini",
+    "bpe_encode",
 ]
 
 

@@ -336,6 +336,7 @@ def _bpe_run(vocab: DataFrame, n_merges: int):
     # both consume seq0 — without truncation each re-derives it from the
     # vocab (for a corpus-derived vocab that is a full re-tokenization)
     seqs = vocab.select(
+        F.col("word"),
         F.col("freq").cast("long").alias("freq"),
         F.trim(F.regexp_replace(F.col("word"), "(.)", "$1  ")).alias("sym"),
     ).localCheckpoint(eager=False)
@@ -366,6 +367,7 @@ def _bpe_run(vocab: DataFrame, n_merges: int):
         seqs = (
             seqs.join(F.broadcast(m.select("pair")), F.lit(True), "left")
             .select(
+                "word",
                 "freq",
                 F.when(F.col("pair").isNull(), F.col("sym"))
                 .otherwise(
@@ -393,6 +395,41 @@ def bpe_merges(vocab: DataFrame, n_merges: int = 5) -> DataFrame:
     vocabulary; returns (rank, pair, pair_count) — see :func:`_bpe_run`."""
     out, _ = _bpe_run(vocab, n_merges)
     return out
+
+
+def bpe_encode(words: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Apply the learned BPE merges back onto the corpus — the ENCODE half
+    of the tokenizer loop (:func:`bpe_merges` is the training half): every
+    document's words are replaced by their post-merge symbol sequences and
+    counted, giving the per-document token budget a packing/pricing stage
+    actually consumes, plus the fertility (symbols per word) in exact
+    integer centitokens.
+
+    ``words`` is the (doc_id, word) occurrence stream (one row per token).
+    Returns (doc_id, n_words, n_symbols, fertility_centitokens); docs whose
+    every token was filtered upstream are absent (same contract as the
+    other word-store consumers).
+
+    Scale shape: training runs on the VOCABULARY (orders of magnitude
+    smaller than the corpus); application is one equality join of the
+    word stream against the word -> symbol-count map — the exact shape of
+    a production tokenizer-apply pass (broadcastable vocab at any corpus
+    size) — plus one groupBy(doc). No Python, no windows.
+    """
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    _, seqs = _bpe_run(vocab, n_merges)
+    nsym = seqs.select("word", F.size(F.split(F.col("sym"), "  ")).alias("n_sym"))
+    return (
+        words.join(nsym, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_symbols"),
+        )
+        .withColumn(
+            "fertility_centitokens", F.expr("(n_symbols * 100) div n_words")
+        )
+    )
 
 
 def bpe_compression(vocab: DataFrame, n_merges: int = 5) -> DataFrame:

@@ -2099,7 +2099,7 @@ def _bpe_sql(n_merges: int = 5) -> str:
 vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY word),
 seq0 AS MATERIALIZED (
   -- two-space symbol separators: see operators/lm._bpe_run
-  SELECT freq, trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym FROM vocab
+  SELECT word, freq, trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym FROM vocab
 ),""",
     ]
     for i in range(1, n_merges + 1):
@@ -2119,7 +2119,7 @@ m{i} AS MATERIALIZED (
   SELECT pair, pair_count FROM pc{i} ORDER BY pair_count DESC, pair LIMIT 1
 ),
 seq{i} AS MATERIALIZED (
-  SELECT freq,
+  SELECT word, freq,
          CASE WHEN (SELECT pair FROM m{i}) IS NULL THEN sym
               ELSE trim(replace(' ' || sym || ' ',
                       ' ' || replace((SELECT pair FROM m{i}), ' ', '  ') || ' ',
@@ -4487,6 +4487,35 @@ FROM r
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (lm.bpe_encode): per-document symbol
+    counts after the 5 learned merges — the encode half of the tokenizer
+    loop whose training half is ``bpe_merges``. The DuckDB twin reuses the
+    same unrolled merge-round CTE chain and joins the final word ->
+    sequence map back onto the word stream."""
+    from crawler_spark.operators.lm import bpe_encode
+
+    return bpe_encode(_tokens_df(spark, sf_dir), n_merges=5).orderBy("doc_id")
+
+
+def _bpe_encode_sql(n_merges: int = 5) -> str:
+    chain = _bpe_sql(n_merges)
+    head, _, _ = chain.rpartition("SELECT 1 AS rank")
+    return (
+        head
+        + f"""SELECT w.doc_id AS doc_id, count(*) AS n_words,
+       CAST(sum(len(string_split(s.sym, '  '))) AS BIGINT) AS n_symbols,
+       (CAST(sum(len(string_split(s.sym, '  '))) AS BIGINT) * 100) // count(*)
+         AS fertility_centitokens
+FROM words w JOIN seq{n_merges} s ON s.word = w.word
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+SQL_BPE_ENCODE = _bpe_encode_sql(5)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4610,4 +4639,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "ngram_novelty": QuerySpec(q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "span_interleaving": QuerySpec(q_span_interleaving, SQL_SPAN_INTERLEAVING),
     "source_gini": QuerySpec(q_source_gini, SQL_SOURCE_GINI),
+    "bpe_encode": QuerySpec(q_bpe_encode, SQL_BPE_ENCODE),
 }

@@ -41,8 +41,14 @@ def run_level(cpus: int, n_urls: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=2400, check=True,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")][-1]
-    return json.loads(line)
+    # bench.py prints the FULL record first and a compact driver tail last
+    # (VERDICT r3 #1); the full record is the one carrying "frontier"
+    recs = [
+        json.loads(ln)
+        for ln in out.stdout.splitlines()
+        if ln.strip().startswith("{")
+    ]
+    return next(r for r in reversed(recs) if "frontier" in r)
 
 
 def main() -> None:

@@ -242,3 +242,20 @@ def test_surprisal_bigram_stupid_backoff_hand_computed(spark):
     assert (r3["n_tokens"], r3["n_backoffs"], r3["total_bits"], r3["avg_centibits"]) == (
         1, 0, 3, 300,
     )
+
+
+def test_bpe_encode_hand_computed(spark):
+    """vocab {aaab:2, cd:1}, 2 merges: round 1 fuses 'a a' (count 4, greedy
+    left-to-right so 'a a a b' -> 'aa a b'), round 2 ties ('aa a' vs 'a b'
+    both 2) and picks 'a b' lexicographically -> final sequences
+    aaab = [aa, ab], cd = [c, d]. Per-doc symbol counts follow."""
+    from crawler_spark.operators.lm import bpe_encode
+
+    words = spark.createDataFrame(
+        [(1, "aaab"), (1, "aaab"), (1, "cd"), (2, "aaab")], ["doc_id", "word"]
+    )
+    got = {r["doc_id"]: r for r in bpe_encode(words, n_merges=2).collect()}
+    assert (got[1]["n_words"], got[1]["n_symbols"], got[1]["fertility_centitokens"]) == (
+        3, 6, 200,
+    )
+    assert (got[2]["n_words"], got[2]["n_symbols"]) == (1, 2)
