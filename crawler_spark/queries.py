@@ -4516,6 +4516,70 @@ GROUP BY 1 ORDER BY 1
 SQL_BPE_ENCODE = _bpe_encode_sql(5)
 
 
+def q_crawl_host_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-budget fairness THROUGH the real engine: host shares
+    of the committed crawl order (basis points) plus the Gini coefficient
+    of the host distribution (pipeline.source_gini over the crawl) — the
+    skew audit an operator reads before re-apportioning budgets. The
+    DuckDB twin recomputes it from the unrolled 6-round crawl oracle, so
+    the fairness numbers are pinned end to end through scheduling,
+    politeness, robots and dedup."""
+    from crawler_spark.operators.pipeline import source_gini
+    from crawler_spark.tables import SnapshotCatalog
+
+    workdir = _mini_crawl_workdir(spark)
+    order = SnapshotCatalog(workdir).read(spark, "crawl_order")
+    hosts = order.select(
+        F.regexp_extract(F.col("canonical"), "^https?://([^/]+)", 1).alias("host"),
+        "canonical",
+    )
+    counts = hosts.groupBy("host").agg(F.count("*").alias("n_urls"))
+    g = source_gini(hosts.select(F.col("canonical").alias("doc_id"), F.col("host").alias("source")))
+    total = counts.groupBy().agg(F.sum("n_urls").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(g.select("gini_bp")))
+        .select(
+            "host",
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.expr("(n_urls * 10000) div t").alias("share_bp"),
+            "gini_bp",
+        )
+        .orderBy("host")
+    )
+
+
+def _sql_crawl_host_fairness() -> str:
+    from crawler_spark.minicrawl_oracle import MAX_ROUNDS, sql_crawl_order_mini
+
+    chain = sql_crawl_order_mini()
+    head, _, _ = chain.rpartition("SELECT round, seq, canonical")
+    return (
+        head
+        + f""", ord AS (SELECT canonical FROM orders_upto{MAX_ROUNDS - 1}),
+hc AS (
+  SELECT regexp_extract(canonical, '^https?://([^/]+)', 1) AS host,
+         count(*) AS n_urls
+  FROM ord GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_urls) AS BIGINT) AS t FROM hc),
+rk AS (SELECT host, n_urls, row_number() OVER (ORDER BY n_urls, host) AS i FROM hc),
+g AS (
+  SELECT CAST(((2 * sum(i * n_urls) - (count(*) + 1) * sum(n_urls)) * 10000)
+         // (count(*) * sum(n_urls)) AS BIGINT) AS gini_bp
+  FROM rk
+)
+SELECT hc.host AS host, CAST(hc.n_urls AS BIGINT) AS n_urls,
+       CAST((hc.n_urls * 10000) // tot.t AS BIGINT) AS share_bp,
+       g.gini_bp AS gini_bp
+FROM hc, tot, g ORDER BY host
+"""
+    )
+
+
+SQL_CRAWL_HOST_FAIRNESS = _sql_crawl_host_fairness()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4640,4 +4704,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "span_interleaving": QuerySpec(q_span_interleaving, SQL_SPAN_INTERLEAVING),
     "source_gini": QuerySpec(q_source_gini, SQL_SOURCE_GINI),
     "bpe_encode": QuerySpec(q_bpe_encode, SQL_BPE_ENCODE),
+    "crawl_host_fairness": QuerySpec(q_crawl_host_fairness, SQL_CRAWL_HOST_FAIRNESS),
 }
