@@ -117,6 +117,7 @@ HEADLINE = [
     "span_interleaving",
     "source_gini",
     "bpe_encode",
+    "zipf_slope",
 ]
 
 

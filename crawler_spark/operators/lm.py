@@ -219,6 +219,48 @@ def surprisal_bigram(
     )
 
 
+def zipf_slope(words: DataFrame) -> DataFrame:
+    """Zipf-law fit of the corpus word-frequency distribution: the exact
+    integer least-squares slope of ilog2(frequency) against ilog2(rank) —
+    the one-number lexical-health check (natural text sits near -1; spam,
+    boilerplate floods and template farms flatten or steepen it).
+
+    ``words`` is the (doc_id, word) occurrence stream. Returns one row
+    (n_vocab, neg_slope_milli) where neg_slope_milli is the NEGATED slope
+    in exact integer milli-units (Zipf slopes are negative by construction;
+    negating keeps the numerator positive so truncating and flooring
+    integer division agree across engines).
+
+    Scale shape: one vocabulary count, ranks via the two-phase global-seq
+    primitive (range partition + per-partition offsets — NO single-partition
+    window even at a 10^8-term vocabulary), then one scalar aggregate of
+    the exact covariance sums.
+    """
+    from crawler_spark.operators.ordering import with_global_seq
+
+    vocab = words.groupBy("word").agg(F.count("*").alias("c"))
+    ranked = with_global_seq(
+        vocab, [F.desc("c"), F.asc("word")], seq_col="_rank0"
+    )
+    pts = ranked.select(
+        _ilog2(F.col("_rank0") + 1).alias("x"), _ilog2(F.col("c")).alias("y")
+    )
+    s = pts.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
+            F.expr("(1000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx)"),
+        ).alias("neg_slope_milli"),
+    )
+
+
 def dsir_logratio(
     docs: DataFrame,
     is_target,

@@ -4580,6 +4580,37 @@ FROM hc, tot, g ORDER BY host
 SQL_CRAWL_HOST_FAIRNESS = _sql_crawl_host_fairness()
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus-health fit (lm.zipf_slope): exact integer
+    least-squares slope of ilog2(word frequency) vs ilog2(rank), negated
+    to milli-units — natural text sits near 1000; template floods move it.
+    Ranks come from the two-phase global-seq primitive, never a
+    single-partition window."""
+    from crawler_spark.operators.lm import zipf_slope
+
+    return zipf_slope(_tokens_df(spark, sf_dir))
+
+
+SQL_ZIPF_SLOPE = (
+    _WORDS_CTE
+    + f"""
+, vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY 1),
+rk AS (SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rank FROM vocab),
+pts AS (SELECT {_ilog2_sql('rank')} AS x, {_ilog2_sql('c')} AS y FROM rk),
+s AS (
+  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST((1000 * (sx * sy - n * sxy)) // (n * sxx - sx * sx) AS BIGINT)
+       END AS neg_slope_milli
+FROM s
+"""
+)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4705,4 +4736,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "source_gini": QuerySpec(q_source_gini, SQL_SOURCE_GINI),
     "bpe_encode": QuerySpec(q_bpe_encode, SQL_BPE_ENCODE),
     "crawl_host_fairness": QuerySpec(q_crawl_host_fairness, SQL_CRAWL_HOST_FAIRNESS),
+    "zipf_slope": QuerySpec(q_zipf_slope, SQL_ZIPF_SLOPE),
 }

@@ -259,3 +259,18 @@ def test_bpe_encode_hand_computed(spark):
         3, 6, 200,
     )
     assert (got[2]["n_words"], got[2]["n_symbols"]) == (1, 2)
+
+
+def test_zipf_slope_hand_computed(spark):
+    """Counts a:8 b:2 c:1 d:1 -> ranks 1..4, x = ilog2(rank) = [0,1,1,2],
+    y = ilog2(c) = [3,1,0,0]; exact LSQ slope = -12/8 -> neg_slope_milli
+    1500. A single-word vocab has zero x-variance -> NULL slope."""
+    from crawler_spark.operators.lm import zipf_slope
+
+    rows = [(1, "a")] * 8 + [(1, "b")] * 2 + [(2, "c"), (2, "d")]
+    words = spark.createDataFrame(rows, ["doc_id", "word"])
+    r = zipf_slope(words).collect()[0]
+    assert (r["n_vocab"], r["neg_slope_milli"]) == (4, 1500)
+    one = spark.createDataFrame([(1, "solo"), (2, "solo")], ["doc_id", "word"])
+    r1 = zipf_slope(one).collect()[0]
+    assert (r1["n_vocab"], r1["neg_slope_milli"]) == (1, None)
