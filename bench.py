@@ -118,6 +118,7 @@ HEADLINE = [
     "source_gini",
     "bpe_encode",
     "zipf_slope",
+    "gopher_rules",
 ]
 
 

@@ -4611,6 +4611,105 @@ FROM s
 )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filters (Rae et al. 2021, App. A) — the second classic
+    rule panel beside ``c4_filters``: word-count bounds, mean word length
+    3-10, symbol-to-word ratio (# and ellipsis), bullet-line and
+    ellipsis-line ratios, >= 80% alphabetic words, >= 2 of the 8 English
+    stop words. Every ratio is an exact integer cross-multiplication (no
+    floats), one map-only pass, no shuffle."""
+    t = F.col("text")
+    low = F.lower(t)
+    wtoks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(wtoks)
+    total_chars = F.aggregate(
+        wtoks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_sym = (n_hash + n_ellipsis).cast("long")
+    lines = F.filter(
+        F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).startswith("-") | F.ltrim(x).startswith("*"),
+        )
+    )
+    n_ell_lines = F.size(F.filter(lines, lambda x: F.rtrim(x).endswith("...")))
+    n_alpha = F.size(F.filter(wtoks, lambda x: F.lower(x).rlike("[a-z]")))
+    stops = F.array(*[F.lit(w) for w in ("the", "be", "to", "of", "and", "that", "have", "with")])
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(F.regexp_extract_all(low, F.lit("[a-z]+"), F.lit(0))),
+            stops,
+        )
+    )
+    wc_ok = (n_words >= 50) & (n_words <= 100_000)
+    mean_ok = (F.lit(3) * n_words <= total_chars) & (total_chars <= F.lit(10) * n_words)
+    sym_ok = F.lit(10) * n_sym <= n_words
+    bullet_ok = F.lit(10) * n_bullet <= F.lit(9) * n_lines
+    ell_ok = F.lit(10) * n_ell_lines <= F.lit(3) * n_lines
+    alpha_ok = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    stop_ok = n_stops >= 2
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("doc"),
+        n_words.cast("long").alias("n_words"),
+        wc_ok.alias("wc_ok"),
+        mean_ok.alias("mean_len_ok"),
+        sym_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ell_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & mean_ok & sym_ok & bullet_ok & ell_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+SQL_GOPHER_RULES = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS wt,
+         list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(wt) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(wt, x -> length(x))), 0) AS BIGINT) AS total_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%')) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, x -> rtrim(x) LIKE '%...')) AS BIGINT) AS n_ell_lines,
+         CAST(len(list_filter(wt, x -> regexp_matches(lower(x), '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(text), '[a-z]+')),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stops
+  FROM base
+)
+SELECT doc_id AS doc, n_words,
+       (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+       (3 * n_words <= total_chars AND total_chars <= 10 * n_words) AS mean_len_ok,
+       (10 * n_sym <= n_words) AS symbol_ok,
+       (10 * n_bullet <= 9 * n_lines) AS bullet_ok,
+       (10 * n_ell_lines <= 3 * n_lines) AS ellipsis_ok,
+       (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+       (n_stops >= 2) AS stop_ok,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (3 * n_words <= total_chars AND total_chars <= 10 * n_words)
+        AND (10 * n_sym <= n_words)
+        AND (10 * n_bullet <= 9 * n_lines)
+        AND (10 * n_ell_lines <= 3 * n_lines)
+        AND (5 * n_alpha >= 4 * n_words)
+        AND (n_stops >= 2)) AS keep
+FROM m
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4737,4 +4836,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_encode": QuerySpec(q_bpe_encode, SQL_BPE_ENCODE),
     "crawl_host_fairness": QuerySpec(q_crawl_host_fairness, SQL_CRAWL_HOST_FAIRNESS),
     "zipf_slope": QuerySpec(q_zipf_slope, SQL_ZIPF_SLOPE),
+    "gopher_rules": QuerySpec(q_gopher_rules, SQL_GOPHER_RULES),
 }

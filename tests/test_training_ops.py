@@ -739,3 +739,25 @@ def test_source_gini_hand_computed(spark):
         [(1, "a"), (2, "a"), (3, "b"), (4, "b")], ["doc_id", "source"]
     )
     assert source_gini(even).collect()[0]["gini_bp"] == 0
+
+
+def test_gopher_rules_bullet_and_ellipsis_lines(spark, tmp_path):
+    """Planted bullet-flood and ellipsis-flood docs fail exactly their
+    Gopher rule; a clean 60-word doc passes every rule. (The sf corpus has
+    no multi-line docs, so these paths only get coverage here.)"""
+    from crawler_spark.queries import q_gopher_rules
+
+    clean = " ".join(
+        ["the", "be", "to", "of", "and"] * 2
+        + [f"word{chr(97 + i % 26)}" for i in range(50)]
+    )
+    bullets = "\n".join(f"- item {i} in a list" for i in range(10))
+    ellipses = "\n".join(f"truncated teaser number {i} ..." for i in range(10))
+    df = spark.createDataFrame(
+        [(1, clean), (2, bullets), (3, ellipses)], ["doc_id", "text"]
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc"]: r for r in q_gopher_rules(spark, str(tmp_path)).collect()}
+    assert got[1]["keep"], got[1]
+    assert not got[2]["bullet_ok"] and got[2]["ellipsis_ok"]
+    assert not got[3]["ellipsis_ok"] and got[3]["bullet_ok"]
