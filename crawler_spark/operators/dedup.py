@@ -407,6 +407,12 @@ def neardup_clusters(
     10^10-edge graphs use :func:`neardup_clusters_star` (same contract,
     oracle-checked against the same recursive-CTE twin), whose per-round
     shuffle volume shrinks with the collapsing edge set.
+
+    Every join in the loop carries a ``shuffle_hash`` hint: both sides are
+    node/edge-scaled, and AQE's runtime broadcast conversion (compressed
+    shuffle stats under the threshold, in-memory hash table far larger)
+    blew the 8 GiB broadcast hard limit on a real 2.6M-doc curation run —
+    on the graphs this operator exists for, no side is ever broadcastable.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -422,11 +428,13 @@ def neardup_clusters(
     changed = 0
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc)
+            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.doc)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        stepped = labels.join(neighbor_min, labels.doc == neighbor_min.src, "left").select(
+        stepped = labels.join(
+            neighbor_min.hint("shuffle_hash"), labels.doc == neighbor_min.src, "left"
+        ).select(
             labels.doc.alias("doc"),
             F.least(labels.label, F.coalesce(F.col("nmin"), labels.label)).alias("label"),
         )
@@ -435,7 +443,7 @@ def neardup_clusters(
         # remaining pointer depth — O(diameter) becomes O(log diameter).
         jump = stepped.select(F.col("doc").alias("jdoc"), F.col("label").alias("jlabel"))
         new_labels = (
-            stepped.join(jump, stepped.label == jump.jdoc, "left")
+            stepped.join(jump.hint("shuffle_hash"), stepped.label == jump.jdoc, "left")
             .select(
                 stepped.doc.alias("doc"),
                 F.least(
@@ -446,7 +454,7 @@ def neardup_clusters(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
+            .join(labels.alias("o").hint("shuffle_hash"), "doc")
             .where("n.label <> o.label")
             .limit(1)
             .count()
@@ -524,7 +532,7 @@ def neardup_clusters_star(
             .select("src", F.least("mn", F.col("src")).alias("mn"))
         )
         ls = (
-            sym.join(mins, sym.u == mins.src)
+            sym.join(mins.hint("shuffle_hash"), sym.u == mins.src)
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -533,7 +541,7 @@ def neardup_clusters_star(
         # small-star over down edges: center u, mn = min of its smaller
         # neighbors; every other smaller neighbor and u itself attach to mn.
         sm = ls.groupBy(F.col("u").alias("src")).agg(F.min("v").alias("mn"))
-        j = ls.join(sm, ls.u == sm.src)
+        j = ls.join(sm.hint("shuffle_hash"), ls.u == sm.src)
         down_next = (
             j.where(F.col("v") != F.col("mn"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
@@ -559,7 +567,7 @@ def neardup_clusters_star(
         .union(pairs.select(F.col(b_col).alias("doc")))
         .distinct()
     )
-    return nodes.join(down, nodes.doc == down.u, "left").select(
+    return nodes.join(down.hint("shuffle_hash"), nodes.doc == down.u, "left").select(
         "doc", F.coalesce(F.col("v"), F.col("doc")).alias("cluster")
     )
 
