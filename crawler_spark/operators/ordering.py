@@ -101,6 +101,7 @@ def top_per_key(
     prune_col: str | None = None,
     prune_desc: bool = True,
     prune_max: int | None = None,
+    broadcast_cutoff: bool = True,
 ) -> DataFrame:
     """Keep the top-``limit_col`` rows per ``key`` in the given order.
 
@@ -154,12 +155,17 @@ def top_per_key(
                 ).v.alias("_cutoff"),
             )
         )
-        # broadcast the cutoff dim (one row per (key, salt)): a shuffle join
-        # here would re-shuffle AND sort the full input just to apply the
-        # filter, erasing the win
+        # broadcast the cutoff dim (one row per (key, salt)). The dim scales
+        # with hosts x salts: fine to ~10^7 keys, but at 10^8+ hosts set
+        # broadcast_cutoff=False — the shuffle-hash join then exchanges on
+        # exactly the (key, salt) partitioning the w1 window needs, so the
+        # Exchange is reused and the extra cost is one shuffle of the input
+        # it was about to shuffle anyway (measured: the narrow-window
+        # experiment in BENCH/BASELINE.md).
+        cut = F.broadcast(cutoff) if broadcast_cutoff else cutoff.hint("shuffle_hash")
         salted = (
             salted.withColumn("_pv", pv)
-            .join(F.broadcast(cutoff), [key, "_salt"])
+            .join(cut, [key, "_salt"])
             .where(F.col("_pv") >= F.col("_cutoff"))
             .drop("_pv", "_cutoff")
         )

@@ -166,6 +166,8 @@ def run_round(
     # -- robots compliance (F7): broadcast dim join + first-match predicate --
     rules_dim, delays = _robots_dims(robots_df, user_agent=cfg.user_agent)
     path = F.regexp_replace(F.col("canonical"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    # host-scaled dim: broadcast is right to ~10^7 hosts; a 10^8-host
+    # frontier switches this to a bucketed/shuffle join keyed like url_seen
     with_rules = pending.join(F.broadcast(rules_dim), "host", "left")
     # F.get, not element_at: ANSI mode (Spark 4 default) throws on an empty
     # match array; get returns null, which coalesces to fail-open allow
