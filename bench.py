@@ -119,6 +119,12 @@ HEADLINE = [
     "bpe_encode",
     "zipf_slope",
     "gopher_rules",
+    # round 4 (cont.): seeded trust, communities, anchors, AUC, mirrors
+    "trustrank",
+    "communities",
+    "anchor_topk",
+    "auc_quality",
+    "mirror_overlap",
 ]
 
 

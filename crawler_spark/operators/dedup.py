@@ -922,3 +922,76 @@ def ngram_novelty(
         )
         .withColumn("novelty_pct", F.expr("(n_novel * 100) div n_shingles"))
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+    group_cap: int = 10,
+    top_n: int = 20,
+) -> DataFrame:
+    """Mirror detection: content overlap between source/host pairs, as
+    shared word-``n``-gram shingles (Broder 1997's resemblance machinery,
+    lifted from doc pairs to SOURCE pairs — the classic mirror-site and
+    syndicated-feed detector; Bharat & Broder WWW 1999 measured ~10% of the
+    web to be mirrored this way, and a production crawl demotes the
+    duplicated side of every detected pair before spending fetch budget).
+
+    Output: (source_a, source_b, n_shared, containment_ppm) for the top
+    ``top_n`` pairs by shared distinct shingles — containment is
+    n_shared / min(|A|, |B|) in floor parts-per-million, the "how much of
+    the smaller site is mirrored" reading (exact integers, value-hashable).
+
+    Scale: shingles reduce to DISTINCT (group, sh) FIRST — the join volume
+    is keyed by source count, not document count. Shingles present in more
+    than ``group_cap`` distinct groups are dropped before the pair join
+    (stop-shingle pruning, same knob family as ngram_jaccard_pairs'
+    df_cap): a boilerplate shingle shared by 10^5 hosts would otherwise
+    contribute ~10^10 pairs; capped, each surviving shingle yields at most
+    C(group_cap, 2) pairs. Per-group sizes are computed on the CAPPED
+    shingle set so containment stays an exact function of the joined data
+    on both engines.
+    """
+    sh = (
+        doc_shingles(df, id_col, text_col, n)
+        .join(
+            df.select(
+                F.col(id_col).alias("doc"), F.col(group_col).alias("grp")
+            ),
+            "doc",
+        )
+        .select("grp", "sh")
+        .distinct()
+    )
+    keep = sh.groupBy("sh").agg(F.count("*").alias("_ng")).where(
+        F.col("_ng") <= group_cap
+    )
+    sh = sh.join(keep.select("sh"), "sh")
+    sizes = sh.groupBy("grp").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("grp").alias("source_a"), "sh")
+    b = sh.select(F.col("grp").alias("source_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("grp").alias("source_a"), F.col("sz").alias("_sza"))
+    sb = sizes.select(F.col("grp").alias("source_b"), F.col("sz").alias("_szb"))
+    return (
+        pairs.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr(
+                "CAST(n_shared * 1000000 DIV least(_sza, _szb) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+        .orderBy(F.desc("n_shared"), F.asc("source_a"), F.asc("source_b"))
+        .limit(top_n)
+    )

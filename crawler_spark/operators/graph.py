@@ -34,7 +34,7 @@ registry entry runs n_iter=5 unchecked — plan depth is linear in n_iter).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000_000  # rank fixed-point scale: 1.0 == 10^9
@@ -315,5 +315,141 @@ def hyperball_summary(edges: DataFrame, radius: int = 2, top_n: int = 20) -> Dat
             F.expr(f"CAST({HLL_EST_NUM} AS BIGINT) div z30 div 1000000").alias("est_hll"),
         )
         .orderBy(F.desc("est_hll"), F.asc("node"))
+        .limit(top_n)
+    )
+
+
+# ----------------------------------------------------- seeded trust / spam
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    scale: int = PR_SCALE,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Seeded-teleport PageRank — TrustRank (Gyongyi, Garcia-Molina &
+    Pedersen, VLDB 2004): the biased power iteration that propagates trust
+    from a vetted seed set instead of teleporting uniformly, the standard
+    web-spam demotion signal a production crawl applies to its link table
+    (the reference materializes that table — storage/database.py link rows —
+    but never ranks it; see module doc).
+
+        r0(v)  = scale                if v in seeds else 0
+        r_i(v) = seed(v)*(15*scale) DIV 100
+                 + (85 * sum_{u->v} (r_{i-1}(u) DIV out(u))) DIV 100
+
+    Same exact-int64 fixed-point convention as :func:`pagerank` (module doc:
+    floor division makes every intermediate bit-identical across engines and
+    partitionings, so the DuckDB oracle can value-hash actual trust scores).
+    Nodes never reached from the seed set get trust exactly 0 — the spam-mass
+    reading is pr - trust. ``seeds`` is a 1-column (node) DataFrame; it is
+    joined once to the node set (broadcast when small) and the per-iteration
+    plan is the identical edges-vs-ranks equality join as pagerank, so every
+    scale property (co-partitioned joins, map-side partial aggs,
+    checkpoint_every lineage truncation) carries over unchanged.
+    """
+    if checkpoint_every is None:
+        checkpoint_every = 0 if n_iter <= 8 else 3
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib_src = e.join(deg, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+            .withColumn("_seed", F.lit(1)),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed"))
+    )
+    teleport = (15 * scale) // 100
+    ranks = nodes.select(
+        "node", (F.col("_seed").cast("long") * scale).alias("pr")
+    )
+    for i in range(n_iter):
+        sums = (
+            contrib_src.join(ranks, contrib_src.src == ranks.node)
+            .select("dst", F.expr("pr DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = nodes.join(sums, nodes.node == sums.dst, "left").select(
+            "node",
+            (
+                F.col("_seed").cast("long") * teleport
+                + F.expr("(85 * coalesce(m, 0L)) DIV 100")
+            ).cast("long").alias("pr"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.col("pr").alias("trust"))
+
+
+# ----------------------------------------------------- community detection
+
+def label_propagation(
+    edges: DataFrame, n_iter: int = 3, checkpoint_every: int | None = None
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan, Albert &
+    Kumara 2007) over the undirected link graph — the near-linear community
+    detector a crawl analyst runs to segment the discovered web into site
+    clusters / link neighborhoods (organic communities vs link-farm blocks).
+
+    The classic algorithm breaks ties randomly and updates asynchronously;
+    both are non-deterministic, so this is the SYNC variant with a total
+    tie order — new label = the most frequent label among neighbors, ties
+    resolved to the SMALLEST label — which makes every round a pure
+    function of the previous labeling: the DuckDB oracle unrolls the same
+    recurrence and value-checks final labels node-for-node.
+
+    Scale: per round, one equality join of the adjacency list against the
+    current (node, label) table on the neighbor key plus one
+    groupBy(node, label) count and a per-node argmax window (partitions
+    bounded by a node's distinct neighbor-label count <= degree — never a
+    global window). Adjacency is static across rounds and co-partitioned
+    with the label table on the join key. Label oscillation on bipartite
+    structures is bounded by the fixed n_iter (no convergence loop —
+    callers wanting convergence add the neardup_clusters-style guard).
+    """
+    if checkpoint_every is None:
+        checkpoint_every = 0 if n_iter <= 8 else 3
+    und = undirect(edges)
+    adj = und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).union(
+        und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    labels = adj.select("node").distinct().select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for i in range(n_iter):
+        counts = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def community_sizes(edges: DataFrame, n_iter: int = 3, top_n: int = 20) -> DataFrame:
+    """Top-N communities by member count after ``n_iter`` LPA rounds:
+    (community, n_members), ordered largest first, ties by community id."""
+    return (
+        label_propagation(edges, n_iter=n_iter)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(top_n)
     )

@@ -566,3 +566,62 @@ def curate_crawl(
         "out": out_path,
         "shards": shard_stats,
     }
+
+
+def exact_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` as a ranker for binary ``label_col``,
+    via the Mann-Whitney rank-sum identity, in exact integer arithmetic.
+
+    The curation pipeline's quality scores (doc_quality, url_quality,
+    source_reputation, lm surprisal) all become keep/drop classifiers at
+    some threshold; AUC is the threshold-free calibration number a
+    data-quality team tracks per snapshot. Computed exactly — not sampled,
+    not sketched — with the tie-correct midrank convention:
+
+        AUC = (R_pos - n_pos*(n_pos+1)/2) / (n_pos * n_neg)
+
+    where R_pos is the sum of positives' midranks under ascending score.
+    To stay in integers: per distinct score, the doubled midrank-sum
+    contribution is  p * (2*cum_before + c + 1)  (c rows tie at this score,
+    p of them positive, cum_before rows strictly below), and
+
+        auc_ppm = (R2 - n_pos*(n_pos+1)) * 1_000_000
+                  DIV (2 * n_pos * n_neg),        R2 = sum of contributions
+
+    — floor(AUC in parts-per-million), bit-identical across engines and
+    partitionings (the DuckDB oracle runs the same closed form).
+
+    Scale: one groupBy(score) shuffle (map-side combinable; output
+    cardinality = distinct scores, e.g. <= max doc length for integer
+    length scores), then the two-phase distributed prefix sum
+    (with_global_cumsum — range-partitioned, one row per partition to the
+    driver, never a single-task global window), then a 1-row aggregate.
+    Returns (n_pos, n_neg, auc_ppm); carries the cumsum cache handle —
+    callers release via release_global_seq after materializing.
+    """
+    from crawler_spark.operators.ordering import carry_seq_cache, with_global_cumsum
+
+    g = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count("*").alias("c"),
+        F.sum(F.col(label_col).cast("long")).alias("p"),
+    )
+    o = with_global_cumsum(g, [F.asc("score")], "c", out_col="cb")
+    # decimal(38,0) intermediates: r2 ~ 2*n^2 and the ppm numerator ~ 2e6*n^2
+    # exceed int64 past ~2e6 rows; 38 digits carry the closed form exactly to
+    # n ~ 10^15 (DuckDB's HUGEINT sums match), result always fits BIGINT
+    out = o.agg(
+        F.sum(F.col("p") * (2 * F.col("cb") + F.col("c") + 1))
+        .cast("decimal(38,0)")
+        .alias("r2"),
+        F.sum("p").cast("decimal(38,0)").alias("np"),
+        (F.sum("c") - F.sum("p")).cast("decimal(38,0)").alias("nn"),
+    ).select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((r2 - np * (np + 1)) * 1000000 DIV (2 * np * nn) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+    return carry_seq_cache(o, out)

@@ -4710,6 +4710,228 @@ FROM m
 """
 
 
+
+# --------------------------------------------------------------------------
+# round 4 (cont.): seeded trust, communities, anchor text, AUC, mirrors
+# --------------------------------------------------------------------------
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-teleport PageRank (operators/graph.trustrank — Gyongyi et al.
+    VLDB 2004) over the shared synthetic link graph: trust teleports only to
+    the deterministic seed set node % 7 == 0 (the "manually vetted good
+    pages"), so nodes unreachable from seeds score exactly 0 and the
+    pr - trust gap is the spam-mass signal. Same exact-int64 fixed point as
+    ``pagerank``; the oracle unrolls the identical 5-round recurrence with
+    the seed-gated teleport term, checked trust-value-for-trust-value."""
+    from crawler_spark.operators.graph import trustrank
+
+    edges = _synth_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .where(F.col("node") % 7 == 0)
+    )
+    return (
+        trustrank(edges, seeds, n_iter=5)
+        .orderBy(F.desc("trust"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "trust")
+    )
+
+
+def _trustrank_sql(n_iter: int = 5) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE},",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+    ]
+    for i in range(1, n_iter + 1):
+        src_rank = (
+            "SELECT node, CAST(CASE WHEN node % 7 = 0 THEN 1000000000 ELSE 0 END AS BIGINT) AS pr FROM nodes"
+            if i == 1
+            else f"SELECT node, pr FROM r{i - 1}"
+        )
+        parts.append(
+            f"""r{i} AS (
+  SELECT nd.node,
+         CAST(CASE WHEN nd.node % 7 = 0 THEN 150000000 ELSE 0 END
+              + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS m
+    FROM edges e JOIN ({src_rank}) r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) s ON nd.node = s.node
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node AS doc_id, pr AS trust FROM r{n_iter} ORDER BY trust DESC, node LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+SQL_TRUSTRANK = _trustrank_sql(5)
+
+
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/graph.
+    label_propagation, Raghavan et al. 2007 with total-order tie-break)
+    over the undirected synthetic link graph, reported as the top-20
+    communities by size — the link-neighborhood segmentation a crawl
+    analyst uses to find organic site clusters vs link-farm blocks. The
+    oracle unrolls the same 3 synchronous rounds (argmax neighbor label,
+    ties to the smallest label) so final labels are value-checked
+    membership-for-membership."""
+    from crawler_spark.operators.graph import community_sizes
+
+    return community_sizes(_synth_edges(spark, sf_dir), n_iter=3, top_n=20)
+
+
+def _lpa_sql(n_iter: int = 3) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE},",
+        "und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges WHERE src <> dst),",
+        "adj AS (SELECT lo AS node, hi AS nbr FROM und UNION SELECT hi AS node, lo AS nbr FROM und),",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM adj),",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT a.node, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY a.node ORDER BY count(*) DESC, l.label) AS rn
+    FROM adj a JOIN l{i - 1} l ON a.nbr = l.node
+    GROUP BY a.node, l.label) t WHERE rn = 1
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT label AS community, count(*) AS n_members FROM l{n_iter} "
+        "GROUP BY label ORDER BY n_members DESC, community LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+SQL_COMMUNITIES = _lpa_sql(3)
+
+
+def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation (operators/search.anchor_topk):
+    each link carries its source page's lead token as the anchor term (a
+    deterministic stand-in for the <a> inner text the synthetic corpus does
+    not model), and every target page gets its top-3 anchor terms by count
+    — the Brin & Page (1998 §2.2) index-anchors-with-the-target signal.
+    Ordered (target, rank), first 60 rows."""
+    from crawler_spark.operators.search import anchor_topk
+
+    docs = _docs(spark, sf_dir)
+    lead = docs.select(
+        F.col("doc_id").alias("src"),
+        F.regexp_extract(F.lower(F.col("text")), "[a-z]+", 0).alias("anchor"),
+    )
+    anchors = (
+        _synth_edges(spark, sf_dir)
+        .select(F.col("dst").alias("target"), "src")
+        .join(lead, "src")
+    )
+    return (
+        anchor_topk(anchors, k=3)
+        .orderBy(F.asc("target"), F.asc("rank"))
+        .limit(60)
+        .select(F.col("target").alias("doc_id"), "anchor", "n", "rank")
+    )
+
+
+SQL_ANCHOR_TOPK = f"""
+WITH {_EDGES_CTE},
+fa AS (SELECT doc_id AS src, regexp_extract(lower(text), '[a-z]+') AS anchor FROM documents),
+c AS (
+  SELECT e.dst AS target, fa.anchor, count(*) AS n
+  FROM edges e JOIN fa ON fa.src = e.src
+  GROUP BY e.dst, fa.anchor
+),
+r AS (
+  SELECT target, anchor, n,
+         row_number() OVER (PARTITION BY target ORDER BY n DESC, anchor) AS rank
+  FROM c
+)
+SELECT target AS doc_id, anchor, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank LIMIT 60
+"""
+
+
+def q_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney ROC-AUC (operators/pipeline.exact_auc) of the
+    document-length score as a ranker for the lang == 'en' label — the
+    threshold-free calibration number for any curation quality score,
+    computed exactly (midrank tie convention) in integer ppm. The value
+    itself is incidental on synthetic data; what the oracle checks is the
+    closed form: doubled midrank sums over distinct-score groups via the
+    distributed two-phase prefix sum, bit-identical to DuckDB's single
+    window."""
+    from crawler_spark.operators.pipeline import exact_auc
+
+    d = _docs(spark, sf_dir).select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return exact_auc(d, "score", "label")
+
+
+SQL_AUC_QUALITY = """
+WITH g AS (
+  SELECT n_chars AS score, count(*) AS c,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p
+  FROM documents GROUP BY 1
+),
+o AS (
+  SELECT score, c, p,
+         coalesce(sum(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM g
+),
+s AS (SELECT sum(p * (2 * cb + c + 1)) AS r2, sum(p) AS np, sum(c) - sum(p) AS nn FROM o)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST((r2 - np * (np + 1)) * 1000000 // (2 * np * nn) AS BIGINT) AS auc_ppm
+FROM s
+"""
+
+
+def q_mirror_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror / syndication detection between sources (operators/dedup.
+    source_overlap, Bharat & Broder WWW 1999): distinct 3-gram shingles
+    lifted to (source, shingle), stop-shingles in more than 10 sources
+    pruned, then source pairs ranked by shared-shingle count with exact
+    containment ppm of the smaller side. The crawl consumer: demote the
+    duplicated side of every detected mirror pair before spending fetch
+    budget on it."""
+    from crawler_spark.operators.dedup import source_overlap
+
+    return source_overlap(
+        _docs(spark, sf_dir), "doc_id", "text", "source",
+        n=3, group_cap=10, top_n=20,
+    )
+
+
+SQL_MIRROR_OVERLAP = _SH_CTE + """
+, gs AS (
+  SELECT DISTINCT d.source AS grp, sh.sh
+  FROM sh JOIN documents d ON d.doc_id = sh.doc
+),
+keep AS (SELECT sh FROM gs GROUP BY sh HAVING count(*) <= 10),
+g2 AS (SELECT gs.grp, gs.sh FROM gs JOIN keep USING (sh)),
+sizes AS (SELECT grp, count(*) AS sz FROM g2 GROUP BY grp),
+pairs AS (
+  SELECT a.grp AS source_a, b.grp AS source_b, count(*) AS n_shared
+  FROM g2 a JOIN g2 b ON a.sh = b.sh AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       CAST(n_shared * 1000000 // least(sa.sz, sb.sz) AS BIGINT) AS containment_ppm
+FROM pairs JOIN sizes sa ON sa.grp = source_a JOIN sizes sb ON sb.grp = source_b
+ORDER BY n_shared DESC, source_a, source_b LIMIT 20
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -4837,4 +5059,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "crawl_host_fairness": QuerySpec(q_crawl_host_fairness, SQL_CRAWL_HOST_FAIRNESS),
     "zipf_slope": QuerySpec(q_zipf_slope, SQL_ZIPF_SLOPE),
     "gopher_rules": QuerySpec(q_gopher_rules, SQL_GOPHER_RULES),
+    "trustrank": QuerySpec(q_trustrank, SQL_TRUSTRANK),
+    "communities": QuerySpec(q_communities, SQL_COMMUNITIES),
+    "anchor_topk": QuerySpec(q_anchor_topk, SQL_ANCHOR_TOPK),
+    "auc_quality": QuerySpec(q_auc_quality, SQL_AUC_QUALITY),
+    "mirror_overlap": QuerySpec(q_mirror_overlap, SQL_MIRROR_OVERLAP),
 }

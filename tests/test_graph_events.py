@@ -236,3 +236,70 @@ def test_hyperball_exact_on_small_ball(spark):
         }
         got = {k: v for k, v in state.items() if k[0] == node}
         assert got == want, node
+
+
+def test_trustrank_unreachable_nodes_get_zero(spark):
+    from crawler_spark.operators.graph import trustrank
+
+    # component A: seed 0 -> 1 -> 2 (back to 0); component B: 3 <-> 4
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    t = {r["node"]: r["trust"] for r in trustrank(df, seeds, n_iter=4).collect()}
+    assert t[0] > 0 and t[1] > 0 and t[2] > 0
+    assert t[3] == 0 and t[4] == 0
+
+
+def test_trustrank_all_seeds_equals_pagerank(spark):
+    from crawler_spark.operators.graph import trustrank
+
+    edges = [(i, 0) for i in range(1, 5)] + [(i, i % 4 + 1) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = df.select(df.src.alias("node")).union(df.select(df.dst)).distinct()
+    pr = {r["node"]: r["pr"] for r in pagerank(df, n_iter=4).collect()}
+    tr = {r["node"]: r["trust"] for r in trustrank(df, seeds, n_iter=4).collect()}
+    # uniform teleport == seeded teleport when every node is a seed:
+    # identical integer recurrence, identical values
+    assert tr == pr
+
+
+def test_trustrank_seed_recurrence_exact_on_2cycle(spark):
+    from crawler_spark.operators.graph import trustrank
+
+    # 0 <-> 1, only 0 seeded: r0 = (SCALE, 0);
+    #   r_i(0) = teleport + 85% of r_{i-1}(1); r_i(1) = 85% of r_{i-1}(0)
+    df = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["trust"] for r in trustrank(df, seeds, n_iter=3).collect()}
+    teleport = (15 * PR_SCALE) // 100
+    r = {0: PR_SCALE, 1: 0}
+    for _ in range(3):
+        r = {
+            0: teleport + (85 * r[1]) // 100,
+            1: (85 * r[0]) // 100,
+        }
+    assert got == r
+
+
+def test_label_propagation_two_cliques(spark):
+    from crawler_spark.operators.graph import community_sizes, label_propagation
+
+    tri = lambda base: [(base, base + 1), (base + 1, base + 2), (base + 2, base)]
+    df = spark.createDataFrame(tri(0) + tri(10), ["src", "dst"])
+    labels = {r["node"]: r["label"] for r in label_propagation(df, n_iter=3).collect()}
+    # each triangle collapses to its smallest member's label
+    assert {labels[0], labels[1], labels[2]} == {0}
+    assert {labels[10], labels[11], labels[12]} == {10}
+    sizes = {r["community"]: r["n_members"] for r in community_sizes(df, n_iter=3).collect()}
+    assert sizes == {0: 3, 10: 3}
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    from crawler_spark.operators.graph import label_propagation
+
+    # path 0 - 1 - 2: node 1 sees labels {0, 2} once each -> takes 0
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    labels = {r["node"]: r["label"] for r in label_propagation(df, n_iter=1).collect()}
+    assert labels[1] == 0
+    # endpoints see only their single neighbor's label
+    assert labels[0] == 1 and labels[2] == 1

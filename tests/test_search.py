@@ -172,3 +172,23 @@ def test_stratified_sample_matches_window_and_is_layout_invariant(spark):
     assert key(
         stratified_sample(df.repartition(16), ["lang", "source"], "doc_id", k=5)
     ) == got
+
+
+def test_anchor_topk_counts_and_ties(spark):
+    from crawler_spark.operators.search import anchor_topk
+
+    rows = (
+        [(1, "b")] * 2 + [(1, "a")] * 2 + [(1, "c")]
+        + [(2, "z")] * 3
+    )
+    df = spark.createDataFrame(rows, ["target", "anchor"])
+    got = {
+        (r["target"], r["rank"]): (r["anchor"], r["n"])
+        for r in anchor_topk(df, k=2).collect()
+    }
+    # target 1: a and b tie at 2 -> 'a' wins rank 1 (anchor asc); c cut by k=2
+    assert got == {
+        (1, 1): ("a", 2),
+        (1, 2): ("b", 2),
+        (2, 1): ("z", 3),
+    }

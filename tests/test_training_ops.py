@@ -761,3 +761,67 @@ def test_gopher_rules_bullet_and_ellipsis_lines(spark, tmp_path):
     assert got[1]["keep"], got[1]
     assert not got[2]["bullet_ok"] and got[2]["ellipsis_ok"]
     assert not got[3]["ellipsis_ok"] and got[3]["bullet_ok"]
+
+
+def test_exact_auc_perfect_separation(spark):
+    from crawler_spark.operators.ordering import release_global_seq
+    from crawler_spark.operators.pipeline import exact_auc
+
+    rows = [(s, 0) for s in (1, 2, 3)] + [(s, 1) for s in (10, 20, 30)]
+    out = exact_auc(spark.createDataFrame(rows, ["score", "label"]), "score", "label")
+    r = out.collect()[0]
+    release_global_seq(out)
+    assert (r["n_pos"], r["n_neg"], r["auc_ppm"]) == (3, 3, 1_000_000)
+
+
+def test_exact_auc_all_tied_is_half(spark):
+    from crawler_spark.operators.ordering import release_global_seq
+    from crawler_spark.operators.pipeline import exact_auc
+
+    rows = [(7, 0)] * 4 + [(7, 1)] * 4
+    out = exact_auc(spark.createDataFrame(rows, ["score", "label"]), "score", "label")
+    r = out.collect()[0]
+    release_global_seq(out)
+    assert r["auc_ppm"] == 500_000
+
+
+def test_exact_auc_hand_computed_with_ties(spark):
+    from crawler_spark.operators.ordering import release_global_seq
+    from crawler_spark.operators.pipeline import exact_auc
+
+    # scores/labels: (1,0) (2,1) (3,0) (3,1) (4,1)
+    # pos-neg pairs: 2>1 win; 2<3 loss; 3>1 win; 3=3 tie (0.5); 4>1,4>3 wins
+    # U = 4.5 of n_pos*n_neg = 6 -> AUC = 0.75 -> 750000 ppm
+    rows = [(1, 0), (2, 1), (3, 0), (3, 1), (4, 1)]
+    out = exact_auc(spark.createDataFrame(rows, ["score", "label"]), "score", "label")
+    r = out.collect()[0]
+    release_global_seq(out)
+    assert (r["n_pos"], r["n_neg"], r["auc_ppm"]) == (3, 2, 750_000)
+
+
+def test_source_overlap_mirror_and_disjoint(spark):
+    from crawler_spark.operators.dedup import source_overlap
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, text, "mirror_a"),
+        (2, text, "mirror_b"),
+        (3, "totally different words nothing shared here at all", "lone"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = source_overlap(df, "doc_id", "text", "source", n=3).collect()
+    assert len(got) == 1  # only the mirror pair; 'lone' shares nothing
+    r = got[0]
+    assert (r["source_a"], r["source_b"]) == ("mirror_a", "mirror_b")
+    assert r["containment_ppm"] == 1_000_000  # full mirror of the smaller side
+    assert r["n_shared"] == 6  # 8 tokens -> 6 distinct 3-gram shingles
+
+
+def test_source_overlap_group_cap_drops_boilerplate(spark):
+    from crawler_spark.operators.dedup import source_overlap
+
+    # the same boilerplate in 4 sources; cap 3 drops those shingles entirely
+    rows = [(i, "one two three four five", f"s{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    assert source_overlap(df, "doc_id", "text", "source", n=3, group_cap=3).count() == 0
+    assert source_overlap(df, "doc_id", "text", "source", n=3, group_cap=4).count() == 6
