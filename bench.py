@@ -125,6 +125,10 @@ HEADLINE = [
     "anchor_topk",
     "auc_quality",
     "mirror_overlap",
+    "opic",
+    "kcore",
+    "vocab_coverage",
+    "dedup_keep_best",
 ]
 
 

@@ -995,3 +995,47 @@ def source_overlap(
         .orderBy(F.desc("n_shared"), F.asc("source_a"), F.asc("source_b"))
         .limit(top_n)
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    cluster_col: str = "cluster",
+    id_col: str = "doc",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Keep-best-per-cluster representative selection: given near-dup
+    cluster assignments (any of neardup_clusters / neardup_clusters_star)
+    and a per-doc quality score, pick ONE representative per cluster — the
+    highest-quality member, ties to the smallest doc id. This is the
+    FineWeb/RefinedWeb retention rule (keep the best copy, drop the rest)
+    as a first-class operator rather than an implicit min-id convention.
+
+    ``quality`` is a (id_col, quality_col) frame; returns
+    (cluster, kept_doc, n_members, quality) one row per cluster.
+
+    Scale: one equality join of the cluster table against the quality
+    table on doc id, then a per-cluster argmax window whose partitions are
+    bounded by cluster size (near-dup clusters are small by construction —
+    a mega-cluster is a dedup bug, see neardup_clusters' convergence
+    guard), never a global window.
+    """
+    j = clusters.select(
+        F.col(cluster_col).alias("cluster"), F.col(id_col).alias("doc")
+    ).join(
+        quality.select(F.col(id_col).alias("doc"), F.col(quality_col).alias("q")),
+        "doc",
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("doc"))
+    wc = Window.partitionBy("cluster")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("long"))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc").alias("kept_doc"),
+            "n_members",
+            F.col("q").alias(quality_col),
+        )
+    )

@@ -453,3 +453,118 @@ def community_sizes(edges: DataFrame, n_iter: int = 3, top_n: int = 20) -> DataF
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(top_n)
     )
+
+
+# ----------------------------------------------------- online importance
+
+def opic(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    scale: int = PR_SCALE,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003): the cash/history importance measure a crawler can
+    maintain WHILE crawling, without waiting for a full PageRank batch.
+    Each node starts with ``scale`` cash; every (synchronous) round it
+    banks its cash into its history and distributes it equally to its
+    out-neighbors:
+
+        C_0(v) = scale,  H_0(v) = 0
+        C_{i+1}(v) = sum_{u->v} C_i(u) DIV out(u)
+        H_{i+1}(v) = H_i(v) + C_i(v)
+        importance = H_n + C_n
+
+    Same exact-int64 fixed-point convention as :func:`pagerank`: floor
+    division makes every intermediate bit-identical across engines and
+    partitionings, so the DuckDB oracle unrolls the identical recurrence
+    and value-checks importance-for-importance. Cash on dangling nodes
+    vanishes when distributed (the paper routes it through a virtual page;
+    omitted so the recurrence stays local — documented drain, same policy
+    as pagerank's dropped dangling mass).
+
+    Scale: per round, the identical co-partitioned edges-vs-state equality
+    join + groupBy(dst) partial-agg sum as pagerank, plus a node-keyed
+    join to roll the history forward; ``checkpoint_every`` truncates
+    lineage on long runs (auto beyond 8 iterations).
+    """
+    if checkpoint_every is None:
+        checkpoint_every = 0 if n_iter <= 8 else 3
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib_src = e.join(deg, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = nodes.select(
+        "node", F.lit(scale).cast("long").alias("c"), F.lit(0).cast("long").alias("h")
+    )
+    for i in range(n_iter):
+        sums = (
+            contrib_src.join(state, contrib_src.src == state.node)
+            .select("dst", F.expr("c DIV outdeg").alias("_m"))
+            .groupBy("dst")
+            .agg(F.sum("_m").alias("m"))
+        )
+        state = (
+            state.join(sums, state.node == sums.dst, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("c"),
+                (F.col("h") + F.col("c")).cast("long").alias("h"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        "node", "c", "h", (F.col("c") + F.col("h")).cast("long").alias("importance")
+    )
+
+
+# ----------------------------------------------------- k-core structure
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, rounds: int = 4
+) -> DataFrame:
+    """Bounded k-core peeling over the undirected link graph: ``rounds``
+    synchronous rounds of removing every node whose degree (among
+    survivors) is below ``k``. After enough rounds the survivor set IS the
+    k-core (Seidman 1983); with bounded rounds it is a deterministic
+    over-approximation — exactly what a crawl-quality pass wants as a
+    link-farm/core-web signal without an unbounded convergence loop (the
+    fixed unroll is also what lets the DuckDB oracle value-check survivor
+    degrees node-for-node).
+
+    Returns (node, degree): survivors with their degree restricted to the
+    final survivor set.
+
+    Scale: adjacency is static; each round re-joins it against the current
+    (shrinking) survivor set on both endpoints and recounts degrees — two
+    equality joins + one groupBy per round, all map-side combinable, no
+    window. Survivor sets only shrink, so per-round shuffle volume is
+    monotonically non-increasing (the neardup_clusters_star property).
+    """
+    und = undirect(edges)
+    adj = und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).union(
+        und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    alive = adj.select("node").distinct()
+    for _ in range(rounds):
+        alive = (
+            adj.join(alive, "node")
+            .join(alive.select(F.col("node").alias("nbr")), "nbr")
+            .groupBy("node")
+            .agg(F.count("*").alias("_deg"))
+            .where(F.col("_deg") >= k)
+            .select("node")
+        )
+    return (
+        adj.join(alive, "node")
+        .join(alive.select(F.col("node").alias("nbr")), "nbr")
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )

@@ -497,3 +497,56 @@ def bpe_compression(vocab: DataFrame, n_merges: int = 5) -> DataFrame:
             (F.col("tokens_before") - F.col("tokens_after")).alias("saved"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Per-group vocabulary coverage / OOV rate against the corpus's own
+    top-``vocab_size`` vocabulary — the tokenizer-budget audit a training
+    pipeline runs before fixing a vocab: what fraction of each source's
+    token OCCURRENCES a closed vocabulary of the global head covers
+    (the complement is the OOV/byte-fallback rate that inflates sequence
+    lengths for that source).
+
+    Returns (group, total_tokens, covered, coverage_ppm) — coverage in
+    exact floor parts-per-million so the DuckDB twin value-hashes.
+
+    Scale: token counts aggregate map-side per (word) — vocabulary-sized,
+    not corpus-sized; the global top-V is a sort of the VOCABULARY table
+    (bounded, never the token stream) and joins back to the stream as a
+    broadcast membership flag; the final rollup is one groupBy(group).
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0))
+        ).alias("word"),
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("word"))
+        .limit(vocab_size)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("_in_vocab"), F.lit(0))).cast("long").alias("covered"),
+        )
+        .select(
+            group_col,
+            "total_tokens",
+            "covered",
+            F.expr("CAST(covered * 1000000 DIV total_tokens AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -4932,6 +4932,176 @@ ORDER BY n_shared DESC, source_a, source_b LIMIT 20
 """
 
 
+
+def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC online importance (operators/graph.opic, Abiteboul et al. WWW
+    2003) over the shared synthetic link graph — the importance measure a
+    crawler maintains incrementally while crawling, here as 5 synchronous
+    cash/history rounds in exact int64 fixed point. The oracle unrolls the
+    identical recurrence with both accumulators and value-checks
+    importance-for-importance. Frontier consumer: schedule by importance
+    instead of static priority (the adaptive-ordering companion to
+    recrawl_priority)."""
+    from crawler_spark.operators.graph import opic
+
+    return (
+        opic(_synth_edges(spark, sf_dir), n_iter=5)
+        .orderBy(F.desc("importance"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "importance")
+    )
+
+
+def _opic_sql(n_iter: int = 5) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE},",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "o0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS c, CAST(0 AS BIGINT) AS h FROM nodes),",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""o{i} AS (
+  SELECT p.node,
+         CAST(coalesce(s.m, 0) AS BIGINT) AS c,
+         CAST(p.h + p.c AS BIGINT) AS h
+  FROM o{i - 1} p LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.c // d.outdeg) AS m
+    FROM edges e JOIN o{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) s ON p.node = s.node
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node AS doc_id, CAST(c + h AS BIGINT) AS importance FROM o{n_iter} "
+        "ORDER BY importance DESC, node LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+SQL_OPIC = _opic_sql(5)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (operators/graph.kcore_peel, Seidman 1983;
+    k=4, 3 synchronous peel rounds) over the undirected synthetic link
+    graph: survivors with their degree restricted to the survivor set —
+    the dense-core / link-farm structural signal. Top-20 by final degree;
+    the oracle unrolls the same 3 peel rounds."""
+    from crawler_spark.operators.graph import kcore_peel
+
+    return (
+        kcore_peel(_synth_edges(spark, sf_dir), k=4, rounds=3)
+        .orderBy(F.desc("degree"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "degree")
+    )
+
+
+def _kcore_sql(k: int = 4, rounds: int = 3) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE},",
+        "und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges WHERE src <> dst),",
+        "adj AS (SELECT lo AS node, hi AS nbr FROM und UNION SELECT hi AS node, lo AS nbr FROM und),",
+        "a0 AS (SELECT DISTINCT node FROM adj),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT node FROM (
+    SELECT adj.node, count(*) AS c
+    FROM adj JOIN a{i - 1} x ON adj.node = x.node JOIN a{i - 1} y ON adj.nbr = y.node
+    GROUP BY adj.node) t WHERE c >= {k}
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""SELECT adj.node AS doc_id, count(*) AS degree
+FROM adj JOIN a{rounds} x ON adj.node = x.node JOIN a{rounds} y ON adj.nbr = y.node
+GROUP BY adj.node ORDER BY degree DESC, doc_id LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+SQL_KCORE = _kcore_sql(4, 3)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary coverage vs the corpus's global top-100 head
+    vocabulary (operators/lm.vocab_coverage): the closed-vocab / OOV-rate
+    audit run before fixing a tokenizer budget — sources with low coverage
+    pay the byte-fallback sequence-length tax. Exact floor-ppm integers."""
+    from crawler_spark.operators.lm import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), "text", "source", vocab_size=100)
+
+
+SQL_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+counts AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+vocab AS (SELECT word FROM counts ORDER BY c DESC, word LIMIT 100)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+       CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS coverage_ppm
+FROM toks LEFT JOIN vocab v ON v.word = toks.word
+GROUP BY source ORDER BY source
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style keep-best-per-cluster retention (operators/dedup.
+    cluster_representatives): MinHash near-dup clusters -> one
+    representative per cluster, chosen by highest n_chars (ties to the
+    smallest doc id) — the retention rule a curation pipeline applies
+    instead of the implicit min-id convention. The oracle reruns the
+    recursive-CTE transitive closure plus the same argmax."""
+    clusters = dedup.neardup_clusters(
+        dedup.minhash_lsh_dedup(_docs(spark, sf_dir), "doc_id", "text", threshold=0.5)
+    )
+    quality = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("doc"), F.col("n_chars").alias("quality")
+    )
+    return dedup.cluster_representatives(clusters, quality).orderBy("cluster")
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "WITH RECURSIVE pr AS (" + SQL_DEDUP_MINHASH_LSH + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pr
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pr
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cl AS (
+  SELECT src AS doc, least(src, min(dst)) AS cluster
+  FROM reach GROUP BY src
+),
+j AS (
+  SELECT cl.cluster, cl.doc, d.n_chars AS q
+  FROM cl JOIN documents d ON d.doc_id = cl.doc
+),
+r AS (
+  SELECT cluster, doc, q,
+         row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS n_members
+  FROM j
+)
+SELECT cluster, doc AS kept_doc, CAST(n_members AS BIGINT) AS n_members,
+       q AS quality
+FROM r WHERE rn = 1 ORDER BY cluster
+"""
+)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -5064,4 +5234,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "anchor_topk": QuerySpec(q_anchor_topk, SQL_ANCHOR_TOPK),
     "auc_quality": QuerySpec(q_auc_quality, SQL_AUC_QUALITY),
     "mirror_overlap": QuerySpec(q_mirror_overlap, SQL_MIRROR_OVERLAP),
+    "opic": QuerySpec(q_opic, SQL_OPIC),
+    "kcore": QuerySpec(q_kcore, SQL_KCORE),
+    "vocab_coverage": QuerySpec(q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
 }

@@ -303,3 +303,38 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
     assert labels[1] == 0
     # endpoints see only their single neighbor's label
     assert labels[0] == 1 and labels[2] == 1
+
+
+def test_opic_cash_conserved_on_2cycle(spark):
+    from crawler_spark.operators.graph import opic
+
+    # 0 <-> 1: each round the full cash S swaps sides and S banks into
+    # history, so importance = c + h = (i+1) * S exactly on both nodes
+    df = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    for n in (1, 3):
+        got = {r["node"]: r["importance"] for r in opic(df, n_iter=n).collect()}
+        assert got == {0: (n + 1) * PR_SCALE, 1: (n + 1) * PR_SCALE}
+
+
+def test_opic_dangling_cash_drains(spark):
+    from crawler_spark.operators.graph import opic
+
+    # 0 -> 1, node 1 dangling: its cash vanishes when distributed
+    df = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    got = {
+        r["node"]: (r["c"], r["h"], r["importance"])
+        for r in opic(df, n_iter=2).collect()
+    }
+    s = PR_SCALE
+    assert got[0] == (0, s, s)  # kept its banked round-0 cash only
+    assert got[1] == (0, 2 * s, 2 * s)  # banked own + received, then drained
+
+
+def test_kcore_peels_pendant_keeps_triangle(spark):
+    from crawler_spark.operators.graph import kcore_peel
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0)]  # triangle + pendant 3
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["degree"] for r in kcore_peel(df, k=2, rounds=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    assert kcore_peel(df, k=3, rounds=2).count() == 0

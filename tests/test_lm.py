@@ -274,3 +274,16 @@ def test_zipf_slope_hand_computed(spark):
     one = spark.createDataFrame([(1, "solo"), (2, "solo")], ["doc_id", "word"])
     r1 = zipf_slope(one).collect()[0]
     assert (r1["n_vocab"], r1["neg_slope_milli"]) == (1, None)
+
+
+def test_vocab_coverage_ppm_exact(spark):
+    from crawler_spark.operators.lm import vocab_coverage
+
+    rows = [(1, "aa bb aa", "A"), (2, "aa cc", "B")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["source"]: (r["total_tokens"], r["covered"], r["coverage_ppm"])
+        for r in vocab_coverage(df, "text", "source", vocab_size=1).collect()
+    }
+    # global counts: aa=3, bb=1, cc=1 -> vocab {aa}
+    assert got == {"A": (3, 2, 666_666), "B": (2, 1, 500_000)}

@@ -825,3 +825,24 @@ def test_source_overlap_group_cap_drops_boilerplate(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     assert source_overlap(df, "doc_id", "text", "source", n=3, group_cap=3).count() == 0
     assert source_overlap(df, "doc_id", "text", "source", n=3, group_cap=4).count() == 6
+
+
+def test_cluster_representatives_keep_best(spark):
+    from crawler_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame([(1, 1), (2, 1), (3, 3)], ["doc", "cluster"])
+    quality = spark.createDataFrame([(1, 5), (2, 9), (3, 7)], ["doc", "quality"])
+    got = {
+        r["cluster"]: (r["kept_doc"], r["n_members"], r["quality"])
+        for r in cluster_representatives(clusters, quality).collect()
+    }
+    assert got == {1: (2, 2, 9), 3: (3, 1, 7)}
+
+
+def test_cluster_representatives_tie_breaks_to_min_doc(spark):
+    from crawler_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame([(4, 0), (9, 0)], ["doc", "cluster"])
+    quality = spark.createDataFrame([(4, 7), (9, 7)], ["doc", "quality"])
+    [r] = cluster_representatives(clusters, quality).collect()
+    assert (r["cluster"], r["kept_doc"], r["n_members"]) == (0, 4, 2)
