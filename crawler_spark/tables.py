@@ -268,6 +268,126 @@ class SnapshotCatalog:
                 out.append({"round": m["round"], **m.get("metrics", {})})
         return out
 
+    # -- time travel / incremental reads (Iceberg snapshot semantics) ------
+
+    def snapshot_chain(self) -> list[tuple[str, dict]]:
+        """(name, manifest) pairs from CURRENT back to the first commit,
+        newest first, via parent pointers — the committed snapshot log
+        (orphan manifests from a kill between manifest write and CURRENT
+        swap are unreachable and never appear, same contract as
+        metrics_history)."""
+        name = self._current_name()
+        chain: list[tuple[str, dict]] = []
+        seen: set[str] = set()
+        while name and name not in seen:
+            seen.add(name)
+            m = self._load_manifest(name)
+            if m is None:
+                break
+            chain.append((name, m))
+            name = m.get("parent")
+        return chain
+
+    def snapshots(self) -> list[dict]:
+        """Committed snapshot log, newest first: {name, round, metrics}."""
+        return [
+            {"name": n, "round": m["round"], "metrics": m.get("metrics", {})}
+            for n, m in self.snapshot_chain()
+        ]
+
+    def manifest_as_of(self, round_no: int) -> dict | None:
+        """Newest committed manifest with round <= round_no, or None if the
+        crawl had not reached ``round_no`` yet."""
+        for _, m in self.snapshot_chain():
+            if m["round"] <= round_no:
+                return m
+        return None
+
+    def read_as_of(
+        self, spark: SparkSession, table: str, round_no: int
+    ) -> DataFrame | None:
+        """Time-travel read: ``table`` exactly as committed at ``round_no``
+        (Iceberg VERSION AS OF). Every commit writes new dirs/files and the
+        manifest swap is what publishes them, so superseded snapshots stay
+        readable until a maintenance op (compact_*, expire) physically
+        rewrites — the expire_snapshots trade-off, documented not hidden.
+        url_seen is scanned as the committed FILE LIST (non-destructive,
+        unbucketed): time travel is an analytics path, not the hot dedup
+        anti-join."""
+        m = self.manifest_as_of(round_no)
+        if m is None or table not in m.get("tables", {}) or not m["tables"][table]:
+            return None
+        if table == "url_seen" and "seen" in m:
+            meta = m["seen"]
+            d = os.path.join(self.root, meta["dir"])
+            return spark.read.parquet(
+                *[os.path.join(d, f) for f in sorted(meta["files"])]
+            )
+        if table == "frontier" and "frontier_buckets" in m:
+            return self._read_frontier_buckets(spark, m["frontier_buckets"])
+        paths = [os.path.join(self.root, p) for p in m["tables"][table]]
+        return spark.read.parquet(*paths)
+
+    def read_increment(
+        self, spark: SparkSession, table: str, from_round: int, to_round: int
+    ) -> DataFrame | None:
+        """Incremental (CDC-style) read: rows APPENDED to ``table`` after
+        the ``from_round`` snapshot, up to and including ``to_round`` —
+        Iceberg's incremental-consumption pattern, resolved purely from
+        manifest file sets (no data comparison, no shuffle: the increment
+        is exactly the dirs the newer manifest lists that the older one
+        does not).
+
+        Defined only while every commit in between touched ``table`` with
+        append ops; a replace/compaction in the window makes "what was
+        added" ill-defined at the file level, so this raises ValueError
+        (Iceberg raises on overwrite snapshots in incremental scans the
+        same way). Returns None if ``table`` is absent at ``to_round``; an
+        empty (0-row, schema-correct) frame if no files were added.
+        """
+        mf = self.manifest_as_of(from_round)
+        mt = self.manifest_as_of(to_round)
+        if mt is None or table not in mt.get("tables", {}):
+            return None
+        # lineage audit over the (from, to] window, newest-first chain
+        for _, m in self.snapshot_chain():
+            if m["round"] <= (mf["round"] if mf else -1):
+                break
+            if m["round"] > mt["round"]:
+                continue
+            for op in m.get("lineage", {}).get(table, []):
+                if op.get("op") != "append":
+                    raise ValueError(
+                        f"incremental read of {table!r} undefined across "
+                        f"round {m['round']}: non-append op {op.get('op')!r} "
+                        "in the window (compaction/replace rewrites files)"
+                    )
+        if table == "url_seen" and "seen" in mt:
+            old = set(mf["seen"]["files"]) if mf and "seen" in mf else set()
+            meta = mt["seen"]
+            new = [f for f in sorted(meta["files"]) if f not in old]
+            d = os.path.join(self.root, meta["dir"])
+            if mf and "seen" in mf and mf["seen"]["dir"] != meta["dir"]:
+                raise ValueError(
+                    f"incremental read of {table!r} undefined: seen-table "
+                    "generation changed in the window (compaction)"
+                )
+            base = [os.path.join(d, f) for f in (new or sorted(meta["files"]))]
+            out = spark.read.parquet(*base)
+            return out if new else out.limit(0)
+        dirs_to = mt["tables"].get(table, [])
+        dirs_from = set(mf["tables"].get(table, [])) if mf else set()
+        if not set(dirs_from) <= set(dirs_to):
+            raise ValueError(
+                f"incremental read of {table!r} undefined: snapshot at round "
+                f"{mt['round']} dropped dirs present at round "
+                f"{mf['round'] if mf else -1}"
+            )
+        new_dirs = [d for d in dirs_to if d not in dirs_from]
+        paths = [os.path.join(self.root, p) for p in (new_dirs or dirs_to)]
+        out = spark.read.parquet(*paths)
+        return out if new_dirs else out.limit(0)
+
     # -- commit protocol ---------------------------------------------------
 
     def begin(self, round_no: int, tag: str | None = None) -> "RoundCommit":
