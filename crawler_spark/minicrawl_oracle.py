@@ -384,6 +384,63 @@ SELECT round, seq, canonical FROM orders_upto{MAX_ROUNDS - 1}
 """
 
 
+def sql_crawl_time_travel(as_of_round: int = 2) -> str:
+    """Snapshot time-travel twin (tables.read_as_of / read_increment).
+
+    The catalog contract: the ``pages`` table as committed at round k is
+    exactly the scheduled fetches of rounds 0..k (append-only sink, one row
+    per admitted URL, plans/round.py S7), and the CDC increment (k, cur]
+    is exactly the rows appended after that snapshot. So the twin is the
+    unrolled scheduled set tagged by round — 'asof' for round <= k,
+    'increment' above — with the fetch-outcome flag carried through.
+    """
+    inputs = mini_inputs_dir()
+    rounds = ",\n".join(_round_ctes(r) for r in range(MAX_ROUNDS))
+    pages = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, seq, canonical, success FROM outc{r}"
+        for r in range(MAX_ROUNDS)
+    )
+    return f"""WITH {_common_ctes(inputs)},
+{rounds},
+pages AS ({pages})
+SELECT CASE WHEN round <= {as_of_round} THEN 'asof' ELSE 'increment' END AS part,
+       round, seq, canonical, success
+FROM pages
+"""
+
+
+def sql_crawl_round_metrics() -> str:
+    """Committed per-round metrics twin (tables.metrics_history).
+
+    Each committed round's manifest records scheduled / completed /
+    failed_or_retry / skipped / fresh (plans/round.py set_metrics); the
+    engine commits a round only when it admits at least one URL
+    (admitted_cnt == 0 advances the virtual clock without committing), so
+    the twin is the unrolled per-round counts filtered to scheduled > 0:
+    scheduled = |adm|, completed = successful outcomes, skipped = eligible
+    rows whose first matching robots rule denies, fresh = |new|.
+    """
+    inputs = mini_inputs_dir()
+    rounds = ",\n".join(_round_ctes(r) for r in range(MAX_ROUNDS))
+    per_round = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS round,
+       (SELECT count(*) FROM adm{r}) AS scheduled,
+       (SELECT count(*) FROM outc{r} WHERE success) AS completed,
+       (SELECT count(*) FROM outc{r} WHERE NOT success) AS failed_or_retry,
+       (SELECT count(*) FROM elig{r} e
+        JOIN (SELECT canonical, allow FROM rbm{r} WHERE rn = 1) m
+          USING (canonical)
+        WHERE NOT m.allow) AS skipped,
+       (SELECT count(*) FROM new{r}) AS fresh"""
+        for r in range(MAX_ROUNDS)
+    )
+    return f"""WITH {_common_ctes(inputs)},
+{rounds},
+metrics AS ({per_round})
+SELECT * FROM metrics WHERE scheduled > 0
+"""
+
+
 def sql_crawl_media_features() -> str:
     """Media spans of completed pages + fake-backend features, per round.
 

@@ -3805,14 +3805,25 @@ def _mini_crawl_workdir(spark: SparkSession) -> str:
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     workdir = os.path.join(tempfile.gettempdir(), f"crawler-spark-mini-{tag}")
     cfg = CrawlConfig(max_pages=60, max_rounds=6, n_host_buckets=4)
-    run_crawl(
-        spark,
-        workdir,
-        to_documents_df(spark, documents),
-        to_robots_df(spark, robots),
-        seeds,
-        cfg,
-    )
+    # Inter-PROCESS writer lock: the catalog's commit protocol is
+    # single-writer, but two sessions (e.g. pytest and check_oracle.py) can
+    # reach the same digest-keyed workdir concurrently and race run_crawl —
+    # one resumes mid-way through the other's commits and the merged crawl
+    # order is garbage. flock serializes them; the loser of the race then
+    # RESUMES the completed crawl, which is an idempotent no-op.
+    import fcntl
+
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, ".writer.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        run_crawl(
+            spark,
+            workdir,
+            to_documents_df(spark, documents),
+            to_robots_df(spark, robots),
+            seeds,
+            cfg,
+        )
     return workdir
 
 
@@ -3872,16 +3883,77 @@ def q_crawl_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel + CDC increment THROUGH the committed catalog
+    (tables.SnapshotCatalog.read_as_of / read_increment — Iceberg VERSION
+    AS OF and incremental-scan semantics over the manifest chain): the
+    ``pages`` table exactly as committed at round 2 ('asof') unioned with
+    the rows appended after that snapshot ('increment'). Resolved purely
+    from committed manifests — no data comparison, no shuffle; the
+    increment is the file-set difference between snapshots.
+
+    Value-checked by SQL_CRAWL_TIME_TRAVEL: the unrolled 6-round DuckDB
+    contract tags each scheduled fetch by round <= 2, which must equal the
+    snapshot/increment split the catalog reconstructs from its manifests.
+    """
+    from crawler_spark.tables import SnapshotCatalog
+
+    as_of = 2
+    workdir = _mini_crawl_workdir(spark)
+    cat = SnapshotCatalog(workdir)
+    cols = ["round", "seq", "canonical", "success"]
+    asof = cat.read_as_of(spark, "pages", as_of).select(
+        F.lit("asof").alias("part"), *cols
+    )
+    inc = cat.read_increment(spark, "pages", as_of, cat.current_round()).select(
+        F.lit("increment").alias("part"), *cols
+    )
+    return asof.unionAll(inc).orderBy("round", "seq")
+
+
+def q_crawl_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round crawl metrics exactly as COMMITTED to the catalog manifests
+    (tables.metrics_history — the north-rule 'per-partition lineage +
+    metrics' leg): scheduled / completed / failed_or_retry / skipped /
+    fresh per committed round, read back from the manifest chain, no data
+    scan at all. The DuckDB twin (SQL_CRAWL_ROUND_METRICS) recomputes every
+    counter from the unrolled 6-round contract, so what the engine CLAIMS
+    in its commit metadata is value-checked against what the crawl
+    semantics say it must have done.
+    """
+    from crawler_spark.tables import SnapshotCatalog
+
+    workdir = _mini_crawl_workdir(spark)
+    hist = SnapshotCatalog(workdir).metrics_history()
+    rows = [
+        (
+            int(m["round"]), int(m["scheduled"]), int(m["completed"]),
+            int(m["failed_or_retry"]), int(m["skipped"]), int(m["fresh"]),
+        )
+        for m in hist
+        if m.get("round", -1) >= 0 and m.get("scheduled") is not None
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, scheduled long, completed long, failed_or_retry long, "
+        "skipped long, fresh long",
+    ).orderBy("round")
+
+
 # Built at import: materializes the tiny corpus parquet for DuckDB (pyarrow,
 # idempotent) and code-generates the 6-round unrolled SQL. See
 # crawler_spark/minicrawl_oracle.py for the contract mapping.
 from crawler_spark.minicrawl_oracle import (  # noqa: E402
     sql_crawl_media_features as _sql_cmf,
     sql_crawl_order_mini as _sql_com,
+    sql_crawl_round_metrics as _sql_crm,
+    sql_crawl_time_travel as _sql_ctt,
 )
 
 SQL_CRAWL_ORDER_MINI = _sql_com()
 SQL_CRAWL_MEDIA_FEATURES = _sql_cmf()
+SQL_CRAWL_TIME_TRAVEL = _sql_ctt()
+SQL_CRAWL_ROUND_METRICS = _sql_crm()
 
 
 # --------------------------------------------------------------------------
@@ -5124,6 +5196,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "crawl_media_features": QuerySpec(
         q_crawl_media_features, SQL_CRAWL_MEDIA_FEATURES
     ),
+    "crawl_time_travel": QuerySpec(q_crawl_time_travel, SQL_CRAWL_TIME_TRAVEL),
+    "crawl_round_metrics": QuerySpec(q_crawl_round_metrics, SQL_CRAWL_ROUND_METRICS),
     # -- dedup ----------------------------------------------------------------
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),

@@ -89,6 +89,18 @@ def test_increment_url_seen_matches_as_of_difference(spark, crawled):
     assert inc == late - early
 
 
+def test_metrics_history_matches_snapshot_chain(crawled):
+    # the counters each round COMMITS to its manifest are the same counters
+    # the catalog reads back via the parent chain (crawl_round_metrics's
+    # Spark-side source); committed rounds are exactly the chain's rounds
+    hist = [m for m in crawled.metrics_history() if m.get("scheduled") is not None]
+    chain_rounds = sorted(m["round"] for _, m in crawled.snapshot_chain() if m["round"] >= 0)
+    assert sorted(m["round"] for m in hist) == chain_rounds
+    for m in hist:
+        assert m["failed_or_retry"] == m["scheduled"] - m["completed"]
+        assert m["scheduled"] > 0  # admitted_cnt == 0 rounds never commit
+
+
 def test_increment_raises_on_replace_in_window(spark, crawled):
     # frontier is replaced (dirty-bucket rewrite) every round: the
     # incremental contract is undefined and must refuse, not guess
