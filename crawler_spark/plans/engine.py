@@ -183,9 +183,17 @@ def run_crawl(
         # not race a live round's staged files)
         catalog.cleanup_orphan_seen()
 
-    scheduled_total = sum(
-        m.get("scheduled", 0) for m in catalog.metrics_history()
+    # budget accounting across resume: prefer the newest committed CUMULATIVE
+    # counter — after expire_snapshots truncates the manifest chain, summing
+    # the partial history would undercount and overshoot max_pages. Catalogs
+    # from before the counter fall back to the sum (their chain is complete).
+    hist = catalog.metrics_history()
+    scheduled_total = next(
+        (m["scheduled_cum"] for m in reversed(hist) if "scheduled_cum" in m),
+        None,
     )
+    if scheduled_total is None:
+        scheduled_total = sum(m.get("scheduled", 0) for m in hist)
     rnd = catalog.current_round() + 1
     rounds, stopped = [], None
     while rnd < cfg.max_rounds:

@@ -500,6 +500,9 @@ def run_round(
     t_now = time.time()
     commit.set_metrics(
         scheduled=scheduled_cnt,
+        # cumulative across the whole crawl: what resume budget accounting
+        # reads after expire_snapshots truncates the per-round history
+        scheduled_cum=scheduled_total + scheduled_cnt,
         completed=completed_cnt,
         failed_or_retry=scheduled_cnt - completed_cnt,
         skipped=skipped_cnt,

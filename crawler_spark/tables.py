@@ -315,6 +315,10 @@ class SnapshotCatalog:
         unbucketed): time travel is an analytics path, not the hot dedup
         anti-join."""
         m = self.manifest_as_of(round_no)
+        if m is None and self._history_truncated():
+            raise ValueError(
+                f"snapshot as of round {round_no} expired (expire_snapshots)"
+            )
         if m is None or table not in m.get("tables", {}) or not m["tables"][table]:
             return None
         if table == "url_seen" and "seen" in m:
@@ -346,6 +350,11 @@ class SnapshotCatalog:
         empty (0-row, schema-correct) frame if no files were added.
         """
         mf = self.manifest_as_of(from_round)
+        if mf is None and self._history_truncated():
+            raise ValueError(
+                f"incremental read from round {from_round}: snapshot expired "
+                "(expire_snapshots removed it; the increment base is gone)"
+            )
         mt = self.manifest_as_of(to_round)
         if mt is None or table not in mt.get("tables", {}):
             return None
@@ -496,6 +505,68 @@ class SnapshotCatalog:
         commit.set_metrics(compacted_dirs=n_dirs, maintenance=True)
         commit.commit()
         return n_dirs
+
+    def _history_truncated(self) -> bool:
+        """True when the oldest reachable manifest names a parent that no
+        longer exists — i.e. expire_snapshots removed part of the chain."""
+        chain = self.snapshot_chain()
+        if not chain:
+            return False
+        parent = chain[-1][1].get("parent")
+        return parent is not None and self._load_manifest(parent) is None
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """WRITER-ONLY maintenance (Iceberg ``expire_snapshots``): keep the
+        newest ``keep_last`` committed snapshots; delete every older or
+        unreachable manifest, every data dir no kept manifest references,
+        and every url_seen part-file no kept manifest lists.
+
+        This is what bounds catalog disk at 10^10 scale — append tables
+        keep their data (CURRENT references all their dirs cumulatively),
+        but superseded frontier/seen generations and their manifests go.
+        Afterwards time travel reaches exactly the kept window: read_as_of /
+        read_increment below it raise ValueError (Iceberg's "cannot find
+        snapshot"), never silently misreport. Returns removal counts.
+        """
+        assert keep_last >= 1
+        kept = self.snapshot_chain()[:keep_last]
+        kept_names = {n for n, _ in kept}
+        ref_dirs: set[str] = set()
+        seen_files: dict[str, set[str]] = {}
+        for _, m in kept:
+            for dirs in m.get("tables", {}).values():
+                ref_dirs.update(dirs)
+            if "seen" in m:
+                ref_dirs.add(m["seen"]["dir"])
+                seen_files.setdefault(m["seen"]["dir"], set()).update(
+                    m["seen"]["files"]
+                )
+            if "frontier_buckets" in m:
+                fb = m["frontier_buckets"]
+                ref_dirs.add(fb["default"])
+                ref_dirs.update(fb["map"].values())
+        n_manifests = 0
+        cdir = os.path.join(self.root, "_commits")
+        for name in os.listdir(cdir):
+            if name.endswith(".json") and name not in kept_names:
+                os.remove(os.path.join(cdir, name))
+                n_manifests += 1
+        n_dirs = 0
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if table == "_commits" or not os.path.isdir(tdir):
+                continue
+            for d in os.listdir(tdir):
+                if f"{table}/{d}" not in ref_dirs:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    n_dirs += 1
+        n_seen = 0
+        for rel, files in seen_files.items():
+            d = os.path.join(self.root, rel)
+            for f in _part_files(d) - files:
+                os.remove(os.path.join(d, f))
+                n_seen += 1
+        return {"manifests": n_manifests, "dirs": n_dirs, "seen_files": n_seen}
 
     def expire_orphans(self) -> int:
         """X6 maintenance: delete data dirs not referenced by CURRENT."""

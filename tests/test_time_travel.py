@@ -106,3 +106,48 @@ def test_increment_raises_on_replace_in_window(spark, crawled):
     # incremental contract is undefined and must refuse, not guess
     with pytest.raises(ValueError, match="non-append"):
         crawled.read_increment(spark, "frontier", 0, crawled.current_round())
+
+
+def test_expire_snapshots_bounds_history(spark, tmp_path):
+    # own workdir: expiry mutates the catalog, the shared fixture stays clean
+    documents, seeds, robots = gen_corpus(hosts=2, pages_per_host=6, seed=11)
+    wd = str(tmp_path / "exp")
+    cfg = CrawlConfig(max_pages=30, max_rounds=4)
+    run_crawl(
+        spark, wd, to_documents_df(spark, documents),
+        to_robots_df(spark, robots), seeds, cfg,
+    )
+    cat = SnapshotCatalog(wd)
+    cur = cat.current_round()
+    n_before = len(cat.snapshots())
+    assert n_before >= 4  # init + >=3 rounds
+    total_pages = cat.read(spark, "pages").count()
+    seen_before = cat.read_seen(spark).count()
+
+    removed = cat.expire_snapshots(keep_last=2)
+    assert removed["manifests"] >= n_before - 2
+    assert len(cat.snapshots()) == 2
+
+    # current state fully intact after physical deletion
+    assert cat.read(spark, "pages").count() == total_pages
+    assert cat.read_seen(spark).count() == seen_before
+    assert cat.read(spark, "frontier").count() > 0
+
+    # kept window still time-travels; below it raises, never misreports
+    prev = cur - 1
+    assert cat.read_as_of(spark, "pages", prev).count() <= total_pages
+    assert cat.read_increment(spark, "pages", prev, cur).count() > 0
+    with pytest.raises(ValueError, match="expired"):
+        cat.read_as_of(spark, "pages", prev - 1)
+    with pytest.raises(ValueError, match="expired"):
+        cat.read_increment(spark, "pages", prev - 1, cur)
+
+    # resume after expiry: cumulative budget counter keeps max_pages honest
+    # (summing the truncated history would undercount and overshoot)
+    hist = cat.metrics_history()
+    assert any("scheduled_cum" in m for m in hist)
+    out = run_crawl(
+        spark, wd, to_documents_df(spark, documents),
+        to_robots_df(spark, robots), seeds, cfg,
+    )
+    assert out["scheduled_total"] <= cfg.max_pages
