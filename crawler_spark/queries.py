@@ -4057,6 +4057,81 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the PRODUCTION MinHash-LSH configuration (K=64,
+    16 bands of 4) against exact ground truth on the same corpus: truth =
+    the prefix-filter exact Jaccard join (provably no false negatives,
+    tests/test_dedup_recall.py), caught = the banded LSH pipeline's
+    verified pairs. The ann_int8_recall pattern applied to the flagship
+    dedup family — the number an operator reads before trusting the
+    approximate path at 100 TB, value-checked (n_true, n_caught,
+    recall_bp) against the composed DuckDB twin."""
+    from crawler_spark.operators.dedup import minhash_lsh_dedup, prefix_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    truth = prefix_jaccard_pairs(
+        docs, "doc_id", "text", n=3, th_num=1, th_den=2
+    ).select("doc_a", "doc_b")
+    caught = minhash_lsh_dedup(
+        docs, "doc_id", "text", threshold=0.5, k=64, band_size=4
+    ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    return truth.join(caught, ["doc_a", "doc_b"], "left").agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_caught"),
+        F.expr(
+            "CASE WHEN count(*) = 0 THEN 10000 "
+            "ELSE (sum(coalesce(hit, 0)) * 10000) div count(*) END"
+        ).cast("long").alias("recall_bp"),
+    )
+
+
+_K64_MH = ", ".join(f"min({minhash_term_sql(i, 'sh')}) AS mh{i}" for i in range(64))
+_K64_BANDS = ", ".join(
+    "concat(" + ", ':', ".join([str(b)] + [f"mh{b * 4 + j}" for j in range(4)]) + ")"
+    for b in range(16)
+)
+SQL_MINHASH_RECALL = _SH_CTE + f"""
+, sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc)
+, sig AS (SELECT doc, {_K64_MH} FROM sh GROUP BY doc)
+, bands AS (SELECT doc, unnest([{_K64_BANDS}]) AS band FROM sig)
+, cpairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.doc < b.doc)
+, cinter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+             FROM cpairs p JOIN sh x ON x.doc = p.doc_a
+                           JOIN sh y ON y.doc = p.doc_b AND y.sh = x.sh
+             GROUP BY p.doc_a, p.doc_b)
+, caught AS (SELECT i.doc_a, i.doc_b
+             FROM cinter i JOIN sizes sa ON sa.doc = i.doc_a
+                           JOIN sizes sb ON sb.doc = i.doc_b
+             WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5)
+, dfc AS (SELECT sh, count(*) AS sdf FROM sh GROUP BY sh)
+, ranked AS (SELECT s.doc, s.sh,
+                    row_number() OVER (PARTITION BY s.doc ORDER BY d.sdf, s.sh) AS pos,
+                    count(*) OVER (PARTITION BY s.doc) AS n_sh
+             FROM sh s JOIN dfc d ON s.sh = d.sh)
+, prefix AS (SELECT doc, sh FROM ranked
+             WHERE pos <= n_sh - ((1*n_sh + 2 - 1) // 2) + 1)
+, tpairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc < b.doc)
+, tinter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+             FROM tpairs p JOIN sh x ON x.doc = p.doc_a
+                           JOIN sh y ON y.doc = p.doc_b AND y.sh = x.sh
+             GROUP BY p.doc_a, p.doc_b)
+, truth AS (SELECT i.doc_a, i.doc_b
+            FROM tinter i JOIN sizes sa ON sa.doc = i.doc_a
+                          JOIN sizes sb ON sb.doc = i.doc_b
+            WHERE i.i * 2 >= (sa.sz + sb.sz - i.i) * 1)
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(coalesce(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_caught,
+       CAST(CASE WHEN count(*) = 0 THEN 10000
+                 ELSE (sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                       * 10000) // count(*)
+            END AS BIGINT) AS recall_bp
+FROM truth t LEFT JOIN caught c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample (pipeline.stratified_sample): 5 docs
     per (lang, source) cell by ascending hash60(doc_id) — reproducible
@@ -5204,6 +5279,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_k64": QuerySpec(q_dedup_minhash_k64, SQL_DEDUP_MINHASH_K64),
     "dedup_simhash": QuerySpec(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_jaccard_prefix": QuerySpec(q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
+    "minhash_recall": QuerySpec(q_minhash_recall, SQL_MINHASH_RECALL),
     "winnow_dedup": QuerySpec(q_winnow_dedup, SQL_WINNOW_DEDUP),
     "segment_dedup": QuerySpec(q_segment_dedup, SQL_SEGMENT_DEDUP),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
