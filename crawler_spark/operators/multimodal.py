@@ -186,3 +186,61 @@ def frame_sample(
         ]
     )
     return media.select("doc", "payload").mapInPandas(_sample, schema)
+
+
+def dhash_bits(media: DataFrame, backend: str = "fake") -> DataFrame:
+    """Perceptual difference-hash (dHash) of the decoded image: bit i set
+    when pixel[i] > pixel[i+1] over the row-major grayscale pixel sequence —
+    the standard near-duplicate image fingerprint (adjacent-gradient signs
+    survive rescaling/re-encoding that byte-exact hashing does not).
+
+    ``fake``: the 16-byte payload IS the pixel sequence -> a 15-bit hash,
+    pure arithmetic, reproducible by the DuckDB oracle from the md5 hex.
+    ``real``: the PIL path (grayscale resize to 9x8 -> 64-bit dHash),
+    stubbed because this container ships no codecs.
+    Output: (doc, simhash) — named for dedup.simhash_pairs interop.
+    """
+    if backend == "real":
+        raise NotImplementedError(
+            "real dHash needs PIL (not in this container); wire: "
+            "Image.open(io.BytesIO(payload)).convert('L').resize((9, 8)) "
+            "then adjacent-pixel comparisons inside the same mapInPandas"
+        )
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["doc"],
+                    "simhash": pdf["payload"]
+                    .map(
+                        lambda b: sum(
+                            1 << i for i in range(len(b) - 1) if b[i] > b[i + 1]
+                        )
+                    )
+                    .astype("int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc", media.schema["doc"].dataType, False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+    return media.select("doc", "payload").mapInPandas(_dhash, schema)
+
+
+def dhash_pairs(
+    media: DataFrame, max_hamming: int = 2, backend: str = "fake"
+) -> DataFrame:
+    """Perceptual image near-dup pairs: hamming(dhash_a, dhash_b) <=
+    ``max_hamming``, candidates via dedup.simhash_pairs' pigeonhole chunk
+    join (equality joins on hash chunks — never all-pairs, the same plan
+    shape that carries the text SimHash family to 10^10 rows). fake backend
+    hash width is 15 bits (16 pixels - 1)."""
+    from crawler_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        dhash_bits(media, backend), max_hamming=max_hamming, bits=15
+    )

@@ -2765,6 +2765,37 @@ FROM media GROUP BY md5(text) HAVING count(*) > 1
 """
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (near-duplicate) image dedup — dHash over the decoded
+    pixel grid, pairs within hamming distance 2 via the pigeonhole chunk
+    join (multimodal.dhash_pairs on dedup.simhash_pairs machinery; never
+    all-pairs). Complements media_dedup's byte-exact digest grouping: a
+    re-encoded/resized copy changes every byte but keeps its gradient
+    signs. The DuckDB twin recomputes the 15-bit hash from the md5-derived
+    payload bytes and verifies the full pair set by brute force — the
+    chunk join must lose nothing."""
+    media = multimodal.synth_media(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.dhash_pairs(media, max_hamming=2).orderBy("doc_a", "doc_b")
+
+
+_DH_PX = ", ".join(
+    f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS INT) AS p{i}"
+    for i in range(16)
+)
+_DH_SUM = " + ".join(
+    f"CASE WHEN p{i} > p{i + 1} THEN {1 << i} ELSE 0 END" for i in range(15)
+)
+SQL_MEDIA_PHASH_DEDUP = f"""
+WITH px AS (SELECT doc_id, {_DH_PX} FROM documents),
+h AS (SELECT doc_id, CAST({_DH_SUM} AS BIGINT) AS dh FROM px)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization of the raw event log (operators/events.sessionize,
     30-min inactivity gap): the inverse of the reference's session counters
@@ -5364,6 +5395,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cuckoo_prune": QuerySpec(q_cuckoo_prune, SQL_CUCKOO_PRUNE),
     "link_degree_dist": QuerySpec(q_link_degree_dist, SQL_LINK_DEGREE_DIST),
     "media_dedup": QuerySpec(q_media_dedup, SQL_MEDIA_DEDUP),
+    "media_phash_dedup": QuerySpec(q_media_phash_dedup, SQL_MEDIA_PHASH_DEDUP),
     "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "dsir_weights": QuerySpec(q_dsir_weights, SQL_DSIR_WEIGHTS),
     "temperature_mix": QuerySpec(q_temperature_mix, SQL_TEMPERATURE_MIX),

@@ -846,3 +846,27 @@ def test_cluster_representatives_tie_breaks_to_min_doc(spark):
     quality = spark.createDataFrame([(4, 7), (9, 7)], ["doc", "quality"])
     [r] = cluster_representatives(clusters, quality).collect()
     assert (r["cluster"], r["kept_doc"], r["n_members"]) == (0, 4, 2)
+
+
+def test_dhash_pairs_planted(spark):
+    # base: strictly ascending pixels -> every gradient sign 0 -> dh = 0
+    # near: last adjacent pair swapped -> exactly bit 14 set -> hamming 1
+    # far: descending pixels -> all 15 bits set -> beyond max_hamming=2
+    base = bytes(range(16))
+    near = bytes(list(range(14)) + [15, 14])
+    far = bytes(reversed(range(16)))
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(near)), (3, bytearray(far))],
+        "doc long, payload binary",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.dhash_pairs(df, max_hamming=2).collect()
+    }
+    assert got == {(1, 2): 1}
+
+
+def test_dhash_real_backend_is_marked_stub(spark):
+    df = spark.createDataFrame([(1, bytearray(range(16)))], "doc long, payload binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.dhash_bits(df, backend="real")
