@@ -129,6 +129,10 @@ HEADLINE = [
     "kcore",
     "vocab_coverage",
     "dedup_keep_best",
+    # round 4 (cont.): recall audit + perceptual image near-dup + SALSA
+    "minhash_recall",
+    "media_phash_dedup",
+    "salsa_scores",
 ]
 
 

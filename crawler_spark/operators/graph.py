@@ -235,6 +235,69 @@ def hits(edges: DataFrame, n_iter: int = 3, scale: int = HITS_SCALE) -> DataFram
     return auth.join(hub, "node")
 
 
+def salsa(edges: DataFrame, n_iter: int = 3, scale: int = HITS_SCALE) -> DataFrame:
+    """Integer SALSA (Lempel & Moran 2000): returns (node, auth, hub).
+
+    HITS on the DEGREE-NORMALIZED bipartite random walk — each propagation
+    divides a node's score by its degree before it travels:
+    auth_i(v) = sum over u->v of hub_{i-1}(u) div outdeg(u);
+    hub_i(u)  = sum over u->v of auth_i(v) div indeg(v);
+    then each half-step max-normalizes to ``scale`` exactly like hits().
+    The normalization damps the tightly-knit-community effect that lets a
+    small dense subgraph capture HITS entirely. Truncating integer
+    division per NODE (before the edge join) is part of the value
+    contract the DuckDB twin reproduces bit-for-bit.
+
+    Scale shape per iteration: degrees are two static aggregates computed
+    once; the per-node contribution (score div degree) is one projection
+    joined against the static edge list exactly as in hits() — two
+    equality joins + two map-side-combinable sums + one broadcast max per
+    half-step. Same int64 headroom argument as hits(): contributions are
+    <= scale, so raw sums stay under max_degree * scale.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    indeg = e.groupBy("dst").agg(F.count("*").alias("ind"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        fwd = hub.join(outdeg, hub.node == outdeg.src).select(
+            "node", F.expr("hub DIV od").alias("c")
+        )
+        a_raw = e.join(fwd, e.src == fwd.node).groupBy("dst").agg(F.sum("c").alias("m"))
+        a_dense = nodes.join(a_raw, nodes.node == a_raw.dst, "left").select(
+            "node", F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("ar")
+        ).localCheckpoint(eager=False)
+        amax = a_dense.agg(F.greatest(F.max("ar"), F.lit(1).cast("long")).alias("amax"))
+        auth = a_dense.crossJoin(F.broadcast(amax)).select(
+            "node", F.expr(f"(ar * {scale}) DIV amax").alias("auth")
+        )
+        bwd = auth.join(indeg, auth.node == indeg.dst).select(
+            "node", F.expr("auth DIV ind").alias("c")
+        )
+        h_raw = e.join(bwd, e.dst == bwd.node).groupBy("src").agg(F.sum("c").alias("m"))
+        h_dense = nodes.join(h_raw, nodes.node == h_raw.src, "left").select(
+            "node", F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("hr")
+        ).localCheckpoint(eager=False)
+        hmax = h_dense.agg(F.greatest(F.max("hr"), F.lit(1).cast("long")).alias("hmax"))
+        hub = h_dense.crossJoin(F.broadcast(hmax)).select(
+            "node", F.expr(f"(hr * {scale}) DIV hmax").alias("hub")
+        )
+    return auth.join(hub, "node")
+
+
 # ----------------------------------------------- HyperBall (neighborhood fn)
 
 def hyperball_registers(edges: DataFrame, radius: int = 2) -> DataFrame:

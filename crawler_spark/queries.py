@@ -2027,6 +2027,74 @@ ORDER BY a.auth DESC, a.node LIMIT 20"""
 SQL_HITS = _hits_sql(3)
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA link analysis (operators/graph.salsa) over the same synthetic
+    link graph as pagerank/hits: hubs and authorities on the
+    degree-normalized random walk — the variant search engines adopted
+    (e.g. Twitter WTF, Goel et al. 2013) because dividing by degree damps
+    the tightly-knit-community capture HITS suffers. 3 iterations of the
+    max-normalized integer recurrence, unrolled identically in DuckDB, so
+    actual score values hash-match."""
+    from crawler_spark.operators.graph import salsa
+
+    return (
+        salsa(_synth_edges(spark, sf_dir), n_iter=3)
+        .orderBy(F.desc("auth"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "auth", "hub")
+    )
+
+
+def _salsa_sql(n_iter: int = 3) -> str:
+    from crawler_spark.operators.graph import HITS_SCALE
+
+    s = HITS_SCALE
+    parts = [
+        f"WITH {_EDGES_CTE},",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "od AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),",
+        "ind AS (SELECT dst AS node, count(*) AS ind FROM edges GROUP BY dst),",
+        f"h0 AS (SELECT node, CAST({s} AS BIGINT) AS hub FROM nodes),",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""a{i}r AS MATERIALIZED (
+  SELECT nd.node, coalesce(s.m, 0) AS ar FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub // o.od) AS m
+    FROM edges e JOIN h{i - 1} h ON e.src = h.node
+                 JOIN od o ON o.node = e.src
+    GROUP BY e.dst) s
+  ON nd.node = s.node
+),
+a{i} AS MATERIALIZED (
+  SELECT node, (ar * {s}) // greatest((SELECT max(ar) FROM a{i}r), 1) AS auth
+  FROM a{i}r
+),
+h{i}r AS MATERIALIZED (
+  SELECT nd.node, coalesce(s.m, 0) AS hr FROM nodes nd LEFT JOIN (
+    SELECT e.src AS node, sum(a.auth // d.ind) AS m
+    FROM edges e JOIN a{i} a ON e.dst = a.node
+                 JOIN ind d ON d.node = e.dst
+    GROUP BY e.src) s
+  ON nd.node = s.node
+),
+h{i} AS MATERIALIZED (
+  SELECT node, (hr * {s}) // greatest((SELECT max(hr) FROM h{i}r), 1) AS hub
+  FROM h{i}r
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""SELECT a.node AS doc_id, a.auth, h.hub
+FROM a{n_iter} a JOIN h{n_iter} h ON a.node = h.node
+ORDER BY a.auth DESC, a.node LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+SQL_SALSA = _salsa_sql(3)
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling (operators/recrawl): estimate per-page
     change rates from revisit history and rank pages by
@@ -5328,6 +5396,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pagerank": QuerySpec(q_pagerank, SQL_PAGERANK),
     "link_triangles": QuerySpec(q_link_triangles, SQL_LINK_TRIANGLES),
     "hits_scores": QuerySpec(q_hits, SQL_HITS),
+    "salsa_scores": QuerySpec(q_salsa, SQL_SALSA),
     "host_graph": QuerySpec(q_host_graph, SQL_HOST_GRAPH),
     "hyperball_reach": QuerySpec(q_hyperball, SQL_HYPERBALL),
     # -- sketches -------------------------------------------------------------

@@ -338,3 +338,36 @@ def test_kcore_peels_pendant_keeps_triangle(spark):
     got = {r["node"]: r["degree"] for r in kcore_peel(df, k=2, rounds=2).collect()}
     assert got == {0: 2, 1: 2, 2: 2}
     assert kcore_peel(df, k=3, rounds=2).count() == 0
+
+def test_salsa_degree_damping(spark):
+    # hub 1 fans out to {10,11,12,13}; narrow hub 2 endorses only 10.
+    # Under SALSA hub 1's mass is divided by outdeg 4 before it travels,
+    # so node 10's lead over the co-cited-only clique {11,12,13} is much
+    # larger than under HITS (250k+1M vs 250k, against HITS's 2M vs 1M) —
+    # the tightly-knit-community damping SALSA exists for. Hub mass itself
+    # follows outdegree (the walk's stationary distribution), same top hub
+    # in both.
+    from crawler_spark.operators.graph import HITS_SCALE, hits, salsa
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13), (2, 10)], "src long, dst long"
+    )
+    s = {r.node: (r.auth, r.hub) for r in salsa(edges, n_iter=2).collect()}
+    h = {r.node: (r.auth, r.hub) for r in hits(edges, n_iter=2).collect()}
+    assert s[10][0] == HITS_SCALE and h[10][0] == HITS_SCALE
+    assert s[11][0] < h[11][0]  # clique authorities damped relative to 10
+    assert s[1][1] == HITS_SCALE and s[1][1] > s[2][1] and h[1][1] > h[2][1]
+
+
+def test_salsa_deterministic_across_partitionings(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.graph import salsa
+
+    edges = spark.range(300).select(
+        (F.col("id") % 40).alias("src"),
+        F.pmod(F.xxhash64("id"), F.lit(40)).alias("dst"),
+    )
+    a = sorted(map(tuple, salsa(edges.repartition(1), n_iter=3).collect()))
+    b = sorted(map(tuple, salsa(edges.repartition(16, "dst"), n_iter=3).collect()))
+    assert a == b
