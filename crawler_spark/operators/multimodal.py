@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -243,4 +243,62 @@ def dhash_pairs(
 
     return simhash_pairs(
         dhash_bits(media, backend), max_hamming=max_hamming, bits=15
+    )
+
+
+def caption_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    text_kinds: tuple = ("text", "main", "title"),
+) -> DataFrame:
+    """Image-text pair mining from interleaved documents (the CLIP/LAION
+    training-pair extraction step): each media span pairs with the NEAREST
+    text span of the same document by span-offset distance — ties prefer
+    the preceding span (how captions sit in real pages), then the lower
+    offset. Output: (doc, media_pos, media_ref, caption, caption_offset,
+    distance), media_pos numbering media spans in offset order (the media
+    table's convention).
+
+    Scale shape: spans explode inside their document and re-meet through a
+    doc-keyed equality join + per-media top-1 window — all shuffles are on
+    the doc id, no cross-document traffic, and per-doc span counts are
+    bounded (tens), so the join fan-out is flat at any corpus size.
+    """
+    sp = docs.select(
+        F.col(id_col).alias("doc"), F.explode(F.col(spans_col)).alias("s")
+    )
+    media = sp.where(F.col("s.kind") == "media").select(
+        "doc",
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("moff"),
+    )
+    w_pos = Window.partitionBy("doc").orderBy("moff")
+    media = media.withColumn(
+        "media_pos", (F.row_number().over(w_pos) - 1).cast("long")
+    )
+    text = sp.where(F.col("s.kind").isin(*text_kinds)).select(
+        "doc",
+        F.col("s.text").alias("caption"),
+        F.col("s.offset").alias("toff"),
+    )
+    cand = media.join(text, "doc").withColumn(
+        "distance", F.abs(F.col("moff") - F.col("toff")).cast("long")
+    )
+    w = Window.partitionBy("doc", "media_pos").orderBy(
+        "distance",
+        F.when(F.col("toff") > F.col("moff"), F.lit(1)).otherwise(F.lit(0)),
+        "toff",
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc",
+            "media_pos",
+            "media_ref",
+            "caption",
+            F.col("toff").cast("long").alias("caption_offset"),
+            "distance",
+        )
     )

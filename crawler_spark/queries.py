@@ -4697,6 +4697,47 @@ def q_span_interleaving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from crawler_spark.minicrawl_oracle import mini_inputs_dir as _mini_inputs  # noqa: E402
 
+
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP/LAION-style image-text pair mining from the interleaved span
+    shape (multimodal.caption_pairs): each media span paired with its
+    nearest text/main/title span by offset distance, ties to the
+    preceding span — the extraction step that turns a multimodal crawl
+    into image-caption training pairs. Runs over the fixed mini-corpus
+    (the input_hint's span schema); doc-keyed joins only, value-checked
+    against the identical window recurrence in DuckDB."""
+    from crawler_spark.minicrawl_oracle import HOSTS, PAGES_PER_HOST, SEED
+    from crawler_spark.operators.multimodal import caption_pairs
+    from crawler_spark.sources.corpus import gen_corpus, to_documents_df
+
+    documents, _, _ = gen_corpus(hosts=HOSTS, pages_per_host=PAGES_PER_HOST, seed=SEED)
+    return caption_pairs(to_documents_df(spark, documents)).orderBy("doc", "media_pos")
+
+
+SQL_CAPTION_PAIRS = f"""
+WITH d AS (SELECT doc_id, spans FROM read_parquet('{_mini_inputs()}/documents.parquet')),
+sp AS (SELECT doc_id, unnest(spans) AS s FROM d),
+m AS (SELECT doc_id, s.media_ref AS media_ref, s."offset" AS moff,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s."offset") - 1
+                  AS BIGINT) AS media_pos
+      FROM sp WHERE s.kind = 'media'),
+t AS (SELECT doc_id, s.text AS caption, s."offset" AS toff
+      FROM sp WHERE s.kind IN ('text', 'main', 'title')),
+cand AS (
+  SELECT m.doc_id, m.media_pos, m.media_ref, t.caption, t.toff,
+         CAST(abs(m.moff - t.toff) AS BIGINT) AS distance,
+         row_number() OVER (
+           PARTITION BY m.doc_id, m.media_pos
+           ORDER BY abs(m.moff - t.toff),
+                    CASE WHEN t.toff > m.moff THEN 1 ELSE 0 END,
+                    t.toff) AS rn
+  FROM m JOIN t ON t.doc_id = m.doc_id)
+SELECT doc_id AS doc, media_pos, media_ref, caption,
+       CAST(toff AS BIGINT) AS caption_offset, distance
+FROM cand WHERE rn = 1
+ORDER BY doc, media_pos
+"""
+
 SQL_SPAN_INTERLEAVING = f"""
 WITH d AS (SELECT doc_id, spans FROM read_parquet('{_mini_inputs()}/documents.parquet'))
 SELECT doc_id AS doc,
@@ -5475,6 +5516,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "lm_surprisal_bigram": QuerySpec(q_lm_surprisal_bigram, SQL_LM_SURPRISAL_BIGRAM),
     "ngram_novelty": QuerySpec(q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "span_interleaving": QuerySpec(q_span_interleaving, SQL_SPAN_INTERLEAVING),
+    "caption_pairs": QuerySpec(q_caption_pairs, SQL_CAPTION_PAIRS),
     "source_gini": QuerySpec(q_source_gini, SQL_SOURCE_GINI),
     "bpe_encode": QuerySpec(q_bpe_encode, SQL_BPE_ENCODE),
     "crawl_host_fairness": QuerySpec(q_crawl_host_fairness, SQL_CRAWL_HOST_FAIRNESS),

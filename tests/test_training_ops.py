@@ -870,3 +870,31 @@ def test_dhash_real_backend_is_marked_stub(spark):
     df = spark.createDataFrame([(1, bytearray(range(16)))], "doc long, payload binary")
     with pytest.raises(NotImplementedError):
         multimodal.dhash_bits(df, backend="real")
+
+
+def test_caption_pairs_nearest_and_tiebreak(spark):
+    rows = [
+        (1, [("text", "far", None, 0), ("main", "near", None, 8),
+             ("media", None, "img://a", 10),
+             ("text", "eq-before", None, 15),
+             ("media", None, "img://b", 20),
+             ("text", "eq-after", None, 25)]),
+        (2, [("media", None, "img://c", 5)]),  # no text span: no pair
+    ]
+    schema = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    got = {
+        (r.doc, r.media_pos): (r.media_ref, r.caption, r.distance)
+        for r in multimodal.caption_pairs(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    # img://a: 'near' at dist 2 beats 'far' (10) and 'eq-before' (5);
+    # img://b: dist-5 tie between eq-before (15) and eq-after (25) ->
+    # the PRECEDING span wins
+    assert got == {
+        (1, 0): ("img://a", "near", 2),
+        (1, 1): ("img://b", "eq-before", 5),
+    }
