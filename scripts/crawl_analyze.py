@@ -66,6 +66,25 @@ def main() -> None:
     pm.add_argument("--format", default="html", choices=["json", "html"])
     pm.add_argument("--top", type=int, default=12)
 
+    ph = sub.add_parser(
+        "history", help="snapshot log, time-travel and CDC reads (tables.py)"
+    )
+    ph.add_argument("--workdir", required=True)
+    ph.add_argument("--table", default=None,
+                    help="with --as-of/--since: table to read")
+    ph.add_argument("--as-of", type=int, default=None, dest="as_of",
+                    help="read --table exactly as committed at this round")
+    ph.add_argument("--since", type=int, default=None,
+                    help="CDC: rows appended to --table after this round")
+
+    pe = sub.add_parser(
+        "expire",
+        help="expire old snapshots (WRITER-ONLY maintenance; bounds disk, "
+        "truncates time travel to the kept window)",
+    )
+    pe.add_argument("--workdir", required=True)
+    pe.add_argument("--keep-last", type=int, default=3, dest="keep_last")
+
     args = p.parse_args()
     spark = _spark()
     from crawler_spark import analytics, reporting
@@ -73,6 +92,9 @@ def main() -> None:
     if args.cmd == "analyze":
         if len(args.workdir) == 1:
             wd = args.workdir[0]
+            # url_template_stats returns None on a catalog with no frontier
+            # table — emit [] rather than crash the whole report
+            uts = analytics.url_template_stats(spark, wd)
             out = {
                 "session": analytics.session_summary(spark, wd),
                 "queue_health": analytics.queue_health(spark, wd),
@@ -85,15 +107,8 @@ def main() -> None:
                     r.asDict()
                     for r in analytics.top_words(spark, wd, args.top).collect()
                 ],
-                # url_template_stats returns None on a catalog with no
-                # frontier table — emit [] rather than crash the whole report
-                "url_templates": [
-                    r.asDict()
-                    for r in (
-                        uts.limit(args.top).collect()
-                        if (uts := analytics.url_template_stats(spark, wd)) is not None
-                        else []
-                    )
+                "url_templates": [] if uts is None else [
+                    r.asDict() for r in uts.limit(args.top).collect()
                 ],
                 "hot_hosts": [
                     r.asDict()
@@ -121,6 +136,37 @@ def main() -> None:
 
         card = curate_crawl(spark, args.workdir, args.out, args.shards, args.lang)
         print(json.dumps(card, indent=2, default=str))
+    elif args.cmd == "history":
+        from crawler_spark.tables import SnapshotCatalog
+
+        cat = SnapshotCatalog(args.workdir)
+        if args.table and args.as_of is not None:
+            df = cat.read_as_of(spark, args.table, args.as_of)
+            out = {
+                "table": args.table, "as_of": args.as_of,
+                "rows": None if df is None else df.count(),
+                "sample": [] if df is None else [r.asDict() for r in df.limit(5).collect()],
+            }
+        elif args.table and args.since is not None:
+            df = cat.read_increment(
+                spark, args.table, args.since, cat.current_round()
+            )
+            out = {
+                "table": args.table, "since": args.since,
+                "to": cat.current_round(),
+                "rows_appended": None if df is None else df.count(),
+            }
+        else:
+            out = {
+                "current_round": cat.current_round(),
+                "snapshots": cat.snapshots(),
+            }
+        print(json.dumps(out, indent=2, default=str))
+    elif args.cmd == "expire":
+        from crawler_spark.tables import SnapshotCatalog
+
+        removed = SnapshotCatalog(args.workdir).expire_snapshots(args.keep_last)
+        print(json.dumps(removed, indent=2))
     elif args.cmd == "compare":
         path = reporting.generate_comparison_report(
             spark, args.workdir, args.out, args.format, args.top

@@ -365,3 +365,18 @@ def test_rule_order_guard(spark, small, tmp_path):
         CrawlConfig(max_pages=10, max_rounds=1, n_host_buckets=4),
     )
     assert summary["scheduled_total"] > 0
+
+
+def test_all_scripts_parse():
+    # scripts/ are entry points no test imports; a syntax error there ships
+    # silently (the r3 url_template_stats guard used a walrus in a
+    # comprehension iterable — SyntaxError — and every CLI command died at
+    # import until round 4 caught it). Parse them all.
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    scripts = sorted((root / "scripts").glob("*.py")) + [root / "bench.py"]
+    assert scripts
+    for path in scripts:
+        ast.parse(path.read_text(), filename=str(path))
