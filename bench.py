@@ -133,6 +133,10 @@ HEADLINE = [
     "minhash_recall",
     "media_phash_dedup",
     "salsa_scores",
+    # round 4 (cont.): containment dedup, sample quantiles, trap admission
+    "dedup_containment",
+    "sample_quantiles",
+    "trap_score",
 ]
 
 

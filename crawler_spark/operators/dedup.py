@@ -1039,3 +1039,76 @@ def cluster_representatives(
             F.col("q").alias(quality_col),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    th_num: int = 4,
+    th_den: int = 5,
+) -> DataFrame:
+    """EXACT shingle-containment similarity join (Broder 1997's asymmetric
+    resemblance variant): all ORDERED pairs (a, b) with
+    ``|S(a) n S(b)| / |S(a)| >= th_num/th_den`` — "a is contained in b".
+
+    Jaccard-family dedup misses the classic web case of a SHORT document
+    embedded verbatim in a LONG one (a syndicated article inside a portal
+    page, a quoted post inside a thread): the union is dominated by the
+    long side, so Jaccard stays low while containment of the short side is
+    ~1. The reference dedups URLs only (queue.py:59-103); corpus-level
+    containment is what a training pipeline runs to drop subset documents.
+
+    Scale path — the asymmetric prefix filter: order each doc's shingles
+    rarest-global-document-frequency-first; if containment(a -> b) >= t then
+    the overlap has >= ceil(t*|S(a)|) shingles, so by pigeonhole at least
+    one of a's first ``|S(a)| - ceil(t*|S(a)|) + 1`` shingles is shared with
+    b. Candidates therefore come from an equality join of a's PREFIX
+    shingles against b's FULL shingle set — no false negatives, and the
+    prefix side carries only globally-rare shingles, which bounds the
+    expansion the way prefix_jaccard_pairs does for the symmetric case
+    (hot shingles land in the tail of every prefix order). Verification is
+    the same hash-keyed intersection count; everything stays in int64.
+
+    Returns (doc_a, doc_b, inter, sz_a, containment_bp, jaccard_bp), one
+    row per ordered pair, containment_bp = inter*10000 div sz_a.
+    """
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+    wdoc = Window.partitionBy("doc")
+    ranked = (
+        sh.join(dfc, "sh")
+        .withColumn("_pos", F.row_number().over(wdoc.orderBy("_df", "sh")))
+        .withColumn("_len", F.count("*").over(wdoc))
+    )
+    prefix_len = F.expr(f"_len - (({th_num} * _len + {th_den} - 1) div {th_den}) + 1")
+    prefix = ranked.where(F.col("_pos") <= prefix_len).select("doc", "sh")
+    pairs = (
+        prefix.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") != F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .where(F.col("inter") * th_den >= F.col("sz_a") * th_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "sz_a",
+            F.expr("inter * 10000 div sz_a").alias("containment_bp"),
+            F.expr("inter * 10000 div (sz_a + sz_b - inter)").alias("jaccard_bp"),
+        )
+    )

@@ -433,3 +433,73 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, phi_denom: int) -> DataFrame:
         .where(F.col("freq") * phi_denom > F.col("_n"))
         .select(key_col, "freq")
     )
+
+
+# ------------------------------------------- bottom-k sample quantiles
+
+BOTTOMK_K = 256
+
+
+def bottomk_sample(df: DataFrame, key_col: str, value_col: str, k: int = BOTTOMK_K) -> DataFrame:
+    """Uniform k-row sample: the rows whose hash60(key) ranks lowest
+    (bottom-k sampling, Cohen & Kaplan PODC'07 — KMV's row-carrying
+    sibling). Deterministic, coordinated across runs and engines, and
+    MERGEABLE: the bottom-k of a union is within the union of each part's
+    bottom-k, so per-partition top-k heaps compose exactly like KMV
+    sketches. Plan: one narrow projection then sort-limit —
+    TakeOrderedAndProject, i.e. a per-partition bounded heap and a single
+    k*parts-row driver merge; no global sort, no full shuffle.
+
+    Returns (hk, v): the sample's hash ranks and carried values.
+    """
+    return (
+        df.select(
+            hash60(F.col(key_col).cast("string")).alias("hk"),
+            F.col(value_col).alias("v"),
+        )
+        .orderBy("hk")
+        .limit(k)
+    )
+
+
+def sample_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    percents: tuple[int, ...] = (25, 50, 75, 90),
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """Nearest-rank quantile estimates of ``value_col`` from a bottom-k
+    uniform sample — the one-pass, mergeable scale path for the percentile
+    questions the exact session_stats answers with a global sort (the
+    reference computes session percentiles in memory,
+    analytics/statistics.py; at a 10^10-row frontier only a sketch or a
+    sample survives). Spark's own percentile_approx is a KLL variant whose
+    internals no second engine reproduces; the bottom-k sample gives the
+    same one-pass economics with a state that is bit-identical in DuckDB,
+    so the ESTIMATE — sampling error included — sits under the driver's
+    value-hash gate.
+
+    For each p in ``percents``: est = sample value at rank
+    ceil(p*m/100) (1-indexed nearest-rank, m = sample size, ties broken by
+    hash rank so both engines pick the same row). Returns (pct, est_v),
+    one row per requested percentile; all int64. Everything after the
+    k-row sample is O(k) work on a broadcast-sized frame.
+    """
+    s = bottomk_sample(df, key_col, value_col, k)
+    w = Window.orderBy("v", "hk")  # k rows at most: a single tiny partition
+    ranked = s.select(
+        "v",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy(F.lit(1))).alias("m"),
+    )
+    spark = df.sparkSession
+    pcts = spark.createDataFrame([(int(p),) for p in percents], "pct long")
+    return (
+        ranked.join(
+            F.broadcast(pcts),
+            F.col("r") == F.expr("(pct * m + 99) div 100"),
+        )
+        .select("pct", F.col("v").cast("long").alias("est_v"))
+        .orderBy("pct")
+    )

@@ -5389,6 +5389,229 @@ FROM r WHERE rn = 1 ORDER BY cluster
 )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT dedup (dedup.containment_pairs,
+    Broder 1997's containment measure, threshold 4/5): ordered pairs where
+    >=80% of doc_a's shingles appear in doc_b — the short-doc-inside-long-
+    doc case (syndicated article in a portal page, quoted post in a
+    thread) that Jaccard dedup structurally misses because the long side
+    dominates the union. Contained twins are PLANTED deterministically:
+    every doc_id % 10 == 0 document contributes a half-length prefix copy
+    (id + 1,000,000), whose shingles are a near-subset of its parent's, so
+    the query must recover every planted (twin -> parent) pair with
+    containment_bp near 10000 while jaccard_bp sits far below the 0.5
+    dedup bar — the contrast is the point. Candidates come from the
+    provable asymmetric prefix filter (a's rarest shingles vs b's full
+    set); exact integer verification."""
+    docs = _docs(spark, sf_dir)
+    halves = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(n_chars div 2 AS INT))").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(halves)
+    return dedup.containment_pairs(
+        corpus, "doc_id", "text", n=3, th_num=4, th_den=5
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, CAST(n_chars // 2 AS INT)) AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc,
+         ({hash60_sql('s.s')} % 2147483647) AS sh
+  FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM corpus),
+         LATERAL unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  ) s
+),
+dfc AS (SELECT sh, count(*) AS sdf FROM sh GROUP BY sh),
+ranked AS (
+  SELECT s.doc, s.sh,
+         row_number() OVER (PARTITION BY s.doc ORDER BY d.sdf, s.sh) AS pos,
+         count(*) OVER (PARTITION BY s.doc) AS n_sh
+  FROM sh s JOIN dfc d ON s.sh = d.sh
+),
+prefix AS (SELECT doc, sh FROM ranked WHERE pos <= n_sh - ((4*n_sh + 5 - 1) // 5) + 1),
+pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM prefix a JOIN sh b ON a.sh = b.sh AND a.doc <> b.doc),
+inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+          FROM pairs p JOIN sh x ON x.doc = p.doc_a
+                       JOIN sh y ON y.doc = p.doc_b AND y.sh = x.sh
+          GROUP BY p.doc_a, p.doc_b),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc)
+SELECT i.doc_a, i.doc_b, i.inter AS inter, sa.sz AS sz_a,
+       (i.inter * 10000) // sa.sz AS containment_bp,
+       (i.inter * 10000) // (sa.sz + sb.sz - i.inter) AS jaccard_bp
+FROM inter i JOIN sizes sa ON sa.doc = i.doc_a JOIN sizes sb ON sb.doc = i.doc_b
+WHERE i.inter * 5 >= sa.sz * 4
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k-sample quantile estimates beside the exact answer
+    (sketches.sample_quantiles, k=256): nearest-rank p25/p50/p75/p90 of
+    n_chars from the 256 rows with the smallest hash60(doc_id) — the
+    one-pass MERGEABLE scale path for the percentile questions
+    session_stats answers with a global sort (at a 10^10-row frontier only
+    a sample or sketch survives; Spark's percentile_approx is a KLL
+    variant no second engine reproduces, while the bottom-k sample state
+    is bit-identical in DuckDB). exact_v is the true nearest-rank quantile
+    from a full global sort — the verification baseline, same role as
+    dedup_embedding's exact mode — so the SAMPLING ERROR itself
+    (abs_err) is under the driver's value-hash gate."""
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.sketches import sample_quantiles
+
+    docs = _docs(spark, sf_dir)
+    est = sample_quantiles(docs, "doc_id", "n_chars", percents=(25, 50, 75, 90), k=256)
+    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    ranked = docs.select(
+        F.col("n_chars").alias("v"),
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    pcts = spark.createDataFrame([(25,), (50,), (75,), (90,)], "pct long")
+    exact = ranked.join(
+        F.broadcast(pcts), F.col("r") == F.expr("(pct * n + 99) div 100")
+    ).select("pct", F.col("v").cast("long").alias("exact_v"))
+    return (
+        est.join(exact, "pct")
+        .select("pct", "est_v", "exact_v", F.abs(F.col("est_v") - F.col("exact_v")).alias("abs_err"))
+        .orderBy("pct")
+    )
+
+
+_H_DOCID = hash60_sql("CAST(doc_id AS VARCHAR)")
+
+SQL_SAMPLE_QUANTILES = f"""
+WITH s AS (
+  SELECT {_H_DOCID} AS hk, n_chars AS v FROM documents ORDER BY hk LIMIT 256
+),
+r AS (SELECT v, row_number() OVER (ORDER BY v, hk) AS r, count(*) OVER () AS m FROM s),
+p(pct) AS (VALUES (25), (50), (75), (90)),
+est AS (SELECT CAST(p.pct AS BIGINT) AS pct, CAST(v AS BIGINT) AS est_v
+        FROM r JOIN p ON r.r = (p.pct * r.m + 99) // 100),
+fr AS (SELECT n_chars AS v,
+              row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+              count(*) OVER () AS n
+       FROM documents),
+ex AS (SELECT CAST(p.pct AS BIGINT) AS pct, CAST(v AS BIGINT) AS exact_v
+       FROM fr JOIN p ON fr.r = (p.pct * fr.n + 99) // 100)
+SELECT est.pct AS pct, est_v, exact_v, abs(est_v - exact_v) AS abs_err
+FROM est JOIN ex ON est.pct = ex.pct
+ORDER BY pct
+"""
+
+
+def q_trap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl-trap ADMISSION audit — the aggregation a
+    10^10-URL frontier broadcast-joins as a blocklist dim before admitting
+    a host's tail (Heydon & Najork's Mercator, WWW'99, calls these traps;
+    the reference crawls too few pages per host to need the control).
+    Signal: the share of a host's URL mass sitting in digit-collapsed
+    templates that are UNBOUNDED — template contains a ``{{n}}`` slot,
+    every URL under it is distinct, and it has >= 20 URLs of support
+    (small distinct families are legitimate). URLs are synthesized
+    deterministically from doc_id: three bounded path families over
+    host0..6 (article/product ids drawn from SMALL id spaces, so they are
+    NOT flagged) plus a planted calendar trap host whose paths are all
+    unique — the audit must admit every hostN and reject trap.test.
+    Exact integer output: urls_per_template_milli, unbounded_bp, param_bp,
+    admit (unbounded_bp < 5000)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("host"), F.pmod(d, F.lit(7)).cast("string"), F.lit(".test"))
+    path = (
+        F.when(F.pmod(d, F.lit(3)) == 0, F.concat(F.lit("/article/"), s(F.pmod(d, F.lit(8))), F.lit("/view")))
+        .when(F.pmod(d, F.lit(3)) == 1, F.concat(F.lit("/product/"), s(F.pmod(d, F.lit(6))), F.lit("?ref="), s(F.pmod(d, F.lit(3)))))
+        .otherwise(F.concat(F.lit("/static/page"), s(F.pmod(d, F.lit(10))), F.lit(".html")))
+    )
+    base = docs.select(host.alias("host"), path.alias("path"))
+    trap = docs.where(F.pmod(d, F.lit(2)) == 0).select(
+        F.lit("trap.test").alias("host"),
+        F.concat(
+            F.lit("/cal/"), s(F.lit(2000) + F.pmod(d, F.lit(97))),
+            F.lit("/"), s(F.pmod(d, F.lit(13))), F.lit("/"), s(d),
+        ).alias("path"),
+    )
+    urls = base.unionByName(trap)
+    tmpl = F.regexp_replace(F.col("path"), "[0-9]+", "{n}")
+    per_t = urls.groupBy("host", tmpl.alias("template")).agg(
+        F.count("*").alias("n_urls_t"),
+        F.countDistinct("path").alias("n_distinct_t"),
+        F.sum(F.col("path").contains("?").cast("long")).alias("n_param_t"),
+    )
+    unbounded = (
+        F.col("template").contains("{n}")
+        & (F.col("n_distinct_t") == F.col("n_urls_t"))
+        & (F.col("n_urls_t") >= 20)
+    )
+    return (
+        per_t.groupBy("host")
+        .agg(
+            F.sum("n_urls_t").alias("n_urls"),
+            F.count("*").cast("long").alias("n_templates"),
+            F.sum(F.when(unbounded, F.col("n_urls_t")).otherwise(F.lit(0))).alias("unbounded_urls"),
+            F.sum("n_param_t").alias("param_urls"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_templates",
+            F.expr("n_urls * 1000 div n_templates").alias("urls_per_template_milli"),
+            F.expr("unbounded_urls * 10000 div n_urls").alias("unbounded_bp"),
+            F.expr("param_urls * 10000 div n_urls").alias("param_bp"),
+        )
+        .withColumn("admit", (F.col("unbounded_bp") < 5000).cast("int"))
+        .orderBy(F.desc("unbounded_bp"), "host")
+    )
+
+
+SQL_TRAP_SCORE = """
+WITH u AS (
+  SELECT 'host' || (doc_id % 7) || '.test' AS host,
+         CASE WHEN doc_id % 3 = 0 THEN '/article/' || (doc_id % 8) || '/view'
+              WHEN doc_id % 3 = 1 THEN '/product/' || (doc_id % 6) || '?ref=' || (doc_id % 3)
+              ELSE '/static/page' || (doc_id % 10) || '.html' END AS path
+  FROM documents
+  UNION ALL
+  SELECT 'trap.test' AS host,
+         '/cal/' || (2000 + doc_id % 97) || '/' || (doc_id % 13) || '/' || doc_id AS path
+  FROM documents WHERE doc_id % 2 = 0
+),
+per_t AS (
+  SELECT host, regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+         count(*) AS n_urls_t, count(DISTINCT path) AS n_distinct_t,
+         sum(CASE WHEN path LIKE '%?%' THEN 1 ELSE 0 END) AS n_param_t
+  FROM u GROUP BY 1, 2
+),
+h AS (
+  SELECT host, sum(n_urls_t) AS n_urls, count(*) AS n_templates,
+         sum(CASE WHEN template LIKE '%{n}%' AND n_distinct_t = n_urls_t
+                       AND n_urls_t >= 20 THEN n_urls_t ELSE 0 END) AS unbounded_urls,
+         sum(n_param_t) AS param_urls
+  FROM per_t GROUP BY host
+)
+SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_templates AS BIGINT) AS n_templates,
+       (n_urls * 1000) // n_templates AS urls_per_template_milli,
+       (unbounded_urls * 10000) // n_urls AS unbounded_bp,
+       (param_urls * 10000) // n_urls AS param_bp,
+       CAST((unbounded_urls * 10000) // n_urls < 5000 AS INT) AS admit
+FROM h ORDER BY unbounded_bp DESC, host
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -5531,4 +5754,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "kcore": QuerySpec(q_kcore, SQL_KCORE),
     "vocab_coverage": QuerySpec(q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "dedup_containment": QuerySpec(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "sample_quantiles": QuerySpec(q_sample_quantiles, SQL_SAMPLE_QUANTILES),
+    "trap_score": QuerySpec(q_trap_score, SQL_TRAP_SCORE),
 }
