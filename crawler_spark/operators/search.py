@@ -167,3 +167,56 @@ def anchor_topk(anchors: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def positional_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, pos, word): the POSITIONAL posting stream — raw lowercase
+    [a-z]+ tokens with their 1-based ordinal in the token stream (no
+    stopword/length filter: phrase adjacency is adjacency in the original
+    stream, so positions must be assigned before any vocabulary pruning).
+
+    This is the index layout phrase and proximity queries need; the
+    plain :func:`inverted_index` stores only (term -> doc) postings.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("pos0", "word"),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "word")
+
+
+def phrase_occurrences(postings: DataFrame, phrases: DataFrame) -> DataFrame:
+    """Exact phrase-occurrence counts via POSTING-LIST INTERSECTION: for
+    each trigram phrase (w1, w2, w3), join the w1 postings against the w2
+    postings at pos+1 and the w3 postings at pos+2 — the positional-index
+    evaluation every search engine runs for quoted queries, instead of
+    re-scanning documents per phrase.
+
+    Plan shape / scale: the posting stream is SEMI-JOINED down to the
+    query vocabulary first (a broadcast of the tiny phrase word set), so
+    only postings for words appearing in some phrase ever shuffle; the two
+    adjacency joins are equality joins on (doc, pos), hash-partitioned on
+    doc — the selective-phrase regime where intersection beats scanning by
+    the corpus/postings ratio. Longer phrases chain one more (doc, pos+i)
+    join per word, same shape.
+
+    ``phrases``: (phrase_id, w1, w2, w3). Returns (phrase_id, doc,
+    n_occur) with n_occur >= 1 (docs without the phrase produce no row).
+    """
+    vocab = (
+        phrases.select(F.col("w1").alias("word"))
+        .union(phrases.select("w2"))
+        .union(phrases.select("w3"))
+        .distinct()
+    )
+    p = postings.join(F.broadcast(vocab), "word")
+    p1 = p.select(F.col("doc"), F.col("pos"), F.col("word").alias("w1"))
+    p2 = p.select(F.col("doc"), (F.col("pos") - 1).alias("pos"), F.col("word").alias("w2"))
+    p3 = p.select(F.col("doc"), (F.col("pos") - 2).alias("pos"), F.col("word").alias("w3"))
+    triples = p1.join(p2, ["doc", "pos"]).join(p3, ["doc", "pos"])
+    return (
+        triples.join(F.broadcast(phrases), ["w1", "w2", "w3"])
+        .groupBy("phrase_id", "doc")
+        .agg(F.count("*").alias("n_occur"))
+    )

@@ -5612,6 +5612,213 @@ FROM h ORDER BY unbounded_bp DESC, host
 """
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk redirect-chain resolution (graph.resolve_redirects): every
+    redirect source contracted to its terminal target by POINTER DOUBLING —
+    ceil(log2(cap)) self-joins instead of the cap-many sequential hops the
+    reference's fetcher (and the DuckDB twin's recursive CTE) performs.
+    Edges are synthesized deterministically from doc_id: u_i -> u_{i-1}
+    except at multiples of 16, giving chains of every length 1..15 ending
+    at terminal u_{16k}, plus a planted 3-cycle c0->c1->c2->c0 that must
+    classify as '(loop)' with hops=-1 (the crawler's too-many-redirects
+    outcome). Exact hop counts for all ~94% of rows are value-hashed."""
+    from crawler_spark.operators.graph import resolve_redirects
+
+    docs = _docs(spark, sf_dir)
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    chain = docs.where(F.col("doc_id") % 16 != 0).select(
+        u(F.col("doc_id")).alias("src"), u(F.col("doc_id") - 1).alias("dst")
+    )
+    cyc = spark.createDataFrame(
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c0")], "src string, dst string"
+    )
+    return resolve_redirects(chain.unionByName(cyc), max_hops=16).orderBy("src")
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH RECURSIVE edges AS (
+  SELECT 'u' || doc_id AS src, 'u' || (doc_id - 1) AS dst
+  FROM documents WHERE doc_id % 16 <> 0
+  UNION ALL
+  SELECT * FROM (VALUES ('c0','c1'), ('c1','c2'), ('c2','c0')) v(src, dst)
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < 64
+),
+resolved AS (
+  SELECT src, cur AS final, hops FROM walk
+  WHERE cur NOT IN (SELECT src FROM edges)
+)
+SELECT src, final, hops FROM resolved
+UNION ALL
+SELECT src, '(loop)' AS final, CAST(-1 AS BIGINT) AS hops
+FROM (SELECT DISTINCT src FROM edges)
+WHERE src NOT IN (SELECT src FROM resolved)
+ORDER BY src
+"""
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DRIFT between two crawl sessions — the monitoring query a
+    continuously-recrawling pipeline runs before mixing a new snapshot into
+    training data (did the word distribution move?). Sessions are the
+    deterministic doc_id-parity split; the drift statistic is the exact
+    integer TOTAL VARIATION distance in basis points,
+    ``tvd_bp = sum_w |cA_w*NB - cB_w*NA| * 10000 div (2*NA*NB)`` — TVD
+    instead of KL/JS because it needs no logarithm, so the FULL-VOCABULARY
+    global statistic is bit-identical across engines (the same reason
+    PageRank here is fixed-point). Output: top-20 drifting words by
+    |ppm_a - ppm_b| with the global tvd_bp on every row — movers and the
+    corpus-level alarm in one frame. Scale: one groupBy(word) with map-side
+    combine + two single-row broadcast joins; no second pass over tokens."""
+    toks = _tokens_df(spark, sf_dir).withColumn("s", F.pmod(F.col("doc_id"), F.lit(2)))
+    per = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).cast("long").alias("freq_a"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("freq_b"),
+    )
+    tot = per.agg(F.sum("freq_a").alias("na"), F.sum("freq_b").alias("nb"))
+    j = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("ppm_a", F.expr("freq_a * 1000000 div na"))
+        .withColumn("ppm_b", F.expr("freq_b * 1000000 div nb"))
+    )
+    tvd = (
+        j.agg(F.sum(F.abs(F.col("freq_a") * F.col("nb") - F.col("freq_b") * F.col("na"))).alias("num"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.expr("num * 10000 div (2 * na * nb)").alias("tvd_bp"))
+    )
+    return (
+        j.select(
+            "word", "freq_a", "freq_b", "ppm_a", "ppm_b",
+            (F.col("ppm_a") - F.col("ppm_b")).alias("delta_ppm"),
+        )
+        .crossJoin(F.broadcast(tvd))
+        .orderBy(F.abs(F.col("delta_ppm")).desc(), "word")
+        .limit(20)
+    )
+
+
+SQL_CORPUS_DRIFT = _WORDS_CTE + """
+, per AS (
+  SELECT word,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS freq_a,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS freq_b
+  FROM words GROUP BY word
+),
+tot AS (SELECT sum(freq_a) AS na, sum(freq_b) AS nb FROM per),
+j AS (
+  SELECT word, freq_a, freq_b,
+         (freq_a * 1000000) // na AS ppm_a,
+         (freq_b * 1000000) // nb AS ppm_b
+  FROM per, tot
+),
+tvd AS (
+  SELECT (sum(abs(p.freq_a * t.nb - p.freq_b * t.na)) * 10000)
+           // (2 * t.na * t.nb) AS tvd_bp
+  FROM per p, tot t GROUP BY t.na, t.nb
+)
+SELECT word, freq_a, freq_b, ppm_a, ppm_b,
+       ppm_a - ppm_b AS delta_ppm, tvd.tvd_bp AS tvd_bp
+FROM j, tvd
+ORDER BY abs(ppm_a - ppm_b) DESC, word LIMIT 20
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quoted-PHRASE search through the positional index
+    (search.positional_postings + phrase_occurrences): the top-5 corpus
+    trigrams — mined cheaply by an in-document array slide, no join — are
+    then evaluated as phrase queries by POSTING-LIST INTERSECTION (w1
+    postings ⋈ w2@pos+1 ⋈ w3@pos+2, vocabulary-pruned by broadcast
+    semi-join first, so only query-word postings shuffle). Per phrase, the
+    top-3 documents by occurrence count. The mining pass and the index
+    pass compute the same counts by entirely different plans, so the
+    DuckDB twin cross-checks both."""
+    from crawler_spark.operators import search
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("t")
+    )
+    tris = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t)-3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2])) ELSE array() END"
+            )
+        ).alias("s")
+    )
+    # sort-limit (TakeOrderedAndProject: per-partition bounded heap) picks
+    # the top 5 BEFORE the ranking window, which then runs on 5 rows
+    w5 = Window.orderBy(F.desc("n"), "s")
+    phrases = (
+        tris.groupBy("s").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "s").limit(5)
+        .withColumn("phrase_id", F.row_number().over(w5))
+        .select(
+            "phrase_id", F.col("s").alias("phrase"),
+            F.split("s", " ")[0].alias("w1"),
+            F.split("s", " ")[1].alias("w2"),
+            F.split("s", " ")[2].alias("w3"),
+        )
+    )
+    post = search.positional_postings(docs, "doc_id", "text")
+    occ = search.phrase_occurrences(post, phrases.select("phrase_id", "w1", "w2", "w3"))
+    wd = Window.partitionBy("phrase_id").orderBy(F.desc("n_occur"), "doc")
+    return (
+        occ.withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") <= 3)
+        .join(F.broadcast(phrases.select("phrase_id", "phrase")), "phrase_id")
+        .select("phrase_id", "phrase", F.col("doc").alias("doc_id"), "n_occur", "rk")
+        .orderBy("phrase_id", "rk")
+    )
+
+
+SQL_PHRASE_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+tris AS (
+  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, LATERAL unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+phrases AS (
+  SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, s) AS INT) AS phrase_id,
+         s AS phrase,
+         split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2,
+         split_part(s, ' ', 3) AS w3
+  FROM tris GROUP BY s
+  ORDER BY count(*) DESC, s LIMIT 5
+),
+post AS (
+  SELECT doc_id AS doc, i AS pos, t[i] AS word
+  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+),
+occ AS (
+  SELECT ph.phrase_id, p1.doc, count(*) AS n_occur
+  FROM post p1
+  JOIN post p2 ON p2.doc = p1.doc AND p2.pos = p1.pos + 1
+  JOIN post p3 ON p3.doc = p1.doc AND p3.pos = p1.pos + 2
+  JOIN phrases ph ON ph.w1 = p1.word AND ph.w2 = p2.word AND ph.w3 = p3.word
+  GROUP BY ph.phrase_id, p1.doc
+),
+ranked AS (
+  SELECT phrase_id, doc, n_occur,
+         CAST(row_number() OVER (PARTITION BY phrase_id
+                                 ORDER BY n_occur DESC, doc) AS INT) AS rk
+  FROM occ
+)
+SELECT r.phrase_id, ph.phrase, r.doc AS doc_id, r.n_occur, r.rk
+FROM ranked r JOIN phrases ph ON ph.phrase_id = r.phrase_id
+WHERE r.rk <= 3 ORDER BY r.phrase_id, r.rk
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -5757,4 +5964,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_containment": QuerySpec(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "sample_quantiles": QuerySpec(q_sample_quantiles, SQL_SAMPLE_QUANTILES),
     "trap_score": QuerySpec(q_trap_score, SQL_TRAP_SCORE),
+    "redirect_resolve": QuerySpec(q_redirect_resolve, SQL_REDIRECT_RESOLVE),
+    "corpus_drift": QuerySpec(q_corpus_drift, SQL_CORPUS_DRIFT),
+    "phrase_search": QuerySpec(q_phrase_search, SQL_PHRASE_SEARCH),
 }
