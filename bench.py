@@ -137,6 +137,11 @@ HEADLINE = [
     "dedup_containment",
     "sample_quantiles",
     "trap_score",
+    # round 4 (cont.): host-scoped frontier governance
+    "etld1_budget",
+    "adaptive_politeness",
+    "frontier_skew",
+    "cdx_shards",
 ]
 
 

@@ -1,0 +1,290 @@
+"""Host-scoped frontier governance — registered domains, adaptive delay,
+key-skew audit, SURT index sharding.
+
+The reference scopes every crawl-policy decision to the raw hostname
+(url_management/queue.py keys politeness and budgets on netloc). At
+10^10-URL scale four host-level controls become load-bearing that a
+few-hundred-page crawl never exercises; each is a small exact-integer
+operator here so the DuckDB oracle can value-hash it:
+
+* ``with_registered_domain`` — eTLD+1 (publicsuffix.org semantics) so
+  budgets and blocklists bind ``*.blogspot.com``-style subdomain farms to
+  ONE owner instead of handing every subdomain a fresh budget.
+* ``adaptive_delay`` — per-host crawl delay from OBSERVED fetch latency
+  (truncated exponential weighting), the Heritrix-style backpressure that
+  replaces a global constant delay once hosts number in the millions.
+* ``frontier_skew`` — the pre-flight key-skew audit that sizes the salt
+  factor for the fetch join (plans/round.py J8 takes the salt as a knob;
+  this is where the number comes from).
+* ``surt_keys`` / ``cdx_shards`` — SURT-ordered index sharding (the
+  CommonCrawl CDX convention: host labels reversed, so one registered
+  domain's URLs are contiguous), with a locality measurement against hash
+  sharding.
+
+Scale shape: registered-domain extraction is pure expression work (a
+literal map over the embedded suffix set — whole-stage codegen, zero
+shuffle; a full 9k-entry publicsuffix.org snapshot would swap in one
+broadcast dim joined three times, still zero shuffle). adaptive_delay is
+one host-partitioned window + one groupBy(host). frontier_skew is one
+groupBy(host). cdx_shards rides the two-phase global prefix sum
+(ordering.with_global_seq — one row per partition to the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# -- registered domain (eTLD+1) ----------------------------------------------
+
+# Embedded subset of the Mozilla Public Suffix List (publicsuffix.org,
+# public domain dedication for the list data). A production deployment
+# ships the full ~9k-rule snapshot as a broadcast dimension; the algorithm
+# below (longest-suffix match, implicit "*" fallback to the last label) is
+# the PSL algorithm minus wildcard/exception rules, which the subset does
+# not need. Ordered longest-first only for readability.
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    # three-label
+    "s3.amazonaws.com",
+    # two-label
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "co.in", "co.kr", "com.cn",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    # one-label
+    "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "dev", "app", "info", "biz", "xyz",
+)
+
+_MAX_SUFFIX_LABELS = 3
+
+
+def _suffix_of(host: Column) -> Column:
+    """Longest matching public suffix of ``host`` (PSL longest-match rule;
+    no match -> the last label, the PSL implicit ``*`` rule)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    members = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
+    # greatest(..., 1): slice start must stay positive even when n < k (the
+    # n >= k guard below does NOT short-circuit expression evaluation)
+    cand = {
+        k: F.array_join(
+            F.slice(labels, F.greatest(n - (k - 1), F.lit(1)), k), "."
+        )
+        for k in range(_MAX_SUFFIX_LABELS, 0, -1)
+    }
+    out = F.element_at(labels, -1)  # implicit "*" fallback
+    for k in sorted(cand):  # shortest first; later (longer) wins the chain
+        out = F.when(
+            (n >= k) & F.array_contains(members, cand[k]), cand[k]
+        ).otherwise(out)
+    return out
+
+
+def with_registered_domain(
+    df: DataFrame, host_col: str = "host", out_col: str = "registered_domain"
+) -> DataFrame:
+    """Add the eTLD+1 column: the public suffix plus ONE preceding label.
+
+    A host that IS a public suffix (or a bare single label) has no
+    registrable part -> NULL, matching the PSL contract. Pure expression —
+    no join, no shuffle, stays inside whole-stage codegen.
+    """
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suf = _suffix_of(host)
+    suf_n = F.size(F.split(suf, r"\."))
+    reg = F.concat(F.element_at(labels, -(suf_n + 1)), F.lit("."), suf)
+    return df.withColumn(
+        out_col, F.when(n > suf_n, reg).otherwise(F.lit(None).cast("string"))
+    ).withColumn("public_suffix", suf)
+
+
+def etld1_budget(
+    frontier: DataFrame, host_col: str = "host", total_budget: int = 10_000
+) -> DataFrame:
+    """Per-registered-domain budget rollup: URL mass, distinct-host fan-out,
+    and the proportional page budget (integer apportionment, floor).
+
+    The admission-control view a 10^10 frontier computes BEFORE handing
+    budgets to hosts: a subdomain farm (thousands of hosts, one registered
+    domain) gets one shared budget, not thousands. One groupBy(etld1).
+    """
+    d = with_registered_domain(frontier, host_col)
+    tot = d.count()
+    return (
+        d.groupBy("registered_domain", "public_suffix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct(host_col).cast("long").alias("n_hosts"),
+        )
+        .select(
+            "registered_domain",
+            "public_suffix",
+            "n_urls",
+            "n_hosts",
+            (F.col("n_urls") * 10_000).cast("long").alias("_m"),
+            (F.col("n_urls") * total_budget).cast("long").alias("_b"),
+        )
+        .select(
+            "registered_domain",
+            "public_suffix",
+            "n_urls",
+            "n_hosts",
+            F.expr(f"_m div {int(tot)}").alias("share_bp"),
+            F.expr(f"_b div {int(tot)}").alias("page_budget"),
+        )
+        .orderBy("registered_domain")
+    )
+
+
+# -- adaptive politeness ------------------------------------------------------
+
+# (3/4)^age scaled by 4^7 for age 0..7 — newest observation heaviest.
+_EWMA_WINDOW = 8
+_EWMA_WEIGHTS = tuple(3**a * 4 ** (7 - a) for a in range(_EWMA_WINDOW))
+
+
+def adaptive_delay(
+    fetches: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    order_cols: tuple[str, ...] = ("ts", "fetch_id"),
+    target_multiple: int = 2,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 5_000,
+) -> DataFrame:
+    """Per-host adaptive crawl delay from observed latency (Heritrix's
+    delay-factor policy: wait ``target_multiple`` x the server's recent
+    response time, clamped).
+
+    Recency weighting is a TRUNCATED exponential — the last 8 observations
+    with integer weights 3^age * 4^(7-age) (i.e. (3/4)^age in basis 4^7) —
+    instead of a running EWMA, so the result is closed-form, exact in
+    int64, and identical in the DuckDB oracle. ewma_ms_milli carries the
+    weighted mean in milli-milliseconds:
+
+        ewma_ms_milli = (sum w*x * 1000) div (sum w)       [over ages seen]
+        delay_ms      = clamp((target_multiple * sum w*x) div (sum w),
+                              min_delay_ms, max_delay_ms)
+
+    One window (partitioned by host — no global sort) + one groupBy(host).
+    """
+    order = [F.col(c).desc() for c in order_cols]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    weights = F.array(*[F.lit(v) for v in _EWMA_WEIGHTS])
+    recent = (
+        fetches.withColumn("_age", F.row_number().over(w) - 1)
+        .where(F.col("_age") < _EWMA_WINDOW)
+        .withColumn("_w", F.element_at(weights, F.col("_age") + 1).cast("long"))
+    )
+    agg = recent.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.col("_w") * F.col(latency_col).cast("long")).alias("_wx"),
+        F.sum("_w").alias("_sw"),
+    )
+    raw = F.expr(f"({target_multiple} * _wx) div _sw")
+    return agg.select(
+        F.col(host_col).alias("host"),
+        "n_obs",
+        F.expr("(_wx * 1000) div _sw").alias("ewma_ms_milli"),
+        F.greatest(
+            F.lit(min_delay_ms).cast("long"),
+            F.least(F.lit(max_delay_ms).cast("long"), raw),
+        ).alias("delay_ms"),
+    )
+
+
+# -- frontier key-skew audit --------------------------------------------------
+
+
+def frontier_skew(
+    frontier: DataFrame,
+    host_col: str = "host",
+    n_partitions: int = 32,
+    min_share_bp: int = 100,
+) -> DataFrame:
+    """Hosts heavy enough to skew the fetch join, with the salt factor that
+    levels them.
+
+    ``salt_factor = ceil(n_urls / ceil(total / n_partitions))`` — how many
+    salted sub-keys bring this host's largest task back to the mean task
+    size. Feed the result to the J8 salted fetch join (plans/round.py);
+    hosts under ``min_share_bp`` (default 1%) never need salt and are
+    dropped so the audit's output stays broadcast-sized at any frontier
+    size. One groupBy(host).
+    """
+    counts = frontier.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    tot = frontier.count()
+    ideal = (tot + n_partitions - 1) // n_partitions
+    return (
+        counts.select(
+            F.col(host_col).alias("host"),
+            "n_urls",
+            F.expr(f"(n_urls * 10000) div {int(tot)}").alias("share_bp"),
+            F.expr(f"(n_urls + {ideal - 1}) div {ideal}").alias("salt_factor"),
+        )
+        .where(F.col("share_bp") >= min_share_bp)
+        .orderBy(F.col("n_urls").desc(), "host")
+    )
+
+
+# -- SURT index sharding ------------------------------------------------------
+
+
+def surt_key(url_col: Column) -> Column:
+    """SURT form of a URL (the CommonCrawl CDX ordering convention):
+    scheme dropped, host labels reversed and comma-joined, ``)`` before the
+    path — ``https://www.example.com/a?b`` -> ``com,example,www)/a?b``.
+    Pure expression."""
+    rest = F.regexp_replace(url_col, r"^[a-z][a-z0-9+.-]*://", "")
+    host = F.regexp_extract(rest, r"^([^/]*)", 1)
+    path = rest.substr(F.length(host) + 1, F.lit(1 << 20))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), F.when(path == "", F.lit("/")).otherwise(path))
+
+
+def cdx_shards(
+    urls: DataFrame,
+    url_col: str = "url",
+    n_shards: int = 8,
+    host_col: str = "host",
+) -> DataFrame:
+    """Assign each URL to a contiguous shard of the SURT-ordered index and
+    measure the locality win: distinct hosts touched per shard under SURT
+    order vs hash sharding.
+
+    A CDX index is range-partitioned on the SURT key so one registered
+    domain's URLs land in one shard (binary-searchable, and delta-encoding
+    compresses runs of a shared prefix); hash sharding scatters every host
+    across ALL shards. Output one row per shard id with both host counts —
+    surt_hosts is the locality evidence (<< hash_hosts).
+
+    Global order rides with_global_seq (two-phase prefix sum: one
+    repartitionByRange + per-partition counts to the driver); the hash
+    twin is a pure expression. One extra groupBy(shard) per flavor.
+    """
+    from crawler_spark.functions.hashing import hash60
+    from crawler_spark.operators.ordering import carry_seq_cache, with_global_seq
+
+    keyed = urls.withColumn("_surt", surt_key(F.col(url_col)))
+    seq = with_global_seq(keyed, [F.col("_surt"), F.col(url_col)], seq_col="_seq")
+    tot = seq._global_seq_total  # row count, free byproduct of the seq pass
+    assigned = seq.select(
+        F.col(host_col),
+        F.expr(f"(_seq * {n_shards}) div {int(tot)}").alias("shard"),
+        F.pmod(hash60(F.col(url_col)), F.lit(n_shards)).cast("long").alias("_hs"),
+    )
+    surt_side = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct(host_col).cast("long").alias("surt_hosts"),
+    )
+    hash_side = assigned.groupBy(F.col("_hs").alias("shard")).agg(
+        F.countDistinct(host_col).cast("long").alias("hash_hosts")
+    )
+    out = surt_side.join(hash_side, "shard", "left").orderBy("shard")
+    return carry_seq_cache(seq, out)

@@ -5819,6 +5819,271 @@ WHERE r.rk <= 3 ORDER BY r.phrase_id, r.rk
 """
 
 
+# -- host-scoped frontier governance (operators/hostscope.py) ------------------
+
+# host synthesis shared by etld1_budget and cdx_shards: subdomain x site x
+# public suffix, with every-97th doc planted as a BARE public suffix (whose
+# registrable part is NULL — the PSL edge case the operator must not invent
+# a registered domain for).
+def _hostscope_host_col():
+    d = F.col("doc_id")
+    sub = (
+        F.when(F.pmod(d, F.lit(4)) == 0, F.lit("www."))
+        .when(F.pmod(d, F.lit(4)) == 1, F.lit("cdn."))
+        .when(F.pmod(d, F.lit(4)) == 2, F.lit("m."))
+        .otherwise(F.lit(""))
+    )
+    suffix = (
+        F.when(F.pmod(d, F.lit(5)) == 0, F.lit("com"))
+        .when(F.pmod(d, F.lit(5)) == 1, F.lit("co.uk"))
+        .when(F.pmod(d, F.lit(5)) == 2, F.lit("github.io"))
+        .when(F.pmod(d, F.lit(5)) == 3, F.lit("org"))
+        .otherwise(F.lit("test"))  # not in the PSL set: implicit-"*" path
+    )
+    site = F.concat(F.lit("site"), F.pmod(d, F.lit(11)).cast("string"))
+    return F.when(F.pmod(d, F.lit(97)) == 0, F.lit("github.io")).otherwise(
+        F.concat(sub, site, F.lit("."), suffix)
+    )
+
+
+_HOSTSCOPE_HOST_SQL = """
+  CASE WHEN doc_id % 97 = 0 THEN 'github.io' ELSE
+    (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+                     WHEN 2 THEN 'm.' ELSE '' END)
+    || 'site' || CAST(doc_id % 11 AS VARCHAR) || '.'
+    || (CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                        WHEN 2 THEN 'github.io' WHEN 3 THEN 'org'
+                        ELSE 'test' END)
+  END
+"""
+
+
+def q_etld1_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1, publicsuffix.org semantics) budget rollup
+    (hostscope.etld1_budget): subdomain farms collapse to ONE owner before
+    page budgets are apportioned — the admission-control grouping the
+    reference's per-netloc budgeting (url_management/queue.py) would need
+    at 10^10-URL scale, where *.blogspot.com alone is millions of hosts.
+    Longest-suffix match over an embedded PSL subset, implicit-"*"
+    fallback, bare-suffix hosts -> NULL registrable part. Exact integers
+    (share in basis points, budget by floor apportionment)."""
+    from crawler_spark.operators.hostscope import etld1_budget
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    frontier = docs.select(_hostscope_host_col().alias("host"))
+    return etld1_budget(frontier, total_budget=1_000_000)
+
+
+def _sql_etld1_budget() -> str:
+    from crawler_spark.operators.hostscope import PUBLIC_SUFFIXES
+
+    members = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES)
+    return f"""
+WITH f AS (SELECT {_HOSTSCOPE_HOST_SQL} AS host FROM documents),
+lab AS (
+  SELECT host, string_split(host, '.') AS l,
+         len(string_split(host, '.')) AS n
+  FROM f
+),
+suf AS (
+  SELECT host, n, l,
+    CASE
+      WHEN n >= 3 AND list_contains([{members}],
+           array_to_string(l[n-2:n], '.')) THEN array_to_string(l[n-2:n], '.')
+      WHEN n >= 2 AND list_contains([{members}],
+           array_to_string(l[n-1:n], '.')) THEN array_to_string(l[n-1:n], '.')
+      ELSE l[n]
+    END AS public_suffix
+  FROM lab
+),
+reg AS (
+  SELECT host, public_suffix,
+    CASE WHEN n > len(string_split(public_suffix, '.'))
+         THEN l[n - len(string_split(public_suffix, '.'))] || '.' || public_suffix
+         ELSE NULL END AS registered_domain
+  FROM suf
+),
+tot AS (SELECT count(*) AS t FROM f)
+SELECT registered_domain, public_suffix,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       (count(*) * 10000) // t AS share_bp,
+       (count(*) * 1000000) // t AS page_budget
+FROM reg, tot
+GROUP BY registered_domain, public_suffix, t
+ORDER BY registered_domain
+"""
+
+
+def q_adaptive_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host adaptive crawl delay from observed fetch latency
+    (hostscope.adaptive_delay — Heritrix's delay-factor policy: wait 2x the
+    server's recent response time, clamped to [100, 5000] ms). Latencies
+    are synthesized deterministically from event_id with one planted slow
+    host (h7, 5x latency) the policy must back off from; recency weighting
+    is the truncated (3/4)^age exponential over the last 8 fetches in exact
+    int64 (basis 4^7), so the DuckDB twin value-hashes."""
+    from crawler_spark.operators.hostscope import adaptive_delay
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hostn = F.pmod(F.col("user_id"), F.lit(37))
+    fetches = ev.select(
+        F.concat(F.lit("h"), hostn.cast("string")).alias("host"),
+        (
+            (F.lit(50) + F.pmod(F.col("event_id") * 7919, F.lit(950)))
+            * F.when(hostn == 7, F.lit(5)).otherwise(F.lit(1))
+        ).cast("long").alias("latency_ms"),
+        "ts",
+        F.col("event_id").alias("fetch_id"),
+    )
+    return adaptive_delay(fetches).orderBy("host")
+
+
+def _sql_adaptive_politeness() -> str:
+    from crawler_spark.operators.hostscope import _EWMA_WEIGHTS
+
+    wts = ", ".join(str(w) for w in _EWMA_WEIGHTS)
+    return f"""
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+         (50 + (event_id * 7919) % 950)
+           * (CASE WHEN user_id % 37 = 7 THEN 5 ELSE 1 END) AS latency_ms,
+         ts, event_id
+  FROM events
+),
+r AS (
+  SELECT host, latency_ms,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY ts DESC, event_id DESC) - 1 AS age
+  FROM f
+),
+w AS (
+  SELECT host, latency_ms, ([{wts}])[age + 1] AS wt
+  FROM r WHERE age < 8
+),
+a AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(wt * latency_ms) AS BIGINT) AS wx,
+         CAST(sum(wt) AS BIGINT) AS sw
+  FROM w GROUP BY host
+)
+SELECT host, n_obs, (wx * 1000) // sw AS ewma_ms_milli,
+       CAST(greatest(100, least(5000, (2 * wx) // sw)) AS BIGINT) AS delay_ms
+FROM a ORDER BY host
+"""
+
+
+def q_frontier_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight frontier key-skew audit (hostscope.frontier_skew): the
+    per-host URL-mass scan that SIZES the salt factor for the salted fetch
+    join (plans/round.py J8 takes salt as a knob; this is where the number
+    comes from at 10^10 scale). Synthesized three-tier skew: one hot host
+    (25% of mass), four warm hosts (~6% each), a 199-host tail under the
+    1% reporting floor. salt_factor = ceil(n_urls / ceil(total/32))."""
+    from crawler_spark.operators.hostscope import frontier_skew
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    host = (
+        F.when(F.pmod(d, F.lit(4)) == 0, F.lit("hot.test"))
+        .when(
+            F.pmod(d, F.lit(4)) == 1,
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.expr("doc_id div 4"), F.lit(4)).cast("string"),
+                F.lit(".test"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("t"),
+                F.pmod(F.expr("doc_id div 4"), F.lit(199)).cast("string"),
+                F.lit(".test"),
+            )
+        )
+    )
+    frontier = docs.select(host.alias("host"))
+    return frontier_skew(frontier, n_partitions=32, min_share_bp=100)
+
+
+SQL_FRONTIER_SKEW = """
+WITH f AS (
+  SELECT CASE
+    WHEN doc_id % 4 = 0 THEN 'hot.test'
+    WHEN doc_id % 4 = 1 THEN 'w' || CAST((doc_id // 4) % 4 AS VARCHAR) || '.test'
+    ELSE 't' || CAST((doc_id // 4) % 199 AS VARCHAR) || '.test'
+  END AS host FROM documents
+),
+tot AS (SELECT count(*) AS t, (count(*) + 31) // 32 AS ideal FROM f),
+c AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM f GROUP BY host)
+SELECT host, n_urls,
+       (n_urls * 10000) // t AS share_bp,
+       (n_urls + ideal - 1) // ideal AS salt_factor
+FROM c, tot
+WHERE (n_urls * 10000) // t >= 100
+ORDER BY n_urls DESC, host
+"""
+
+
+def q_cdx_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-ordered CDX index sharding (hostscope.cdx_shards — the
+    CommonCrawl index convention: host labels reversed so one registered
+    domain's URLs are contiguous and range-partitioned shards stay
+    host-local). Output per contiguous shard: URL count plus distinct-host
+    counts under SURT order vs hash sharding — surt_hosts << hash_hosts is
+    the locality evidence that makes the shard binary-searchable and
+    delta-compressible. Rides the two-phase global prefix sum."""
+    from crawler_spark.operators.hostscope import cdx_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        _hostscope_host_col(),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    urls = docs.select(
+        url.alias("url"), _hostscope_host_col().alias("host")
+    )
+    return cdx_shards(urls, n_shards=8)
+
+
+def _sql_cdx_shards() -> str:
+    return f"""
+WITH u AS (
+  SELECT {_HOSTSCOPE_HOST_SQL} AS host,
+         'https://' || {_HOSTSCOPE_HOST_SQL} || '/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '/doc/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+s AS (
+  SELECT host, url,
+         array_to_string(list_reverse(string_split(host, '.')), ',')
+           || ')' || path AS surt,
+         {hash60_sql('url')} % 8 AS hs
+  FROM u
+),
+seq AS (
+  SELECT host, hs, row_number() OVER (ORDER BY surt, url) - 1 AS sq FROM s
+),
+tot AS (SELECT count(*) AS t FROM u),
+a AS (SELECT host, hs, (sq * 8) // t AS shard FROM seq, tot),
+surt_side AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT host) AS BIGINT) AS surt_hosts
+  FROM a GROUP BY shard
+),
+hash_side AS (
+  SELECT hs AS shard, CAST(count(DISTINCT host) AS BIGINT) AS hash_hosts
+  FROM a GROUP BY hs
+)
+SELECT s.shard, s.n_urls, s.surt_hosts, h.hash_hosts
+FROM surt_side s LEFT JOIN hash_side h ON s.shard = h.shard
+ORDER BY s.shard
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -5967,4 +6232,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "redirect_resolve": QuerySpec(q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "corpus_drift": QuerySpec(q_corpus_drift, SQL_CORPUS_DRIFT),
     "phrase_search": QuerySpec(q_phrase_search, SQL_PHRASE_SEARCH),
+    # -- host-scoped frontier governance ---------------------------------------
+    "etld1_budget": QuerySpec(q_etld1_budget, _sql_etld1_budget()),
+    "adaptive_politeness": QuerySpec(q_adaptive_politeness, _sql_adaptive_politeness()),
+    "frontier_skew": QuerySpec(q_frontier_skew, SQL_FRONTIER_SKEW),
+    "cdx_shards": QuerySpec(q_cdx_shards, _sql_cdx_shards()),
 }
