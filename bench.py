@@ -142,6 +142,7 @@ HEADLINE = [
     "adaptive_politeness",
     "frontier_skew",
     "cdx_shards",
+    "drain_forecast",
 ]
 
 

@@ -102,6 +102,53 @@ def with_registered_domain(
     ).withColumn("public_suffix", suf)
 
 
+def with_registered_domain_dim(
+    df: DataFrame,
+    suffixes: DataFrame,
+    host_col: str = "host",
+    out_col: str = "registered_domain",
+) -> DataFrame:
+    """The production-PSL variant of :func:`with_registered_domain`: the
+    suffix set arrives as a DataFrame dimension (``suffix`` string column —
+    the full ~9k-rule publicsuffix.org snapshot, refreshed out-of-band)
+    instead of a compiled-in literal.
+
+    Plan shape: THREE broadcast left joins (one per candidate label count,
+    each against the dim pre-filtered to that label count) and a coalesce —
+    no shuffle on the fact side, no explode. Matches the literal-map path
+    bit-for-bit on any suffix set (pinned by test_hostscope parity)."""
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    dim = suffixes.select(
+        F.col("suffix"), F.size(F.split("suffix", r"\.")).alias("_k")
+    )
+    out = df.withColumn("_n", n)
+    matched = []
+    for k in range(1, _MAX_SUFFIX_LABELS + 1):
+        cand = F.array_join(F.slice(labels, F.greatest(n - (k - 1), F.lit(1)), k), ".")
+        col = f"_m{k}"
+        side = F.broadcast(
+            dim.where(F.col("_k") == k).select(F.col("suffix").alias(col))
+        )
+        out = out.join(
+            side, (F.col("_n") >= k) & (cand == F.col(col)), "left"
+        )
+        matched.append(F.col(col))
+    suf = F.coalesce(*reversed(matched), F.element_at(labels, -1))
+    suf_n = F.size(F.split(suf, r"\."))
+    reg = F.concat(
+        F.element_at(F.split(F.col(host_col), r"\."), -(suf_n + 1)),
+        F.lit("."),
+        suf,
+    )
+    result = out.withColumn("public_suffix", suf).withColumn(
+        out_col,
+        F.when(F.col("_n") > suf_n, reg).otherwise(F.lit(None).cast("string")),
+    )
+    return result.drop("_n", *[f"_m{k}" for k in range(1, _MAX_SUFFIX_LABELS + 1)])
+
+
 def etld1_budget(
     frontier: DataFrame, host_col: str = "host", total_budget: int = 10_000
 ) -> DataFrame:
@@ -194,6 +241,64 @@ def adaptive_delay(
             F.lit(min_delay_ms).cast("long"),
             F.least(F.lit(max_delay_ms).cast("long"), raw),
         ).alias("delay_ms"),
+    )
+
+
+def drain_forecast(
+    queue: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    pending_col: str = "pending_n",
+    round_seconds: int = 10,
+    default_delay_ms: int = 500,
+) -> DataFrame:
+    """Politeness-constrained drain forecast per host — the capacity-planning
+    query a 10^10 frontier runs before a crawl wave: with each host capped
+    at one fetch per ``delay_ms`` (the :func:`adaptive_delay` output), how
+    many rounds until its queue drains, and which host is the makespan
+    driver (adding executors cannot finish the wave faster than the
+    slowest POLITE host — the crawl-scheduling analog of Amdahl).
+
+        slots_per_round = max(1, (round_seconds * 1000) div delay_ms)
+        rounds_to_drain = ceil(pending_n / slots_per_round)
+        critical        = 1 on the argmax host(s)
+
+    Hosts with no observed latency fall back to ``default_delay_ms``. One
+    host-keyed join (both sides are host-level aggregates — at 10^10 URLs
+    that is ~10^7-8 rows, hash-partitioned on host) plus a one-row max
+    broadcast for the critical flag. Exact integers throughout.
+    """
+    d = delays.select(
+        F.col("host").alias("_dh"), F.col("delay_ms").alias("_delay")
+    )
+    q = queue.select(
+        F.col(host_col).alias("host"), F.col(pending_col).cast("long").alias("pending_n")
+    )
+    j = q.join(d, q["host"] == d["_dh"], "left").select(
+        "host",
+        "pending_n",
+        F.coalesce(F.col("_delay"), F.lit(default_delay_ms)).cast("long").alias("delay_ms"),
+    )
+    budget_ms = int(round_seconds) * 1000
+    j = j.select(
+        "host",
+        "pending_n",
+        "delay_ms",
+        F.greatest(F.lit(1).cast("long"), F.expr(f"{budget_ms} div delay_ms")).alias(
+            "slots_per_round"
+        ),
+    ).withColumn(
+        "rounds_to_drain",
+        F.expr("(pending_n + slots_per_round - 1) div slots_per_round"),
+    )
+    worst = j.agg(F.max("rounds_to_drain").alias("_w"))
+    return (
+        j.crossJoin(F.broadcast(worst))  # one-row scalar, broadcast
+        .withColumn(
+            "critical", (F.col("rounds_to_drain") == F.col("_w")).cast("int")
+        )
+        .drop("_w")
+        .orderBy("host")
     )
 
 

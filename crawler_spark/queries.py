@@ -5973,6 +5973,91 @@ FROM a ORDER BY host
 """
 
 
+def q_drain_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-constrained drain forecast (hostscope.drain_forecast):
+    per-host rounds-to-drain under the adaptive delay, flagging the
+    makespan-critical host — the capacity answer to "how long is this
+    crawl wave, and which polite host pins it" (more executors cannot
+    beat the slowest polite host). Queue depths come from documents
+    (same 37-host space as the adaptive-politeness fetches, so hosts
+    without observed latency exercise the default-delay fallback)."""
+    from crawler_spark.operators.hostscope import adaptive_delay, drain_forecast
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hostn = F.pmod(F.col("user_id"), F.lit(37))
+    fetches = ev.select(
+        F.concat(F.lit("h"), hostn.cast("string")).alias("host"),
+        (
+            (F.lit(50) + F.pmod(F.col("event_id") * 7919, F.lit(950)))
+            * F.when(hostn == 7, F.lit(5)).otherwise(F.lit(1))
+        ).cast("long").alias("latency_ms"),
+        "ts",
+        F.col("event_id").alias("fetch_id"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    queue = docs.groupBy(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("doc_id"), F.lit(37)).cast("string")
+        ).alias("host")
+    ).agg(F.count(F.lit(1)).alias("pending_n"))
+    return drain_forecast(queue, adaptive_delay(fetches), round_seconds=10)
+
+
+def _sql_drain_forecast() -> str:
+    from crawler_spark.operators.hostscope import _EWMA_WEIGHTS
+
+    wts = ", ".join(str(w) for w in _EWMA_WEIGHTS)
+    return f"""
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+         (50 + (event_id * 7919) % 950)
+           * (CASE WHEN user_id % 37 = 7 THEN 5 ELSE 1 END) AS latency_ms,
+         ts, event_id
+  FROM events
+),
+r AS (
+  SELECT host, latency_ms,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY ts DESC, event_id DESC) - 1 AS age
+  FROM f
+),
+w AS (SELECT host, latency_ms, ([{wts}])[age + 1] AS wt FROM r WHERE age < 8),
+a AS (
+  SELECT host, CAST(sum(wt * latency_ms) AS BIGINT) AS wx,
+         CAST(sum(wt) AS BIGINT) AS sw
+  FROM w GROUP BY host
+),
+delays AS (
+  SELECT host,
+         CAST(greatest(100, least(5000, (2 * wx) // sw)) AS BIGINT) AS delay_ms
+  FROM a
+),
+queue AS (
+  SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+         CAST(count(*) AS BIGINT) AS pending_n
+  FROM documents GROUP BY 1
+),
+j AS (
+  SELECT q.host, q.pending_n,
+         CAST(coalesce(d.delay_ms, 500) AS BIGINT) AS delay_ms
+  FROM queue q LEFT JOIN delays d ON q.host = d.host
+),
+s AS (
+  SELECT host, pending_n, delay_ms,
+         greatest(1, 10000 // delay_ms) AS slots_per_round
+  FROM j
+),
+t AS (
+  SELECT host, pending_n, delay_ms, slots_per_round,
+         (pending_n + slots_per_round - 1) // slots_per_round AS rounds_to_drain
+  FROM s
+)
+SELECT host, pending_n, delay_ms, slots_per_round, rounds_to_drain,
+       CAST(rounds_to_drain = max(rounds_to_drain) OVER () AS INT) AS critical
+FROM t ORDER BY host
+"""
+
+
 def q_frontier_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight frontier key-skew audit (hostscope.frontier_skew): the
     per-host URL-mass scan that SIZES the salt factor for the salted fetch
@@ -6236,5 +6321,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "etld1_budget": QuerySpec(q_etld1_budget, _sql_etld1_budget()),
     "adaptive_politeness": QuerySpec(q_adaptive_politeness, _sql_adaptive_politeness()),
     "frontier_skew": QuerySpec(q_frontier_skew, SQL_FRONTIER_SKEW),
+    "drain_forecast": QuerySpec(q_drain_forecast, _sql_drain_forecast()),
     "cdx_shards": QuerySpec(q_cdx_shards, _sql_cdx_shards()),
 }

@@ -50,6 +50,32 @@ def test_registered_domain_psl_cases(spark):
     assert got["localhost"] == (None, "localhost")
 
 
+def test_registered_domain_dim_parity(spark):
+    """The broadcast-dim PSL path (production: full 9k-rule snapshot)
+    matches the literal-map path bit-for-bit, and its plan broadcasts."""
+    from crawler_spark.operators.hostscope import (
+        PUBLIC_SUFFIXES,
+        with_registered_domain_dim,
+    )
+
+    hosts = [
+        "www.example.co.uk", "example.co.uk", "co.uk", "a.b.example.com",
+        "myblog.blogspot.com", "blogspot.com", "foo.bar.s3.amazonaws.com",
+        "example.unknowntld", "unknowntld", "localhost", "x.y.z.github.io",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    dim = spark.createDataFrame([(s,) for s in PUBLIC_SUFFIXES], ["suffix"])
+    got = with_registered_domain_dim(df, dim)
+    want = with_registered_domain(df)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["host"], r["registered_domain"], r["public_suffix"]) for r in rows
+    )
+    assert key(got.collect()) == key(want.collect())
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_adaptive_delay_contract(spark):
     # one host, 10 fetches: only the last 8 count, newest weighted 4^7
     rows = [("h", i, 100 * (i + 1)) for i in range(10)]  # latency 100..1000
@@ -87,6 +113,26 @@ def test_frontier_skew_salt_sizing(spark):
     assert hot["share_bp"] == 64 * 10000 // 128
     # tail hosts are each 1/128 = 78bp < the 100bp reporting floor
     assert set(out) == {"hot"}
+
+
+def test_drain_forecast(spark):
+    from crawler_spark.operators.hostscope import drain_forecast
+
+    queue = spark.createDataFrame(
+        [("slow", 100), ("fast", 100), ("unseen", 10)], ["host", "pending_n"]
+    )
+    delays = spark.createDataFrame(
+        [("slow", 5000), ("fast", 100)], ["host", "delay_ms"]
+    )
+    out = {r["host"]: r for r in drain_forecast(queue, delays, round_seconds=10).collect()}
+    assert out["slow"]["slots_per_round"] == 2  # 10000 // 5000
+    assert out["slow"]["rounds_to_drain"] == 50
+    assert out["fast"]["slots_per_round"] == 100
+    assert out["fast"]["rounds_to_drain"] == 1
+    assert out["unseen"]["delay_ms"] == 500  # default-delay fallback
+    assert out["unseen"]["rounds_to_drain"] == 1  # 10 urls, 20 slots
+    # the polite slow host pins the wave
+    assert [h for h, r in out.items() if r["critical"] == 1] == ["slow"]
 
 
 def test_surt_key_and_shard_locality(spark):
