@@ -4867,6 +4867,97 @@ FROM hc, tot, g ORDER BY host
 SQL_CRAWL_HOST_FAIRNESS = _sql_crawl_host_fairness()
 
 
+def q_crawl_schedule_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-interleave audit THROUGH the real engine: per committed
+    round, how well the scheduler spreads consecutive fetches across hosts
+    — host_switches (adjacent-pair host changes in crawl order) and
+    max_run (longest same-host run, gaps-and-islands). A politeness-correct
+    schedule interleaves hosts (high switches, short runs); a run of
+    length > per-host slots would mean the crawl-delay window was violated
+    in ORDER even if per-round budgets held. The DuckDB twin recomputes
+    both from the unrolled 6-round crawl oracle, pinning the engine's
+    interleaving end to end. One round-partitioned window + one
+    groupBy(round, host, island) + one groupBy(round)."""
+    from pyspark.sql import Window
+
+    from crawler_spark.tables import SnapshotCatalog
+
+    workdir = _mini_crawl_workdir(spark)
+    order = SnapshotCatalog(workdir).read(spark, "crawl_order")
+    d = order.select(
+        "round",
+        "seq",
+        F.regexp_extract(F.col("canonical"), "^https?://([^/]+)", 1).alias("host"),
+    )
+    w = Window.partitionBy("round").orderBy("seq")
+    prev = F.lag("host").over(w)
+    marked = d.select(
+        "round",
+        "seq",
+        "host",
+        F.when(prev.isNotNull() & (prev != F.col("host")), 1)
+        .otherwise(0)
+        .alias("switch"),
+    )
+    wr = Window.partitionBy("round", "host").orderBy("seq")
+    islands = marked.withColumn(
+        "island", F.col("seq") - F.row_number().over(wr)
+    )
+    runs = islands.groupBy("round", "host", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    per_round = marked.groupBy("round").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scheduled"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("switch").cast("long").alias("host_switches"),
+    )
+    max_run = runs.groupBy("round").agg(F.max("run_len").cast("long").alias("max_run"))
+    return per_round.join(max_run, "round").orderBy("round")
+
+
+def _sql_crawl_schedule_runs() -> str:
+    from crawler_spark.minicrawl_oracle import MAX_ROUNDS, sql_crawl_order_mini
+
+    chain = sql_crawl_order_mini()
+    head, _, _ = chain.rpartition("SELECT round, seq, canonical")
+    return (
+        head
+        + f""", ord AS (
+  SELECT round, seq,
+         regexp_extract(canonical, '^https?://([^/]+)', 1) AS host
+  FROM orders_upto{MAX_ROUNDS - 1}
+),
+marked AS (
+  SELECT round, seq, host,
+         CASE WHEN lag(host) OVER (PARTITION BY round ORDER BY seq)
+                   IS DISTINCT FROM host
+               AND lag(host) OVER (PARTITION BY round ORDER BY seq)
+                   IS NOT NULL
+              THEN 1 ELSE 0 END AS switch,
+         seq - row_number() OVER (PARTITION BY round, host ORDER BY seq)
+           AS island
+  FROM ord
+),
+runs AS (
+  SELECT round, max(run_len) AS max_run FROM (
+    SELECT round, host, island, count(*) AS run_len
+    FROM marked GROUP BY round, host, island
+  ) GROUP BY round
+),
+agg AS (
+  SELECT round, CAST(count(*) AS BIGINT) AS n_scheduled,
+         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         CAST(sum(switch) AS BIGINT) AS host_switches
+  FROM marked GROUP BY round
+)
+SELECT a.round, a.n_scheduled, a.n_hosts, a.host_switches,
+       CAST(r.max_run AS BIGINT) AS max_run
+FROM agg a JOIN runs r ON a.round = r.round
+ORDER BY a.round
+"""
+    )
+
+
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law corpus-health fit (lm.zipf_slope): exact integer
     least-squares slope of ilog2(word frequency) vs ilog2(rank), negated
@@ -6322,5 +6413,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "adaptive_politeness": QuerySpec(q_adaptive_politeness, _sql_adaptive_politeness()),
     "frontier_skew": QuerySpec(q_frontier_skew, SQL_FRONTIER_SKEW),
     "drain_forecast": QuerySpec(q_drain_forecast, _sql_drain_forecast()),
+    "crawl_schedule_runs": QuerySpec(q_crawl_schedule_runs, _sql_crawl_schedule_runs()),
     "cdx_shards": QuerySpec(q_cdx_shards, _sql_cdx_shards()),
 }
