@@ -50,6 +50,50 @@ def test_registered_domain_psl_cases(spark):
     assert got["localhost"] == (None, "localhost")
 
 
+def _psl_reference(host):
+    """Pure-Python PSL longest-match reference (same embedded suffix set)."""
+    from crawler_spark.operators.hostscope import PUBLIC_SUFFIXES
+
+    labels = host.split(".")
+    n = len(labels)
+    suf = labels[-1]
+    for k in (1, 2, 3):
+        if n >= k and ".".join(labels[n - k:]) in PUBLIC_SUFFIXES:
+            suf = ".".join(labels[n - k:])
+    sn = len(suf.split("."))
+    if n > sn:
+        return labels[n - sn - 1] + "." + suf, suf
+    return None, suf
+
+
+def test_registered_domain_differential(spark):
+    """2000 seeded pseudo-random hosts vs the pure-Python PSL reference —
+    one Spark job, every (registered_domain, public_suffix) pair equal."""
+    import random
+
+    from crawler_spark.operators.hostscope import PUBLIC_SUFFIXES
+
+    rng = random.Random(1234)
+    parts = ["www", "a", "cdn", "x9", "blog", "example", "co", "uk", "com",
+             "github", "io", "s3", "amazonaws", "svc"]
+    hosts = []
+    for _ in range(2000):
+        n = rng.randint(1, 5)
+        if rng.random() < 0.4:  # end on a known suffix half the time
+            tail = rng.choice(PUBLIC_SUFFIXES)
+            head = [rng.choice(parts) for _ in range(rng.randint(0, 3))]
+            hosts.append(".".join(head + [tail]))
+        else:
+            hosts.append(".".join(rng.choice(parts) for _ in range(n)))
+    expected = {h: _psl_reference(h) for h in set(hosts)}
+    df = spark.createDataFrame([(h,) for h in set(hosts)], ["host"])
+    got = {
+        r["host"]: (r["registered_domain"], r["public_suffix"])
+        for r in with_registered_domain(df).collect()
+    }
+    assert got == expected
+
+
 def test_registered_domain_dim_parity(spark):
     """The broadcast-dim PSL path (production: full 9k-rule snapshot)
     matches the literal-map path bit-for-bit, and its plan broadcasts."""
