@@ -6323,9 +6323,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # -- LM / BPE -------------------------------------------------------------
     "bpe_merges": QuerySpec(q_bpe_merges, SQL_BPE_MERGES),
     "lm_surprisal": QuerySpec(q_lm_surprisal, SQL_LM_SURPRISAL),
-    "text_embed_hash": QuerySpec(q_text_embed_hash, SQL_TEXT_EMBED_HASH),
-    # -- curation -------------------------------------------------------------
+    # -- curation (training_keepset inside the 50-entry driver window so every
+    #    operator family gets a driver-checked representative) ----------------
     "training_keepset": QuerySpec(q_training_keepset, SQL_TRAINING_KEEPSET),
+    "text_embed_hash": QuerySpec(q_text_embed_hash, SQL_TEXT_EMBED_HASH),
     "corpus_split": QuerySpec(q_corpus_split, SQL_CORPUS_SPLIT),
     "domain_cap": QuerySpec(q_domain_cap, SQL_DOMAIN_CAP),
     "pack_sequences": QuerySpec(q_pack_sequences, SQL_PACK_SEQUENCES),
