@@ -157,13 +157,28 @@ def minhash_lsh_dedup(
 
 
 def _pair_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — intersection via double join on shingle hash."""
-    sa = shingles.select(F.col("doc").alias("doc_a"), F.col("sh"))
-    sb = shingles.select(F.col("doc").alias("doc_b"), F.col("sh"))
+    """(doc_a, doc_b, jaccard) — intersection via double join on shingle hash.
+
+    The shingle set is first semi-joined down to docs that appear in some
+    candidate pair, so the intersection joins shuffle candidate docs'
+    shingles only (AQE broadcasts the doc list when candidates are sparse
+    — the common dedup case); sizes still come from the FULL per-doc sets,
+    so the Jaccard stays exact."""
+    sizes = shingles.groupBy("doc").agg(F.count("*").alias("sz"))
+    # pairs' plan is the caller's whole candidate pipeline and fans out to
+    # 3 consumers here (cand_docs x2, inter join); pin the tiny frame
+    pairs = pairs.localCheckpoint(eager=False)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .union(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    shc = shingles.join(cand_docs, "doc")
+    sa = shc.select(F.col("doc").alias("doc_a"), F.col("sh"))
+    sb = shc.select(F.col("doc").alias("doc_b"), F.col("sh"))
     inter = (
         pairs.join(sa, "doc_a").join(sb, ["doc_b", "sh"]).groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     )
-    sizes = shingles.groupBy("doc").agg(F.count("*").alias("sz"))
     return (
         inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
         .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
@@ -237,6 +252,12 @@ def prefix_jaccard_pairs(
     Scale: two shuffles on shingle hash (df count, prefix join) + one
     per-doc window over each doc's OWN shingles (small partitions, never a
     corpus-wide sort) + the hash-keyed verify joins. No all-pairs stage.
+    Before verification, candidates are pruned by the IMPLIED size filter
+    (jaccard >= t forces min(|A|,|B|) >= t*max(|A|,|B|), so the filter
+    drops no true pair) and the shingle set is semi-joined down to docs
+    that survive it — the intersection-count joins then shuffle only
+    candidate docs' shingles, not the corpus (AQE broadcasts the doc list
+    when candidates are sparse, the common dedup case).
     """
     sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
@@ -259,19 +280,40 @@ def prefix_jaccard_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc").alias("doc_b"), "sh")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    cand = (
+        pairs.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .where(
+            F.least("sz_a", "sz_b") * th_den >= F.greatest("sz_a", "sz_b") * th_num
+        )
+        # cand is tiny (surviving candidate pairs) but its plan embeds the
+        # whole prefix-join pipeline; it fans out to 3 consumers below, so
+        # pin it or the candidate generation recomputes per consumer
+        .localCheckpoint(eager=False)
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    shc = sh.join(cand_docs, "doc")
+    sa = shc.select(F.col("doc").alias("doc_a"), "sh")
+    sb = shc.select(F.col("doc").alias("doc_b"), "sh")
     inter = (
-        pairs.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("sz_union", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        inter.withColumn("sz_union", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .where(F.col("inter") * th_den >= F.col("sz_union") * th_num)
         .select(
             "doc_a",
@@ -1090,19 +1132,41 @@ def containment_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc").alias("doc_b"), "sh")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # implied size filter: containment(a->b) >= t needs inter >= t*|S(a)|
+    # and inter <= |S(b)|, so |S(b)|*th_den >= |S(a)|*th_num — drops no
+    # true pair. Then semi-join shingles down to surviving candidate docs
+    # so the verify joins shuffle candidates only (same shape as
+    # prefix_jaccard_pairs).
+    cand = (
+        pairs.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .where(F.col("sz_b") * th_den >= F.col("sz_a") * th_num)
+        # fans out to 3 consumers (cand_docs x2, inter); pin the tiny frame
+        .localCheckpoint(eager=False)
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    shc = sh.join(cand_docs, "doc")
+    sa = shc.select(F.col("doc").alias("doc_a"), "sh")
+    sb = shc.select(F.col("doc").alias("doc_b"), "sh")
     inter = (
-        pairs.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .where(F.col("inter") * th_den >= F.col("sz_a") * th_num)
+        inter.where(F.col("inter") * th_den >= F.col("sz_a") * th_num)
         .select(
             "doc_a",
             "doc_b",
