@@ -184,7 +184,12 @@ def _seen_urls(spark: SparkSession, lo: int, hi: int) -> DataFrame:
     )
 
 
-_SEEN_BUCKETS = 64
+# bucket count must scale with the seen set so the per-bucket hash map the
+# dedup SHJ builds stays a few million rows: 64 is right up to ~10^8 rows;
+# at 10^9 a 64-bucket table puts 15.6M rows in every build map (measured
+# SparkOutOfMemoryError at 56g heap) — the 10^9 sweep runs 512, and a 10^10
+# deployment sizes thousands (tables.py applies the same rule to url_seen)
+_SEEN_BUCKETS = int(os.environ.get("BENCH_SEEN_BUCKETS", "64"))
 
 
 def _bucketed_seen(spark: SparkSession, lo: int, hi: int, data_dir: str, tag: str) -> DataFrame:
