@@ -133,6 +133,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     k: int = MINHASH_K,
     band_size: int = LSH_BAND_SIZE,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -145,8 +146,15 @@ def minhash_lsh_dedup(
     """
     # one materialization: shingles feed both the signature pass and the
     # Jaccard verification — without it the corpus is scanned and
-    # re-tokenized four times (visible as 4 parquet scans in .explain)
-    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # re-tokenized four times (visible as 4 parquet scans in .explain).
+    # Callers composing several similarity passes over the same corpus
+    # (minhash_recall: LSH + prefix-filter truth) pass a shared pinned
+    # ``shingles`` frame so the corpus is tokenized once across BOTH.
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    )
     sig = minhash_signature(sh, k)
     cand = lsh_candidate_pairs(sig, k, band_size)
     j = _pair_jaccard(cand, sh)
@@ -228,6 +236,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     th_num: int = 1,
     th_den: int = 2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT shingle-Jaccard similarity join via prefix filtering (Chaudhuri
     et al. ICDE'06 / PPJoin, Xiao et al. WWW'08) — the no-false-negative
@@ -259,7 +268,11 @@ def prefix_jaccard_pairs(
     candidate docs' shingles, not the corpus (AQE broadcasts the doc list
     when candidates are sparse, the common dedup case).
     """
-    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    )
     dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
     wdoc = Window.partitionBy("doc")
     ranked = (

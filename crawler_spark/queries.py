@@ -4165,14 +4165,21 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup family — the number an operator reads before trusting the
     approximate path at 100 TB, value-checked (n_true, n_caught,
     recall_bp) against the composed DuckDB twin."""
-    from crawler_spark.operators.dedup import minhash_lsh_dedup, prefix_jaccard_pairs
+    from crawler_spark.operators.dedup import (
+        doc_shingles,
+        minhash_lsh_dedup,
+        prefix_jaccard_pairs,
+    )
 
     docs = _docs(spark, sf_dir)
+    # one shared pinned shingle frame: truth and caught otherwise tokenize
+    # and shingle the identical corpus twice
+    sh = doc_shingles(docs, "doc_id", "text", n=3).localCheckpoint(eager=False)
     truth = prefix_jaccard_pairs(
-        docs, "doc_id", "text", n=3, th_num=1, th_den=2
+        docs, "doc_id", "text", n=3, th_num=1, th_den=2, shingles=sh
     ).select("doc_a", "doc_b")
     caught = minhash_lsh_dedup(
-        docs, "doc_id", "text", threshold=0.5, k=64, band_size=4
+        docs, "doc_id", "text", threshold=0.5, k=64, band_size=4, shingles=sh
     ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
     return truth.join(caught, ["doc_a", "doc_b"], "left").agg(
         F.count("*").cast("long").alias("n_true"),
