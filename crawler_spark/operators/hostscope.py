@@ -160,28 +160,25 @@ def etld1_budget(
     domain) gets one shared budget, not thousands. One groupBy(etld1).
     """
     d = with_registered_domain(frontier, host_col)
-    tot = d.count()
+    # frontier total as a 1-row agg broadcast into the plan (the repo's
+    # scalar-folding pattern: corpus_drift, drain_forecast) — NOT an eager
+    # .count(), which would scan the frontier twice and fire a job at
+    # plan-build time
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
     return (
         d.groupBy("registered_domain", "public_suffix")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_urls"),
             F.countDistinct(host_col).cast("long").alias("n_hosts"),
         )
+        .crossJoin(F.broadcast(tot))
         .select(
             "registered_domain",
             "public_suffix",
             "n_urls",
             "n_hosts",
-            (F.col("n_urls") * 10_000).cast("long").alias("_m"),
-            (F.col("n_urls") * total_budget).cast("long").alias("_b"),
-        )
-        .select(
-            "registered_domain",
-            "public_suffix",
-            "n_urls",
-            "n_hosts",
-            F.expr(f"_m div {int(tot)}").alias("share_bp"),
-            F.expr(f"_b div {int(tot)}").alias("page_budget"),
+            F.expr("(n_urls * 10000) div _tot").alias("share_bp"),
+            F.expr(f"(n_urls * {int(total_budget)}) div _tot").alias("page_budget"),
         )
         .orderBy("registered_domain")
     )
@@ -324,14 +321,18 @@ def frontier_skew(
     counts = frontier.groupBy(host_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_urls")
     )
-    tot = frontier.count()
-    ideal = (tot + n_partitions - 1) // n_partitions
+    # lazy 1-row scalar (see etld1_budget): no second frontier scan, no
+    # plan-build-time job; ideal task size derives in-plan from the total
+    tot = frontier.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    p = int(n_partitions)
+    ideal = f"((_tot + {p - 1}) div {p})"
     return (
-        counts.select(
+        counts.crossJoin(F.broadcast(tot))
+        .select(
             F.col(host_col).alias("host"),
             "n_urls",
-            F.expr(f"(n_urls * 10000) div {int(tot)}").alias("share_bp"),
-            F.expr(f"(n_urls + {ideal - 1}) div {ideal}").alias("salt_factor"),
+            F.expr("(n_urls * 10000) div _tot").alias("share_bp"),
+            F.expr(f"(n_urls + {ideal} - 1) div {ideal}").alias("salt_factor"),
         )
         .where(F.col("share_bp") >= min_share_bp)
         .orderBy(F.col("n_urls").desc(), "host")

@@ -457,7 +457,10 @@ def bottomk_sample(df: DataFrame, key_col: str, value_col: str, k: int = BOTTOMK
             hash60(F.col(key_col).cast("string")).alias("hk"),
             F.col(value_col).alias("v"),
         )
-        .orderBy("hk")
+        # tie-break on the carried value: duplicate keys share one hk, and
+        # which duplicate crosses the k-th boundary would otherwise be
+        # engine- and run-dependent (the determinism contract above)
+        .orderBy("hk", "v")
         .limit(k)
     )
 

@@ -4183,7 +4183,11 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
     return truth.join(caught, ["doc_a", "doc_b"], "left").agg(
         F.count("*").cast("long").alias("n_true"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_caught"),
+        # outer coalesce: sum() over ZERO rows (no true pairs at this
+        # threshold) is NULL in Spark; the DuckDB twin emits 0
+        F.coalesce(F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_caught"),
         F.expr(
             "CASE WHEN count(*) = 0 THEN 10000 "
             "ELSE (sum(coalesce(hit, 0)) * 10000) div count(*) END"
@@ -5592,7 +5596,7 @@ _H_DOCID = hash60_sql("CAST(doc_id AS VARCHAR)")
 
 SQL_SAMPLE_QUANTILES = f"""
 WITH s AS (
-  SELECT {_H_DOCID} AS hk, n_chars AS v FROM documents ORDER BY hk LIMIT 256
+  SELECT {_H_DOCID} AS hk, n_chars AS v FROM documents ORDER BY hk, v LIMIT 256
 ),
 r AS (SELECT v, row_number() OVER (ORDER BY v, hk) AS r, count(*) OVER () AS m FROM s),
 p(pct) AS (VALUES (25), (50), (75), (90)),
@@ -6013,19 +6017,15 @@ ORDER BY registered_domain
 """
 
 
-def q_adaptive_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host adaptive crawl delay from observed fetch latency
-    (hostscope.adaptive_delay — Heritrix's delay-factor policy: wait 2x the
-    server's recent response time, clamped to [100, 5000] ms). Latencies
-    are synthesized deterministically from event_id with one planted slow
-    host (h7, 5x latency) the policy must back off from; recency weighting
-    is the truncated (3/4)^age exponential over the last 8 fetches in exact
-    int64 (basis 4^7), so the DuckDB twin value-hashes."""
-    from crawler_spark.operators.hostscope import adaptive_delay
-
+def _politeness_fetches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synthetic fetch-latency table for the politeness family
+    (adaptive_politeness, drain_forecast): events mapped to a 37-host
+    space, latency derived from event_id with ONE planted slow host (h7,
+    5x latency) the policy must back off from. The SQL twin of this
+    recipe is _SQL_POLITENESS_CTES — change both together."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     hostn = F.pmod(F.col("user_id"), F.lit(37))
-    fetches = ev.select(
+    return ev.select(
         F.concat(F.lit("h"), hostn.cast("string")).alias("host"),
         (
             (F.lit(50) + F.pmod(F.col("event_id") * 7919, F.lit(950)))
@@ -6034,10 +6034,11 @@ def q_adaptive_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("event_id").alias("fetch_id"),
     )
-    return adaptive_delay(fetches).orderBy("host")
 
 
-def _sql_adaptive_politeness() -> str:
+def _sql_politeness_ctes() -> str:
+    """f/r/w/a CTE prefix shared by the politeness twins — the SQL mirror
+    of _politeness_fetches + hostscope.adaptive_delay's truncated EWMA."""
     from crawler_spark.operators.hostscope import _EWMA_WEIGHTS
 
     wts = ", ".join(str(w) for w in _EWMA_WEIGHTS)
@@ -6064,7 +6065,24 @@ a AS (
          CAST(sum(wt * latency_ms) AS BIGINT) AS wx,
          CAST(sum(wt) AS BIGINT) AS sw
   FROM w GROUP BY host
-)
+)"""
+
+
+def q_adaptive_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host adaptive crawl delay from observed fetch latency
+    (hostscope.adaptive_delay — Heritrix's delay-factor policy: wait 2x the
+    server's recent response time, clamped to [100, 5000] ms). Latencies
+    are synthesized deterministically from event_id with one planted slow
+    host (h7, 5x latency) the policy must back off from; recency weighting
+    is the truncated (3/4)^age exponential over the last 8 fetches in exact
+    int64 (basis 4^7), so the DuckDB twin value-hashes."""
+    from crawler_spark.operators.hostscope import adaptive_delay
+
+    return adaptive_delay(_politeness_fetches(spark, sf_dir)).orderBy("host")
+
+
+def _sql_adaptive_politeness() -> str:
+    return _sql_politeness_ctes() + """
 SELECT host, n_obs, (wx * 1000) // sw AS ewma_ms_milli,
        CAST(greatest(100, least(5000, (2 * wx) // sw)) AS BIGINT) AS delay_ms
 FROM a ORDER BY host
@@ -6081,17 +6099,7 @@ def q_drain_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     without observed latency exercise the default-delay fallback)."""
     from crawler_spark.operators.hostscope import adaptive_delay, drain_forecast
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    hostn = F.pmod(F.col("user_id"), F.lit(37))
-    fetches = ev.select(
-        F.concat(F.lit("h"), hostn.cast("string")).alias("host"),
-        (
-            (F.lit(50) + F.pmod(F.col("event_id") * 7919, F.lit(950)))
-            * F.when(hostn == 7, F.lit(5)).otherwise(F.lit(1))
-        ).cast("long").alias("latency_ms"),
-        "ts",
-        F.col("event_id").alias("fetch_id"),
-    )
+    fetches = _politeness_fetches(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id")
     queue = docs.groupBy(
         F.concat(
@@ -6102,29 +6110,7 @@ def q_drain_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_drain_forecast() -> str:
-    from crawler_spark.operators.hostscope import _EWMA_WEIGHTS
-
-    wts = ", ".join(str(w) for w in _EWMA_WEIGHTS)
-    return f"""
-WITH f AS (
-  SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
-         (50 + (event_id * 7919) % 950)
-           * (CASE WHEN user_id % 37 = 7 THEN 5 ELSE 1 END) AS latency_ms,
-         ts, event_id
-  FROM events
-),
-r AS (
-  SELECT host, latency_ms,
-         row_number() OVER (PARTITION BY host
-                            ORDER BY ts DESC, event_id DESC) - 1 AS age
-  FROM f
-),
-w AS (SELECT host, latency_ms, ([{wts}])[age + 1] AS wt FROM r WHERE age < 8),
-a AS (
-  SELECT host, CAST(sum(wt * latency_ms) AS BIGINT) AS wx,
-         CAST(sum(wt) AS BIGINT) AS sw
-  FROM w GROUP BY host
-),
+    return _sql_politeness_ctes() + """,
 delays AS (
   SELECT host,
          CAST(greatest(100, least(5000, (2 * wx) // sw)) AS BIGINT) AS delay_ms

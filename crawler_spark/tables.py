@@ -529,8 +529,24 @@ class SnapshotCatalog:
         snapshot"), never silently misreport. Returns removal counts.
         """
         assert keep_last >= 1
-        kept = self.snapshot_chain()[:keep_last]
+        chain = self.snapshot_chain()
+        kept = chain[:keep_last]
         kept_names = {n for n, _ in kept}
+        # budget preservation: resume reads the newest committed
+        # scheduled_cum (engine.run_crawl); catalogs written before that
+        # counter existed only carry per-round "scheduled", whose sum is
+        # about to be truncated. Backfill the cumulative counter into the
+        # newest kept manifest BEFORE deleting the history it summarizes.
+        newest_name, newest_m = kept[0]
+        if not any("scheduled_cum" in m.get("metrics", {}) for _, m in kept):
+            cum = sum(m.get("metrics", {}).get("scheduled", 0) for _, m in chain)
+            newest_m.setdefault("metrics", {})["scheduled_cum"] = cum
+            path = os.path.join(self.root, "_commits", newest_name)
+            with open(path + ".tmp", "w") as f:
+                json.dump(newest_m, f, indent=1)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(path + ".tmp", path)
         ref_dirs: set[str] = set()
         seen_files: dict[str, set[str]] = {}
         for _, m in kept:
@@ -611,7 +627,18 @@ class RoundCommit:
             if prev and "frontier_buckets" in prev
             else None
         )
-        self.metrics: dict = {}
+        # the cumulative scheduled-pages counter survives EVERY commit, round
+        # or maintenance: expire_snapshots keeps only the newest manifests,
+        # and if those are all maintenance commits (compaction after the last
+        # round), resume's budget accounting must still find the counter —
+        # summing the truncated per-round history would undercount and let a
+        # resumed crawl overshoot max_pages. Round commits overwrite it via
+        # set_metrics with the fresh value.
+        self.metrics: dict = (
+            {"scheduled_cum": prev["metrics"]["scheduled_cum"]}
+            if prev and "scheduled_cum" in prev.get("metrics", {})
+            else {}
+        )
         self.lineage: dict = {}
         self._committed = False
 

@@ -140,6 +140,12 @@ def main() -> None:
         from crawler_spark.tables import SnapshotCatalog
 
         cat = SnapshotCatalog(args.workdir)
+        # reject silently-ignored flag combinations: --as-of/--since need
+        # --table, and they are mutually exclusive reads
+        if (args.as_of is not None or args.since is not None) and not args.table:
+            p.error("history: --as-of/--since require --table")
+        if args.as_of is not None and args.since is not None:
+            p.error("history: --as-of and --since are mutually exclusive")
         if args.table and args.as_of is not None:
             df = cat.read_as_of(spark, args.table, args.as_of)
             out = {

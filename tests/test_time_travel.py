@@ -151,3 +151,58 @@ def test_expire_snapshots_bounds_history(spark, tmp_path):
         to_robots_df(spark, robots), seeds, cfg,
     )
     assert out["scheduled_total"] <= cfg.max_pages
+
+
+def test_budget_counter_survives_maintenance_and_expiry(spark, tmp_path):
+    """The cumulative scheduled counter must survive two truncation paths:
+    (a) a maintenance commit becoming the newest snapshot (it carries the
+    parent's counter forward), and (b) expire_snapshots on a PRE-COUNTER
+    catalog (the counter is backfilled into the newest kept manifest from
+    the full chain before that chain is deleted)."""
+    import json
+    import os
+
+    documents, seeds, robots = gen_corpus(hosts=2, pages_per_host=6, seed=13)
+    wd = str(tmp_path / "cnt")
+    cfg = CrawlConfig(max_pages=30, max_rounds=4)
+    run_crawl(
+        spark, wd, to_documents_df(spark, documents),
+        to_robots_df(spark, robots), seeds, cfg,
+    )
+    cat = SnapshotCatalog(wd)
+    hist = cat.metrics_history()
+    cum = next(m["scheduled_cum"] for m in reversed(hist) if "scheduled_cum" in m)
+
+    # (a) maintenance commit on top: newest snapshot still carries the counter
+    cat.compact_seen(spark)
+    newest = cat.metrics_history()[-1]
+    assert newest.get("maintenance") is True
+    assert newest.get("scheduled_cum") == cum
+    # ...and expiring down to ONLY that maintenance commit keeps it readable
+    cat.expire_snapshots(keep_last=1)
+    hist = cat.metrics_history()
+    assert len(hist) == 1 and hist[0]["scheduled_cum"] == cum
+
+    # (b) pre-counter catalog: strip the counter everywhere, expire, and the
+    # newest kept manifest is backfilled with the full-chain sum
+    documents, seeds, robots = gen_corpus(hosts=2, pages_per_host=6, seed=17)
+    wd2 = str(tmp_path / "pre")
+    run_crawl(
+        spark, wd2, to_documents_df(spark, documents),
+        to_robots_df(spark, robots), seeds, cfg,
+    )
+    cat2 = SnapshotCatalog(wd2)
+    cdir = os.path.join(wd2, "_commits")
+    for name in os.listdir(cdir):
+        if not name.endswith(".json"):
+            continue
+        p = os.path.join(cdir, name)
+        with open(p) as f:
+            m = json.load(f)
+        m.get("metrics", {}).pop("scheduled_cum", None)
+        with open(p, "w") as f:
+            json.dump(m, f)
+    full_sum = sum(m.get("scheduled", 0) for m in cat2.metrics_history())
+    cat2.expire_snapshots(keep_last=2)
+    hist2 = cat2.metrics_history()
+    assert [m["scheduled_cum"] for m in hist2 if "scheduled_cum" in m] == [full_sum]
