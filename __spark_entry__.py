@@ -56,4 +56,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each SQL-expressible query."""
     from crawler_spark.queries import REGISTRY
 
-    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+    return {
+        name: spec.sql_text()
+        for name, spec in REGISTRY.items()
+        if spec.sql is not None
+    }

@@ -281,8 +281,12 @@ def url_quality_cols(url_col, blockwords: tuple = URL_BLOCKWORDS) -> dict:
     ulen = F.length(u)
     digits = ulen - F.length(F.regexp_replace(u, "[0-9]", ""))
     digit_bp = F.floor(digits * F.lit(10000) / F.greatest(ulen, F.lit(1))).cast("long")
-    qpos = F.instr(u, "?")
-    q = F.when(qpos > 0, F.substring(u, qpos + 1, F.lit(1_000_000))).otherwise(F.lit(""))
+    # strip the fragment BEFORE locating '?': in 'http://h/p#sec?a&b' the
+    # '?' lives inside the fragment and is not a query, and fragment '&'s
+    # must never count as parameters
+    uq = F.regexp_replace(u, "#.*$", "")
+    qpos = F.instr(uq, "?")
+    q = F.when(qpos > 0, F.substring(uq, qpos + 1, F.lit(1_000_000))).otherwise(F.lit(""))
     n_params = F.when(q == "", F.lit(0)).otherwise(
         F.lit(1) + F.length(q) - F.length(F.regexp_replace(q, "&", ""))
     ).cast("long")

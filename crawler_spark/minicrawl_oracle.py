@@ -88,7 +88,15 @@ def mini_inputs_dir() -> str:
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
-    os.makedirs(d, exist_ok=True)
+    # atomic publish: build in a private dir, rename into place. Concurrent
+    # importers (parallel pytest, bench + check_oracle) must never observe a
+    # half-written parquet, and losers of the rename race discard their copy
+    # (the content is deterministic, so any winner's output is equivalent).
+    import shutil
+    import uuid
+
+    tmp = f"{d}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
 
     documents, seeds, robots = gen_corpus(
         hosts=HOSTS, pages_per_host=PAGES_PER_HOST, seed=SEED
@@ -144,11 +152,26 @@ def mini_inputs_dir() -> str:
             "rule_order": pa.array([r["rule_order"] for r in robots], pa.int64()),
         }
     )
-    pq.write_table(doc_tbl, os.path.join(d, "documents.parquet"))
-    pq.write_table(seed_tbl, os.path.join(d, "seeds.parquet"))
-    pq.write_table(robots_tbl, os.path.join(d, "robots.parquet"))
-    with open(done, "w") as f:
+    pq.write_table(doc_tbl, os.path.join(tmp, "documents.parquet"))
+    pq.write_table(seed_tbl, os.path.join(tmp, "seeds.parquet"))
+    pq.write_table(robots_tbl, os.path.join(tmp, "robots.parquet"))
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok\n")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.exists(done):
+            # stale partial dir from a crashed pre-atomic run blocks the
+            # rename; replace it (worst case a concurrent writer re-races,
+            # and ends up in one of the two branches here)
+            shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.rename(tmp, d)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # lost the race; the winner's identical output is in place
+            shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 

@@ -52,10 +52,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, wide: bool = False
+) -> DataFrame:
     """Distinct word-``n``-gram shingles per document, as reduced 31-bit hashes.
 
     Returns (doc, sh) where sh = hash60(shingle) % MERSENNE_P, distinct per doc.
+    The 31-bit reduction exists for the MinHash universal-hash math (which
+    works mod MERSENNE_P in 63-bit space); pure MEMBERSHIP consumers
+    (ngram_novelty, source_overlap) pass ``wide=True`` to keep the full
+    60-bit hash — at a 10^9-distinct-shingle reference, 31 bits would
+    saturate (~20%+ of novel shingles colliding into "seen"), while 60 bits
+    keep the collision mass negligible (~n^2/2^61).
     """
     # materialize the token array in its own projection FIRST: referencing
     # the regexp_extract_all expression from inside the transform lambda
@@ -76,9 +84,10 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     # slice+array_join builds each shingle in one pass (vs n element_at
     # probes); output string is identical (space-joined tokens)
     shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    h = hash60(F.col("s"))
     return (
         base.select("doc", F.explode(F.array_distinct(shingles)).alias("s"))
-        .select("doc", F.pmod(hash60(F.col("s")), F.lit(MERSENNE_P)).alias("sh"))
+        .select("doc", (h if wide else F.pmod(h, F.lit(MERSENNE_P))).alias("sh"))
         .distinct()
     )
 
@@ -962,8 +971,10 @@ def ngram_novelty(
     store) and the scored side anti-joins it — one hash-keyed shuffle each,
     no pairwise stage.
     """
-    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
-    ref = doc_shingles(ref_df, id_col, text_col, n).select("sh").distinct()
+    sh = doc_shingles(df, id_col, text_col, n, wide=True).localCheckpoint(
+        eager=False
+    )
+    ref = doc_shingles(ref_df, id_col, text_col, n, wide=True).select("sh").distinct()
     tot = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     nov = sh.join(ref, "sh", "left_anti").groupBy("doc").agg(
         F.count("*").alias("n_novel")
@@ -1011,7 +1022,7 @@ def source_overlap(
     on both engines.
     """
     sh = (
-        doc_shingles(df, id_col, text_col, n)
+        doc_shingles(df, id_col, text_col, n, wide=True)
         .join(
             df.select(
                 F.col(id_col).alias("doc"), F.col(group_col).alias("grp")

@@ -419,16 +419,15 @@ def trustrank(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     contrib_src = e.join(deg, "src")
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
+        # seeds belong to the node set by definition (r0(v)=scale) — an
+        # edgeless seed must still carry its teleport trust, not vanish
+        .union(seed_nodes)
         .distinct()
-        .join(
-            seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-            .withColumn("_seed", F.lit(1)),
-            "node",
-            "left",
-        )
+        .join(seed_nodes.withColumn("_seed", F.lit(1)), "node", "left")
         .select("node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed"))
     )
     teleport = (15 * scale) // 100

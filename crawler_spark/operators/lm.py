@@ -236,7 +236,7 @@ def zipf_slope(words: DataFrame) -> DataFrame:
     window even at a 10^8-term vocabulary), then one scalar aggregate of
     the exact covariance sums.
     """
-    from crawler_spark.operators.ordering import with_global_seq
+    from crawler_spark.operators.ordering import carry_seq_cache, with_global_seq
 
     vocab = words.groupBy("word").agg(F.count("*").alias("c"))
     ranked = with_global_seq(
@@ -252,13 +252,17 @@ def zipf_slope(words: DataFrame) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    return s.select(
+    out = s.select(
         F.col("n").cast("long").alias("n_vocab"),
         F.when(
             F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
             F.expr("(1000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx)"),
         ).alias("neg_slope_milli"),
     )
+    # keep the seq-cache handle on the returned frame: without it
+    # release_global_seq is a no-op and the persisted vocab leaks across
+    # the 135 registry runs in check_oracle.py
+    return carry_seq_cache(ranked, out)
 
 
 def dsir_logratio(

@@ -275,9 +275,13 @@ def temperature_mix(
     rate math driver-side, then a broadcast-free map-only filter (the rate
     table is inlined as a CASE chain). No shuffle of the corpus itself.
     """
+    # a NULL stratum gets no rate and its rows are dropped (the hash key
+    # below is NULL for them anyway, so the filter predicate is never true);
+    # excluding it here keeps the driver-side sort from comparing None<str
     counts = {
         r[0]: r[1]
         for r in df.groupBy(strata_col).agg(F.count("*").alias("_n")).collect()
+        if r[0] is not None
     }
     bp = temperature_rates(counts, alpha=alpha, target_frac=target_frac)
     key = F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(strata_col))
@@ -476,9 +480,13 @@ def source_gini(
     return ranked.groupBy().agg(
         F.count("*").alias("n_strata"),
         F.sum("x").alias("n_docs"),
+        # decimal(38,0) summand: sum(i*x) reaches n_strata*n_docs, and the
+        # *10000 numerator exceeds int64 for ~10^7 hosts over 10^9+ docs —
+        # the per-host audit this exists for. DuckDB already sums HUGEINT.
         F.expr(
-            "((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 10000)"
-            " div (count(*) * sum(x))"
+            "CAST(((2 * sum(CAST(i * x AS DECIMAL(38,0)))"
+            " - (count(*) + 1) * sum(CAST(x AS DECIMAL(38,0)))) * 10000)"
+            " div (count(*) * sum(CAST(x AS DECIMAL(38,0)))) AS BIGINT)"
         ).alias("gini_bp"),
     )
 
@@ -612,7 +620,11 @@ def exact_auc(
     # exceed int64 past ~2e6 rows; 38 digits carry the closed form exactly to
     # n ~ 10^15 (DuckDB's HUGEINT sums match), result always fits BIGINT
     out = o.agg(
-        F.sum(F.col("p") * (2 * F.col("cb") + F.col("c") + 1))
+        # cast the SUMMAND, not the finished sum: Spark would otherwise
+        # accumulate in int64 and overflow (ANSI throw / silent wrap)
+        # before the cast ever runs — exactly the > 2e6-row regime the
+        # decimal is for
+        F.sum((F.col("p") * (2 * F.col("cb") + F.col("c") + 1)).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("r2"),
         F.sum("p").cast("decimal(38,0)").alias("np"),

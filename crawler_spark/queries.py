@@ -858,6 +858,20 @@ WITH sh AS (
 )
 """
 
+# full-width (60-bit) shingle variant for MEMBERSHIP consumers
+# (ngram_novelty, mirror_overlap) — see dedup.doc_shingles(wide=True)
+_SHW_CTE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS doc,
+         {hash60_sql('s.s')} AS sh
+  FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+         LATERAL unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  ) s
+)
+"""
+
 _MH_COLS = ", ".join(
     f"min({minhash_term_sql(i, 'sh')}) AS mh{i}" for i in range(dedup.MINHASH_K)
 )
@@ -4039,20 +4053,18 @@ def q_crawl_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
-# Built at import: materializes the tiny corpus parquet for DuckDB (pyarrow,
-# idempotent) and code-generates the 6-round unrolled SQL. See
-# crawler_spark/minicrawl_oracle.py for the contract mapping.
+# Registered LAZILY (the registry stores the builder callables; oracle_sql()
+# and check_oracle.py resolve them on demand): building these twins
+# materializes the tiny corpus parquet for DuckDB (pyarrow) and
+# code-generates the 6-round unrolled SQL, which must not run — or be able
+# to fail — at import time. See crawler_spark/minicrawl_oracle.py for the
+# contract mapping.
 from crawler_spark.minicrawl_oracle import (  # noqa: E402
     sql_crawl_media_features as _sql_cmf,
     sql_crawl_order_mini as _sql_com,
     sql_crawl_round_metrics as _sql_crm,
     sql_crawl_time_travel as _sql_ctt,
 )
-
-SQL_CRAWL_ORDER_MINI = _sql_com()
-SQL_CRAWL_MEDIA_FEATURES = _sql_cmf()
-SQL_CRAWL_TIME_TRAVEL = _sql_ctt()
-SQL_CRAWL_ROUND_METRICS = _sql_crm()
 
 
 # --------------------------------------------------------------------------
@@ -4276,7 +4288,13 @@ FROM r WHERE rank <= 5 ORDER BY lang, source, rank
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None
+    # str, or a zero-arg BUILDER returning the str for twins whose
+    # construction does real work (the minicrawl oracle materializes
+    # parquet) — resolve via sql_text(), never at import
+    sql: str | Callable[[], str] | None
+
+    def sql_text(self) -> str | None:
+        return self.sql() if callable(self.sql) else self.sql
 
 
 # Registry order is part of the driver contract: the external driver's
@@ -4393,8 +4411,10 @@ WITH u AS (
 ),
 f AS (
   SELECT doc_id, url, lower(url) AS lu, length(url) AS url_len,
-         CASE WHEN position('?' IN lower(url)) > 0
-              THEN substr(lower(url), position('?' IN lower(url)) + 1)
+         -- fragment stripped BEFORE locating '?' (mirrors url_quality_cols)
+         CASE WHEN position('?' IN regexp_replace(lower(url), '#.*$', '')) > 0
+              THEN substr(regexp_replace(lower(url), '#.*$', ''),
+                          position('?' IN regexp_replace(lower(url), '#.*$', '')) + 1)
               ELSE '' END AS q,
          regexp_replace(regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*', ''), '[?#].*$', '') AS path,
          regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
@@ -4670,7 +4690,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NGRAM_NOVELTY = (
-    _SH_CTE
+    _SHW_CTE
     + """
 , ref AS (SELECT DISTINCT sh FROM sh WHERE doc % 2 = 0)
 , mine AS (SELECT doc, sh FROM sh WHERE doc % 2 = 1)
@@ -4725,7 +4745,9 @@ def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_pairs(to_documents_df(spark, documents)).orderBy("doc", "media_pos")
 
 
-SQL_CAPTION_PAIRS = f"""
+def _sql_caption_pairs() -> str:
+    # lazy builder: _mini_inputs() materializes parquet (see the crawl twins)
+    return f"""
 WITH d AS (SELECT doc_id, spans FROM read_parquet('{_mini_inputs()}/documents.parquet')),
 sp AS (SELECT doc_id, unnest(spans) AS s FROM d),
 m AS (SELECT doc_id, s.media_ref AS media_ref, s."offset" AS moff,
@@ -4749,7 +4771,10 @@ FROM cand WHERE rn = 1
 ORDER BY doc, media_pos
 """
 
-SQL_SPAN_INTERLEAVING = f"""
+
+def _sql_span_interleaving() -> str:
+    # lazy builder: _mini_inputs() materializes parquet (see the crawl twins)
+    return f"""
 WITH d AS (SELECT doc_id, spans FROM read_parquet('{_mini_inputs()}/documents.parquet'))
 SELECT doc_id AS doc,
        CAST(len(spans) AS BIGINT) AS n_spans,
@@ -4875,7 +4900,6 @@ FROM hc, tot, g ORDER BY host
     )
 
 
-SQL_CRAWL_HOST_FAIRNESS = _sql_crawl_host_fairness()
 
 
 def q_crawl_schedule_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5301,7 +5325,7 @@ def q_mirror_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MIRROR_OVERLAP = _SH_CTE + """
+SQL_MIRROR_OVERLAP = _SHW_CTE + """
 , gs AS (
   SELECT DISTINCT d.source AS grp, sh.sh
   FROM sh JOIN documents d ON d.doc_id = sh.doc
@@ -6270,13 +6294,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "frontier_ordering": QuerySpec(q_frontier_ordering, SQL_FRONTIER_ORDERING),
     "fetch_outcomes": QuerySpec(q_fetch_outcomes, SQL_FETCH_OUTCOMES),
     "link_classification": QuerySpec(q_link_classification, SQL_LINK_CLASSIFICATION),
-    # -- flagship crawl (real engine vs the unrolled 6-round DuckDB twin) -----
-    "crawl_order_mini": QuerySpec(q_crawl_order_mini, SQL_CRAWL_ORDER_MINI),
-    "crawl_media_features": QuerySpec(
-        q_crawl_media_features, SQL_CRAWL_MEDIA_FEATURES
-    ),
-    "crawl_time_travel": QuerySpec(q_crawl_time_travel, SQL_CRAWL_TIME_TRAVEL),
-    "crawl_round_metrics": QuerySpec(q_crawl_round_metrics, SQL_CRAWL_ROUND_METRICS),
+    # -- flagship crawl (real engine vs the unrolled 6-round DuckDB twin;
+    #    sql is the BUILDER callable — resolved lazily, see the import note) --
+    "crawl_order_mini": QuerySpec(q_crawl_order_mini, _sql_com),
+    "crawl_media_features": QuerySpec(q_crawl_media_features, _sql_cmf),
+    "crawl_time_travel": QuerySpec(q_crawl_time_travel, _sql_ctt),
+    "crawl_round_metrics": QuerySpec(q_crawl_round_metrics, _sql_crm),
     # -- dedup ----------------------------------------------------------------
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
@@ -6380,11 +6403,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "lm_surprisal_bigram": QuerySpec(q_lm_surprisal_bigram, SQL_LM_SURPRISAL_BIGRAM),
     "ngram_novelty": QuerySpec(q_ngram_novelty, SQL_NGRAM_NOVELTY),
-    "span_interleaving": QuerySpec(q_span_interleaving, SQL_SPAN_INTERLEAVING),
-    "caption_pairs": QuerySpec(q_caption_pairs, SQL_CAPTION_PAIRS),
+    "span_interleaving": QuerySpec(q_span_interleaving, _sql_span_interleaving),
+    "caption_pairs": QuerySpec(q_caption_pairs, _sql_caption_pairs),
     "source_gini": QuerySpec(q_source_gini, SQL_SOURCE_GINI),
     "bpe_encode": QuerySpec(q_bpe_encode, SQL_BPE_ENCODE),
-    "crawl_host_fairness": QuerySpec(q_crawl_host_fairness, SQL_CRAWL_HOST_FAIRNESS),
+    "crawl_host_fairness": QuerySpec(q_crawl_host_fairness, _sql_crawl_host_fairness),
     "zipf_slope": QuerySpec(q_zipf_slope, SQL_ZIPF_SLOPE),
     "gopher_rules": QuerySpec(q_gopher_rules, SQL_GOPHER_RULES),
     "trustrank": QuerySpec(q_trustrank, SQL_TRUSTRANK),
@@ -6407,6 +6430,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "adaptive_politeness": QuerySpec(q_adaptive_politeness, _sql_adaptive_politeness()),
     "frontier_skew": QuerySpec(q_frontier_skew, SQL_FRONTIER_SKEW),
     "drain_forecast": QuerySpec(q_drain_forecast, _sql_drain_forecast()),
-    "crawl_schedule_runs": QuerySpec(q_crawl_schedule_runs, _sql_crawl_schedule_runs()),
+    "crawl_schedule_runs": QuerySpec(q_crawl_schedule_runs, _sql_crawl_schedule_runs),
     "cdx_shards": QuerySpec(q_cdx_shards, _sql_cdx_shards()),
 }

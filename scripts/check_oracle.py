@@ -62,13 +62,19 @@ def main() -> int:
             failures.append(name)
             print(f"{name:24s} SPARK ERROR: {type(e).__name__}: {e}")
             continue
-        if spec.sql is None:
+        try:
+            sql = spec.sql_text()  # lazy builders (minicrawl) do real work
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"{name:24s} SQL BUILD ERROR: {type(e).__name__}: {e}")
+            continue
+        if sql is None:
             print(f"{name:24s} rows-only: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 failures.append(name)
             continue
         try:
-            res = con.execute(spec.sql)
+            res = con.execute(sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001

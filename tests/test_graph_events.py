@@ -371,3 +371,17 @@ def test_salsa_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, salsa(edges.repartition(1), n_iter=3).collect()))
     b = sorted(map(tuple, salsa(edges.repartition(16, "dst"), n_iter=3).collect()))
     assert a == b
+
+
+def test_trustrank_edgeless_seed_keeps_teleport_trust(spark):
+    from crawler_spark.operators.graph import trustrank
+
+    # node 9 is a vetted seed with NO edges: it must stay in the output
+    # carrying exactly its per-round teleport trust, not vanish
+    edges = [(0, 1), (1, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (9,)], ["node"])
+    t = {r["node"]: r["trust"] for r in trustrank(df, seeds, n_iter=3).collect()}
+    assert 9 in t
+    assert t[9] == (15 * 1_000_000_000) // 100  # teleport term only
+    assert t[0] > t[9]  # the linked seed also accumulates propagated trust

@@ -898,3 +898,15 @@ def test_caption_pairs_nearest_and_tiebreak(spark):
         (1, 0): ("img://a", "near", 2),
         (1, 1): ("img://b", "eq-before", 5),
     }
+
+
+def test_temperature_mix_null_stratum_dropped_not_crash(spark):
+    from crawler_spark.operators.pipeline import temperature_mix
+
+    rows = [(i, "a" if i % 2 == 0 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mix(df, alpha=0.5, target_frac=1.0).collect()
+    # NULL-stratum rows are dropped (no rate, NULL hash key); the real
+    # stratum survives with its full target_frac=1.0 rate
+    assert all(r["source"] == "a" for r in out)
+    assert len(out) == 20
