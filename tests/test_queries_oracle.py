@@ -44,7 +44,7 @@ def test_query_matches_oracle(spark, duck, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, SF_DIR)
     srows = [tuple(r) for r in df.collect()]
-    res = duck.execute(spec.sql)
+    res = duck.execute(spec.sql_text())
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     assert sorted(df.columns) == sorted(dcols), f"{name}: schema mismatch"
