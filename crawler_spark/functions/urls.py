@@ -250,6 +250,15 @@ def url_hash_col(canonical_url_col):
     return F.xxhash64(canonical_url_col)
 
 
+def host_bucket_col(host_column, n_buckets: int):
+    """Frontier bucket assignment — THE single definition. round.py's
+    dirty-bucket commits and engine.py's seed/frontier init must agree
+    bit-for-bit: a drifted copy would land fresh rows in buckets the
+    manifest's bucket map doesn't cover, silently dropping or double-
+    reading frontier rows on the next scan."""
+    return F.pmod(F.xxhash64(host_column), F.lit(int(n_buckets))).cast("int")
+
+
 # FineWeb / RefinedWeb URL-level quality filtering (Penedo et al. 2023,
 # 2024): before fetching or keeping a document, score its URL on cheap
 # lexical signals — overall length, digit density, query-parameter count,

@@ -24,11 +24,13 @@ from crawler_spark.config import CrawlConfig
 from crawler_spark.functions.urls import (
     canonicalize_url,
     canonicalize_url_udf,
+    host_bucket_col,
     host_col,
     host_of,
     is_valid_url_udf,
     normalize_url,
     normalize_url_udf,
+    url_hash_col,
 )
 from crawler_spark.plans.round import FRONTIER_COLS, run_round
 from crawler_spark.sources.sitemap import sitemap_frontier_rows
@@ -133,10 +135,9 @@ def init_state(
         )
 
     df = (
-        base.withColumn("url_hash", F.xxhash64(F.col("canonical")))
+        base.withColumn("url_hash", url_hash_col(F.col("canonical")))
         .withColumn(
-            "host_bucket",
-            F.pmod(F.xxhash64(F.col("host")), F.lit(cfg.n_host_buckets)).cast("int"),
+            "host_bucket", host_bucket_col(F.col("host"), cfg.n_host_buckets)
         )
         .select(*FRONTIER_COLS)
     )

@@ -46,10 +46,12 @@ from crawler_spark.functions import fetch as FM
 from crawler_spark.functions import text as X
 from crawler_spark.functions.urls import (
     canonicalize_url_udf,
+    host_bucket_col,
     host_col,
     is_valid_url_udf,
     normalize_url_udf,
     resolve_link_udf,
+    url_hash_col,
 )
 from crawler_spark.operators.ordering import (
     release_global_seq,
@@ -110,7 +112,11 @@ def _robots_dims(robots_df: DataFrame, user_agent: str = "*"):
             .where((F.col("user_agent") != "*").cast("int") == F.col("_hs"))
             .drop("_hs")
         )
-    if "rule_order" not in cols and not getattr(orig, "_rule_order_ok", False):
+    # memo is keyed by user_agent: the probe validates the AGENT-FILTERED
+    # view, and a later crawl reusing this DataFrame with a different agent
+    # can surface a multi-rule host the first agent's filter hid
+    _ok_agents = getattr(orig, "_rule_order_ok_agents", set())
+    if "rule_order" not in cols and user_agent not in _ok_agents:
         multi = (
             robots_df.groupBy("host").agg(F.count("*").alias("n"))
             .where(F.col("n") > 1).limit(1).count()
@@ -121,7 +127,7 @@ def _robots_dims(robots_df: DataFrame, user_agent: str = "*"):
                 "column; first-match semantics need the file order — add "
                 "rule_order (parse_robots_df emits it)"
             )
-        orig._rule_order_ok = True  # skip the probe on later rounds
+        orig._rule_order_ok_agents = _ok_agents | {user_agent}
     order = (
         F.col("rule_order") if "rule_order" in cols else F.lit(0)
     ).alias("o")
@@ -148,7 +154,33 @@ def run_round(
     """Execute round ``rnd``; returns metrics. Commits atomically on success.
 
     Returns {"stopped": reason} without committing when the crawl is done.
+    The round body registers every .persist() it takes in ``persisted`` and
+    a finally-block releases them: a mid-round exception (transient executor
+    loss, bad corpus schema) must not leak up to four cached plans for the
+    session's lifetime, nor leave stale cache entries that Spark's
+    CacheManager could substitute into a retried round's equal plans.
     """
+    persisted: list[DataFrame] = []
+    try:
+        return _run_round_body(
+            spark, catalog, documents_df, robots_df, cfg, rnd,
+            scheduled_total, persisted,
+        )
+    finally:
+        for _df in persisted:
+            _df.unpersist()
+
+
+def _run_round_body(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    documents_df: DataFrame,
+    robots_df: DataFrame,
+    cfg: CrawlConfig,
+    rnd: int,
+    scheduled_total: int,
+    persisted: list,
+) -> dict:
     t0 = float(rnd) * cfg.horizon
     wall_start = time.time()
     frontier = catalog.read(spark, "frontier")
@@ -181,6 +213,7 @@ def run_round(
         .withColumn("status", F.lit("skipped"))
         .persist()  # three consumers (touched, frontier union, metrics count)
     )
+    persisted.append(skipped)
     allowed = with_rules.where(~denied).drop("rules")
 
     # -- politeness budget (X2/X3/J2): floor(horizon / crawl_delay) ----------
@@ -212,13 +245,17 @@ def run_round(
     # cache-release marker does not survive .where()/.withColumn() rebinds.
     seqd = with_global_seq(admitted, order_exprs(), seq_col="seq")
     admitted_cnt = seqd._global_seq_total
-    if admitted_cnt == 0:
-        # nothing admitted this round; if nothing is pending at all, stop —
-        # otherwise rows are backoff-delayed past t0: advance the virtual
-        # clock without committing (the skipped round re-runs on resume,
-        # deterministically and for free)
+    if admitted_cnt == 0 and skipped.limit(1).count() == 0:
+        # nothing admitted AND nothing denied this round; if nothing is
+        # pending at all, stop — otherwise rows are backoff-delayed past t0:
+        # advance the virtual clock without committing (the skipped round
+        # re-runs on resume, deterministically and for free).
+        # When robots DENIED rows exist, fall through instead: the denied
+        # statuses must commit (the round contract marks them skipped
+        # unconditionally, oracle/simulator.py:369-374) — an early return
+        # here would leave an all-denied frontier pending forever and burn
+        # every round to max_rounds instead of draining to frontier_empty.
         release_global_seq(seqd)
-        skipped.unpersist()
         any_pending = (
             frontier.where(F.col("status") == "pending").limit(1).count() > 0
         )
@@ -264,15 +301,28 @@ def run_round(
     # missing document (ContentError == NetworkError to the engine), with a
     # distinct error_type in the errors sink. Corpora without the outcome
     # columns (plain input_hint shape) fail open: everything is text/html.
-    has_meta = "content_type" in documents_df.columns
-    ct = F.col("content_type") if has_meta else F.lit(None).cast("string")
-    sz = (F.col("size_bytes") if has_meta else F.lit(None)).cast("long")
+    # each outcome column stands alone: a corpus with content_type but no
+    # size_bytes (or vice versa) must degrade that ONE check to NULL
+    # (fail-open, fetch.py semantics), not crash with UNRESOLVED_COLUMN
+    has_ct = "content_type" in documents_df.columns
+    has_sz = "size_bytes" in documents_df.columns
+    ct = F.col("content_type") if has_ct else F.lit(None).cast("string")
+    sz = (F.col("size_bytes") if has_sz else F.lit(None)).cast("long")
     found = F.col("doc_id").isNotNull()
-    reject = (
-        FM.fetch_outcome(found, ct, sz, cfg.allowed_content_types, cfg.max_page_size)
-        if has_meta
-        else F.when(~found, F.lit(FM.FETCH_FAILED))
-    )
+    # reference precedence (missing > content-type > size), with each check
+    # active only when its column exists — content_type_ok(NULL) REJECTS
+    # (missing header semantics), which is right per-document but wrong for
+    # a corpus that has no content_type column at all
+    reject = F.when(~found, F.lit(FM.FETCH_FAILED))
+    if has_ct:
+        reject = reject.when(
+            ~FM.content_type_ok(ct, cfg.allowed_content_types),
+            F.lit(FM.CONTENT_TYPE_REJECTED),
+        )
+    if has_sz:
+        reject = reject.when(
+            ~FM.size_ok(sz, cfg.max_page_size), F.lit(FM.CONTENT_TOO_LARGE)
+        )
     fetched = (
         sched.join(documents_df, sched.canonical == documents_df.doc_id, "left")
         .withColumn("error_type", reject)
@@ -282,6 +332,7 @@ def run_round(
         )
         .persist()
     )
+    persisted.append(fetched)
 
     # -- pages sink (S7) ------------------------------------------------------
     commit.stage_append(
@@ -371,6 +422,7 @@ def run_round(
         )
         .persist()  # consumed by the links sink AND the candidate pipeline
     )
+    persisted.append(links)
     commit.stage_append(
         "links", links.select("round", "src", "absolute", "link_pos", "is_internal")
     )
@@ -386,7 +438,7 @@ def run_round(
         candidates.withColumn("_r", F.row_number().over(in_round_first))
         .where(F.col("_r") == 1)
         .drop("_r")
-        .withColumn("url_hash", F.xxhash64(F.col("canonical")))
+        .withColumn("url_hash", url_hash_col(F.col("canonical")))
     )
     # F6 domain restrictions (engine.py:581-589): blocked wins; a non-empty
     # allowed set is exclusive. Applied at discovery like the reference's
@@ -431,10 +483,11 @@ def run_round(
             F.lit(float((rnd + 1) * cfg.horizon)).alias("scheduled_at"),
             F.lit("pending").alias("status"),
         )
-        .withColumn("host_bucket", F.pmod(F.xxhash64(F.col("host")), F.lit(cfg.n_host_buckets)).cast("int"))
+        .withColumn("host_bucket", host_bucket_col(F.col("host"), cfg.n_host_buckets))
         .select(*FRONTIER_COLS)
         .persist()
     )
+    persisted.append(fresh)
 
     t_links_done = time.time()
 
@@ -518,10 +571,7 @@ def run_round(
         commit_sec=round(t_now - t_links_done, 3),
     )
     commit.commit()
-    fetched.unpersist()
-    fresh.unpersist()
-    skipped.unpersist()
-    links.unpersist()
+    # the four persisted frames are released by run_round's finally block
     return {
         "stopped": None,
         "scheduled": scheduled_cnt,

@@ -26,6 +26,7 @@ single-token agents.
 
 from __future__ import annotations
 
+from urllib.parse import unquote
 from urllib.robotparser import RobotFileParser
 
 import pandas as pd
@@ -68,7 +69,17 @@ def parse_robots_entries(text: str) -> list[dict]:
                 out.append(
                     {
                         "user_agent": agent,
-                        "path_prefix": line.path,  # stdlib keeps these quoted
+                        # stdlib stores rule paths QUOTED and can_fetch
+                        # quotes the URL path before matching; the engine's
+                        # canonical paths are UNQUOTED (canonicalize_url),
+                        # so unquote the prefix to put both sides in the
+                        # same space — a quoted rule like 'Disallow: /a b'
+                        # (stored '/a%20b') otherwise never matches and
+                        # fails open. Narrowing vs stdlib: a rule that
+                        # percent-encodes a RESERVED char (e.g. %2F) to
+                        # mean the literal octet is conflated with the
+                        # structural char after unquoting.
+                        "path_prefix": unquote(line.path),
                         "allow": bool(line.allowance),
                         "crawl_delay": delay,
                         "rule_order": order,

@@ -530,6 +530,8 @@ class SnapshotCatalog:
         """
         assert keep_last >= 1
         chain = self.snapshot_chain()
+        if not chain:  # uninitialized catalog: nothing to expire, not an error
+            return {"manifests": 0, "dirs": 0, "seen_files": 0}
         kept = chain[:keep_last]
         kept_names = {n for n, _ in kept}
         # budget preservation: resume reads the newest committed
@@ -537,9 +539,12 @@ class SnapshotCatalog:
         # counter existed only carry per-round "scheduled", whose sum is
         # about to be truncated. Backfill the cumulative counter into the
         # newest kept manifest BEFORE deleting the history it summarizes.
+        # Sum via metrics_history(), NOT the parent chain: a legacy
+        # (parentless) catalog's chain holds only CURRENT, while
+        # metrics_history falls back to the full round<=current scan.
         newest_name, newest_m = kept[0]
         if not any("scheduled_cum" in m.get("metrics", {}) for _, m in kept):
-            cum = sum(m.get("metrics", {}).get("scheduled", 0) for _, m in chain)
+            cum = sum(m.get("scheduled", 0) for m in self.metrics_history())
             newest_m.setdefault("metrics", {})["scheduled_cum"] = cum
             path = os.path.join(self.root, "_commits", newest_name)
             with open(path + ".tmp", "w") as f:
@@ -585,12 +590,24 @@ class SnapshotCatalog:
         return {"manifests": n_manifests, "dirs": n_dirs, "seen_files": n_seen}
 
     def expire_orphans(self) -> int:
-        """X6 maintenance: delete data dirs not referenced by CURRENT."""
-        m = self.current_manifest()
+        """X6 maintenance: delete data dirs no REACHABLE manifest references
+        — killed-round leftovers only. Dirs superseded by later commits but
+        still referenced by an older manifest in the parent chain are KEPT:
+        deleting them (the old not-referenced-by-CURRENT rule) silently
+        broke read_as_of over rounds the snapshot log still listed, with a
+        raw PATH_NOT_FOUND instead of the expired-history ValueError. To
+        reclaim superseded generations, expire_snapshots() — which also
+        removes their manifests and keeps the time-travel contract honest.
+        """
         referenced = set()
-        if m:
-            for dirs in m["tables"].values():
+        for _, m in self.snapshot_chain():
+            for dirs in m.get("tables", {}).values():
                 referenced.update(dirs)
+            if "seen" in m:
+                referenced.add(m["seen"]["dir"])
+            if "frontier_buckets" in m:
+                referenced.add(m["frontier_buckets"]["default"])
+                referenced.update(m["frontier_buckets"]["map"].values())
         removed = 0
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)

@@ -98,7 +98,7 @@ def main() -> None:
             partition_by=["host_bucket"],
         )
         reset.commit()
-        cat.expire_orphans()
+        cat.expire_snapshots(keep_last=1)  # trim superseded generations
 
     # full-rewrite baseline (the r2 commit path): whole frontier every round
     times = []

@@ -193,3 +193,42 @@ def test_dedup_spans_shuffles_on_window_hash(spark):
     plan = _plan(spark, "dedup_spans")
     assert "CartesianProduct" not in plan
     assert "Exchange hashpartitioning(h#" in plan
+
+
+def test_all_denied_round_commits_skipped_and_drains(spark, tmp_path):
+    """A frontier whose every eligible row is robots-denied must flip those
+    rows to skipped and DRAIN (oracle contract: denied -> skipped
+    unconditionally, simulator.py:369-374) — not stay pending and re-run
+    the round until max_rounds."""
+    from crawler_spark.config import CrawlConfig
+    from crawler_spark.plans.engine import run_crawl
+    from crawler_spark.sources.corpus import (
+        gen_corpus, to_documents_df, to_robots_df,
+    )
+
+    documents, seeds, robots = gen_corpus(hosts=2, pages_per_host=4, seed=5)
+    # deny EVERYTHING: one Disallow:/ rule per host, nothing else
+    hosts = sorted({r["host"] for r in robots})
+    deny_all = [
+        dict(host=h, user_agent="*", path_prefix="/", allow=False,
+             crawl_delay=1.0, rule_order=0)
+        for h in hosts
+    ]
+    wd = str(tmp_path / "denyall")
+    out = run_crawl(
+        spark, wd, to_documents_df(spark, documents),
+        to_robots_df(spark, deny_all), seeds,
+        CrawlConfig(max_pages=20, max_rounds=8),
+    )
+    assert out["stopped"] == "frontier_empty"
+    assert out["scheduled_total"] == 0
+    # the denied seeds are committed as skipped, not left pending
+    from crawler_spark.tables import SnapshotCatalog
+    cat = SnapshotCatalog(wd)
+    statuses = {
+        r["status"]
+        for r in cat.read(spark, "frontier").select("status").distinct().collect()
+    }
+    assert statuses == {"skipped"}
+    # and it took ONE real round + the empty-frontier probe, not max_rounds
+    assert out["last_round"] <= 1

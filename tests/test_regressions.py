@@ -132,7 +132,11 @@ def test_dirty_bucket_commit_carries_forward(spark, tmp_path):
     rows = {r["canonical"] for r in cat.read(spark, "frontier").collect()}
     assert "u1-final" in rows and "u1-0" not in rows and "u1-new" not in rows
     assert len(cat.current_manifest()["tables"]["frontier"]) == 2
-    assert cat.expire_orphans() >= 1  # the superseded bucket-1 dir
+    # the superseded bucket-1 dir is still reachable via the round-0
+    # manifest, so orphan cleanup must NOT touch it (time travel stays
+    # readable); trimming history is expire_snapshots' job
+    assert cat.expire_orphans() == 0
+    assert cat.expire_snapshots(keep_last=1)["dirs"] >= 1
 
     # a full replace (compaction path) collapses the bucket map
     c2 = cat.begin(1)

@@ -100,3 +100,19 @@ def test_rules_for_agent_stdlib_substring_and_first_group(spark):
     assert prefixes == ["/a"]
     star = rules_for_agent(rules, "unrelated-bot")
     assert sorted(r["path_prefix"] for r in star.collect()) == ["/c"]
+
+
+def test_percent_encoded_rule_matches_unquoted_canonical_path():
+    """A rule with a percent-encodable char ('Disallow: /a b', stored
+    quoted '/a%20b' by stdlib) must deny the canonical (UNQUOTED) path
+    '/a b/x' exactly as stdlib can_fetch denies 'http://h/a%20b/x'."""
+    txt = "User-agent: *\nDisallow: /a b\n"
+    rfp = RobotFileParser()
+    rfp.parse(txt.splitlines())
+    assert rfp.can_fetch("*", "http://h.test/a%20b/x") is False
+    rules = parse_robots_entries(txt)
+    # prefixes are stored unquoted so the engine's unquoted canonical
+    # path space matches stdlib's quoted-on-both-sides comparison
+    assert rules[0]["path_prefix"] == "/a b"
+    assert _decide(rules, "/a b/x") is False
+    assert _decide(rules, "/ab/x") is True
