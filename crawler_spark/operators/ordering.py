@@ -25,6 +25,49 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def _two_phase_offsets(df, order_exprs, per_pid_agg, row_expr_fn, out_col):
+    """Shared scaffolding of :func:`with_global_seq` / :func:`with_global_cumsum`
+    — the two-phase distributed-rank pattern: range-partition on the sort
+    key, sort within partitions, ONE per-partition aggregate collected to
+    the driver (a row per partition, never data), cumulative offsets
+    broadcast back as a literal map, then a per-partition window expression.
+    ``per_pid_agg`` is the long-typed per-partition contribution (count for
+    rank, sum for prefix sums); ``row_expr_fn()`` builds the within-partition
+    expression over the ``_pid``-partitioned frame. Cache contract: the
+    returned frame carries ``_global_seq_cache`` / ``_global_seq_total``;
+    callers release via :func:`release_global_seq`."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.repartitionByRange(n, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    per = {
+        r["_pid"]: r["_s"]
+        for r in d.groupBy("_pid").agg(per_pid_agg.alias("_s")).collect()
+    }
+    if not per:
+        d.unpersist()
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        out._global_seq_total = 0  # row count / grand total, free byproduct
+        return out
+    offsets, acc = {}, 0
+    for pid in sorted(per):
+        offsets[pid] = acc
+        acc += per[pid]
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    out = d.withColumn(
+        out_col,
+        (F.element_at(mapping, F.col("_pid")) + row_expr_fn()).cast("long"),
+    ).drop("_pid")
+    out._global_seq_cache = d  # handle for release_global_seq
+    out._global_seq_total = acc
+    return out
+
+
 def with_global_seq(df: DataFrame, order_exprs: list[Column], seq_col: str = "seq") -> DataFrame:
     """Contiguous 0-based sequence in the total order given by order_exprs.
 
@@ -35,36 +78,14 @@ def with_global_seq(df: DataFrame, order_exprs: list[Column], seq_col: str = "se
     round AND lets Spark's CacheManager silently substitute it into later
     semantically-equal plans.
     """
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = (
-        df.repartitionByRange(n, *order_exprs)
-        .sortWithinPartitions(*order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
-    if not counts:
-        d.unpersist()
-        out = df.withColumn(seq_col, F.lit(None).cast("long"))
-        out._global_seq_total = 0  # row count, free byproduct of the offsets pass
-        return out
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_pid").orderBy(*order_exprs)
-    out = (
-        d.withColumn(
-            seq_col,
-            (F.element_at(mapping, F.col("_pid")) + F.row_number().over(w) - 1).cast("long"),
-        )
-        .drop("_pid")
+    return _two_phase_offsets(
+        df,
+        order_exprs,
+        F.count("*").cast("long"),
+        lambda: F.row_number().over(w) - 1,
+        seq_col,
     )
-    out._global_seq_cache = d  # handle for release_global_seq
-    out._global_seq_total = acc  # row count, free byproduct of the offsets pass
-    return out
 
 
 def release_global_seq(df: DataFrame) -> None:
@@ -149,7 +170,12 @@ def top_per_key(
                     lambda acc, x: F.when(acc["cum"] >= prune_max, acc).otherwise(
                         F.struct(
                             (acc["cum"] + x["_cnt"]).alias("cum"),
-                            (-x["npv"]).cast("long").alias("v"),
+                            # floor, NOT cast: cast truncates toward zero, so
+                            # a fractional negative cutoff (-2.5 -> -2) would
+                            # prune rows that belong to the true top-k; floor
+                            # (-2.5 -> -3) always keeps a superset. Identical
+                            # for the integer prune columns used today.
+                            F.floor(-x["npv"]).cast("long").alias("v"),
                         )
                     ),
                 ).v.alias("_cutoff"),
@@ -199,44 +225,17 @@ def with_global_cumsum(
     Same cache contract as with_global_seq: call :func:`release_global_seq`
     on the result after materializing.
     """
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = (
-        df.repartitionByRange(n, *order_exprs)
-        .sortWithinPartitions(*order_exprs)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    # coalesce: a range partition whose value_col rows are all NULL would
-    # otherwise yield sums[pid] = None and break the offset accumulation
-    sums = {
-        r["_pid"]: r["_s"]
-        for r in d.groupBy("_pid")
-        .agg(F.coalesce(F.sum(value_col), F.lit(0)).cast("long").alias("_s"))
-        .collect()
-    }
-    if not sums:
-        d.unpersist()
-        out = df.withColumn(out_col, F.lit(None).cast("long"))
-        out._global_seq_total = 0
-        return out
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
-    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = d.withColumn(
+    return _two_phase_offsets(
+        df,
+        order_exprs,
+        # coalesce: a range partition whose value_col rows are all NULL would
+        # otherwise yield a None contribution and break offset accumulation
+        F.coalesce(F.sum(value_col), F.lit(0)).cast("long"),
+        lambda: F.coalesce(F.sum(value_col).over(w), F.lit(0)),
         out_col,
-        (
-            F.element_at(mapping, F.col("_pid"))
-            + F.coalesce(F.sum(value_col).over(w), F.lit(0))
-        ).cast("long"),
-    ).drop("_pid")
-    out._global_seq_cache = d
-    out._global_seq_total = acc  # grand total, free byproduct
-    return out
+    )

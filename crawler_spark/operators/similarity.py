@@ -40,7 +40,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not NaN) when either vector has zero norm: 0/0 = NaN, and Spark
+    sorts NaN ABOVE every real value in a descending window — a zero vector
+    would otherwise become the rank-1 neighbor of every query and pass any
+    `>= threshold` filter. NULL instead sorts last (desc_nulls_last default)
+    and fails the threshold comparison in both engines."""
+    d = norm(a) * norm(b)
+    return F.when(d != 0, dot(a, b) / d)
 
 
 def cosine_topk(
@@ -69,6 +75,22 @@ def cosine_topk(
     )
 
 
+def _centroids(
+    vectors: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The deterministic centroid table (cell, _cent): the ``n_centroids``
+    SMALLEST ids — sort-limit (TakeOrderedAndProject), never ``id <
+    n_centroids``, which silently selects nothing on offset or sparse id
+    spaces. THE single definition: ivf_assign and ivf_topk's probe ranking
+    must pick identical centroids or probing visits cells that don't match
+    the assignment."""
+    return (
+        vectors.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_cent"))
+        .orderBy("cell")
+        .limit(int(n_centroids))
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     n_centroids: int = 8,
@@ -81,9 +103,7 @@ def ivf_assign(
     (vec_id, embedding, cell) where cell is the centroid id; argmin by cosine,
     ties to the smaller centroid id.
     """
-    cent = vectors.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("_cent")
-    )
+    cent = _centroids(vectors, n_centroids, id_col, vec_col)
     scored = vectors.crossJoin(F.broadcast(cent)).withColumn(
         "_sim", cosine(F.col(vec_col), F.col("_cent"))
     )
@@ -182,11 +202,25 @@ def srp_neardup(
         F.concat(F.lit(f"{b}:"), *bits[b * band_size : (b + 1) * band_size])
         for b in range(n_bands)
     ]
+    # dim guard inside the output expression (cannot be pruned): zip_with
+    # null-pads a length mismatch, every dot goes NULL, every bit reads '0',
+    # and ALL vectors share EVERY band bucket — the LSH silently degenerates
+    # to a full quadratic self-join. Fail loudly instead.
+    guarded = F.when(
+        F.size(F.col(vec_col)) == dim, F.array(*band_keys)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"srp_neardup: vector dim != dim param ({dim}); got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     # materialize the bit projection ONCE: the candidate self-join would
     # otherwise evaluate all n_planes 64-element dot products on BOTH sides
     # (the r3 shingling-CSE lesson, VERDICT r3 #2 / dedup.doc_shingles note)
     keyed = vectors.select(
-        F.col(id_col).alias("vid"), F.explode(F.array(*band_keys)).alias("bucket")
+        F.col(id_col).alias("vid"), F.explode(guarded).alias("bucket")
     ).localCheckpoint(eager=False)
     a = keyed.select(F.col("vid").alias("vec_a"), "bucket")
     b = keyed.select(F.col("vid").alias("vec_b"), "bucket")
@@ -223,32 +257,24 @@ def ivf_topk(
     cell-co-partitioned; each corpus vector lives in exactly one cell, so
     probing more cells never duplicates a candidate.
     """
-    # materialized once: the assignment feeds both the query and corpus side
+    # materialized once: the assignment feeds the corpus side
     assigned = ivf_assign(vectors, n_centroids, id_col, vec_col).localCheckpoint(eager=False)
-    if nprobe == 1:
-        q = queries.select(F.col(id_col).alias("query_id")).join(
-            assigned.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cell"),
-            "query_id",
-        )
-    else:
-        # re-rank the query vectors against the broadcast centroids and keep
-        # the top-nprobe cells (queries are few; this is a tiny local pass)
-        cent = vectors.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("_cent")
-        )
-        qv = queries.select(F.col(id_col).alias("query_id")).join(
-            assigned.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-            "query_id",
-        )
-        scored_q = qv.crossJoin(F.broadcast(cent)).withColumn(
-            "_csim", cosine(F.col("_qv"), F.col("_cent"))
-        )
-        wq = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("cell"))
-        q = (
-            scored_q.withColumn("_qr", F.row_number().over(wq))
-            .where(F.col("_qr") <= nprobe)
-            .select("query_id", "_qv", "cell")
-        )
+    # query cells come from the queries' OWN vectors ranked against the
+    # broadcast centroids (nprobe=1 is just top-1) — the same argmin +
+    # smaller-cell tie-break as ivf_assign, so an in-corpus query lands in
+    # its assigned cell bit-for-bit, and an out-of-corpus query now WORKS
+    # instead of being silently dropped by an id join against the corpus
+    cent = _centroids(vectors, n_centroids, id_col, vec_col)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    scored_q = qv.crossJoin(F.broadcast(cent)).withColumn(
+        "_csim", cosine(F.col("_qv"), F.col("_cent"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("cell"))
+    q = (
+        scored_q.withColumn("_qr", F.row_number().over(wq))
+        .where(F.col("_qr") <= nprobe)
+        .select("query_id", "_qv", "cell")
+    )
     c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell")
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -304,9 +330,10 @@ def quantized_cosine_topk(
     identical doubles in both engines). Same output contract as
     cosine_topk: (query_id, neighbor_id, rank), self excluded, ties by
     neighbor_id."""
-    from pyspark.sql import Window
-
-    qt = int8_quantize(vectors, id_col=id_col)
+    # pinned: the full-corpus quantization transform (and its amax scan)
+    # feeds BOTH sides of the self-crossJoin below — without the checkpoint
+    # each side re-evaluates it (the srp/ivf CSE pattern above)
+    qt = int8_quantize(vectors, id_col=id_col).localCheckpoint(eager=False)
     q = qt.where(query_pred(F.col(id_col))).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("_qv"),

@@ -17,7 +17,14 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
-    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default to the HOST's core count capped at 32, not a hardcoded 32: on
+    # a small machine local[32] oversubscribes 4-8x and the derived heap +
+    # tmpfs spill dirs (both RAM) would be sized for a box that isn't there.
+    # SPARK_GRAFT_CPUS / the cores arg still override in either direction.
+    env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    cores = cores or (
+        int(env_cpus) if env_cpus else min(32, os.cpu_count() or 8)
+    )
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     # local mode = one JVM: size the heap per worker thread (cluster analogy:
     # fixed memory per executor core), or concurrent sort/agg tasks spill+GC

@@ -134,3 +134,57 @@ def test_semdedup_keepset_consistent_with_pair_view(spark):
     for members in by_cluster.values():
         lowest = min(members, key=lambda r: r["vec_id"])
         assert lowest["keep"]
+
+
+def test_cosine_zero_vector_never_ranks_first(spark):
+    """A zero-norm vector must yield NULL cosine (sorted last, fails any
+    threshold) — NOT NaN, which Spark ranks ABOVE every real value in a
+    descending window."""
+    from crawler_spark.operators.similarity import cosine_topk, embedding_neardup
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+        (3, [0.0, 0.0]),  # the zero vector
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = cosine_topk(df, df.where("vec_id = 0"), k=1)
+    assert [(r["neighbor_id"]) for r in top.collect()] == [1]  # not 3
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             embedding_neardup(df, threshold=0.5).collect()}
+    assert all(3 not in p for p in pairs)  # NULL fails >= threshold
+
+
+def test_ivf_handles_offset_ids_and_external_queries(spark):
+    """Centroids are the n smallest ids (not ids < n), and queries are
+    scored by their OWN vectors — offset id spaces and out-of-corpus
+    queries both work instead of silently returning empty."""
+    from crawler_spark.operators.similarity import ivf_assign, ivf_topk
+
+    rows = [(1000 + i, [float(i % 4 == 0), float(i % 4 == 1),
+                        float(i % 4 == 2), float(i % 4 == 3)])
+            for i in range(16)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned = ivf_assign(df, n_centroids=4)
+    assert assigned.count() == 16  # old `id < 4` selected no centroids
+    # out-of-corpus query id/vector: still gets neighbors from its cell
+    q = spark.createDataFrame([(9999, [1.0, 0.0, 0.0, 0.0])],
+                              ["vec_id", "embedding"])
+    got = ivf_topk(df, q, n_centroids=4, k=3).collect()
+    assert len(got) == 3
+    assert all(r["query_id"] == 9999 for r in got)
+
+
+def test_srp_neardup_rejects_wrong_dim(spark):
+    """A vector dim that disagrees with the dim parameter must raise, not
+    silently degenerate the LSH to a quadratic self-join (every dot NULL ->
+    every signature identical)."""
+    import pytest
+
+    from crawler_spark.operators.similarity import srp_neardup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    # surfaces as Py4JJavaError from the JVM raise_error; match the message
+    with pytest.raises(Exception, match="srp_neardup"):
+        srp_neardup(df, dim=64).collect()
