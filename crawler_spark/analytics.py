@@ -91,18 +91,23 @@ def top_words(spark: SparkSession, workdir: str, limit: int = 20) -> DataFrame:
     )
 
 
-def session_summary(spark: SparkSession, workdir: str) -> dict:
+def session_summary(
+    spark: SparkSession, workdir: str, include_words: bool = True
+) -> dict:
     """A3/A4 session counters, per-attempt like the reference's
     (engine.py:512-525): fetch_attempts rows, pages_crawled successes,
     fetch_failures failed attempts (a URL retried then crawled counts in
-    both failures and crawled, as in the reference)."""
+    both failures and crawled, as in the reference).
+
+    ``include_words=False`` skips the word_frequencies scan — for callers
+    (cross_session_summary) that compute the word stats themselves from a
+    single shared scan of all sessions' tables."""
     pages = _read(spark, workdir, "pages")
     catalog = SnapshotCatalog(workdir)
     out: dict = {"rounds": catalog.current_round() + 1}
-    for h in catalog.metrics_history():  # T10: id minted at session init
-        if "session_id" in h:
-            out["session_id"] = h["session_id"]
-            break
+    sid = _session_id(workdir)  # T10: id minted at session init
+    if sid is not None:
+        out["session_id"] = sid
     if pages is not None:
         row = pages.agg(
             F.count("*").alias("fetch_attempts"),
@@ -113,7 +118,7 @@ def session_summary(spark: SparkSession, workdir: str) -> dict:
             F.max("depth").alias("max_depth"),
         ).collect()[0]
         out.update(row.asDict())
-    wf = _read(spark, workdir, "word_frequencies")
+    wf = _read(spark, workdir, "word_frequencies") if include_words else None
     if wf is not None:
         row = wf.agg(
             F.sum("frequency").alias("total_words"),
@@ -234,18 +239,46 @@ def cross_session_summary(spark: SparkSession, workdirs: list[str]) -> dict:
     union, not summed — the reference's merged Counter does the same)."""
     from functools import reduce
 
-    per = {wd: session_summary(spark, wd) for wd in workdirs}
+    # one scan of each session's word_frequencies: a tagged union is cached,
+    # the per-session totals AND the exact union-distinct come off it, and
+    # session_summary is told to skip its own wf scan (previously every
+    # table was read twice — once inside session_summary, once here)
+    per = {wd: session_summary(spark, wd, include_words=False) for wd in workdirs}
+    wfs = {
+        wd: w
+        for wd, w in ((wd, _read(spark, wd, "word_frequencies")) for wd in workdirs)
+        if w is not None
+    }
+    if wfs:
+        u = reduce(
+            lambda a, b: a.unionByName(b),
+            (
+                w.select(F.lit(wd).alias("_wd"), "word", "frequency")
+                for wd, w in wfs.items()
+            ),
+        ).persist()
+        try:
+            for r in (
+                u.groupBy("_wd")
+                .agg(
+                    F.sum("frequency").alias("total_words"),
+                    F.countDistinct("word").alias("unique_words"),
+                )
+                .collect()
+            ):
+                per[r["_wd"]]["total_words"] = r["total_words"]
+                per[r["_wd"]]["unique_words"] = r["unique_words"]
+            union_unique = u.select("word").distinct().count()
+        finally:
+            u.unpersist()
     combined: dict = {"sessions": len(per)}
     for key in ("fetch_attempts", "pages_crawled", "fetch_failures",
                 "total_chars", "total_words"):
         vals = [s.get(key) for s in per.values() if s.get(key) is not None]
         if vals:
             combined[key] = int(sum(vals))
-    wfs = [w for w in (_read(spark, wd, "word_frequencies") for wd in workdirs)
-           if w is not None]
     if wfs:
-        u = reduce(lambda a, b: a.unionByName(b), (w.select("word") for w in wfs))
-        combined["unique_words"] = u.distinct().count()
+        combined["unique_words"] = union_unique
     return {"combined": combined, "sessions": per}
 
 
@@ -296,7 +329,9 @@ def media_inventory(spark: SparkSession, workdir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "media_host string, n_refs bigint, n_unique bigint, n_pages bigint"
         )
-    host = F.parse_url(F.col("media_ref"), F.lit("HOST")).alias("media_host")
+    # try_parse_url: ANSI mode (Spark 4 default) makes parse_url THROW
+    # INVALID_URL on one malformed ref; bad refs group under NULL host
+    host = F.try_parse_url(F.col("media_ref"), F.lit("HOST")).alias("media_host")
     return m.groupBy(host).agg(
         F.count("*").alias("n_refs"),
         F.countDistinct("media_ref").alias("n_unique"),
@@ -346,8 +381,20 @@ def crawl_overlap(
     """
     from crawler_spark.operators.sketches import kmv_overlap_summary
 
-    a = SnapshotCatalog(workdir_a).read_seen(spark).select("canonical")
-    b = SnapshotCatalog(workdir_b).read_seen(spark).select("canonical")
+    def _seen(wd: str) -> DataFrame | None:
+        # module contract: missing tables yield empty results, never
+        # exceptions — read_seen requires a committed bucketed seen table,
+        # so fall back to the plain table read (legacy catalogs), then None
+        cat = SnapshotCatalog(wd)
+        m = cat.current_manifest()
+        if m is not None and "seen" in m:
+            return cat.read_seen(spark).select("canonical")
+        df = _read(spark, wd, "url_seen")
+        return None if df is None else df.select("canonical")
+
+    a, b = _seen(workdir_a), _seen(workdir_b)
+    if a is None or b is None:
+        return {"error": "url_seen missing in one catalog", "k": k}
     row = kmv_overlap_summary(a, b, "canonical", k).collect()[0]
     return {
         "k": row["k"],

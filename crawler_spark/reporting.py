@@ -431,6 +431,10 @@ def generate_comparison_report(
     top_n: int = 12,
 ) -> str:
     """Comparison-dashboard entry point: build + render + write."""
+    if fmt not in ("json", "html"):
+        # reject instead of silently rendering HTML into a .csv/.md path —
+        # generate_session_report raises on unknown formats the same way
+        raise KeyError(f"unknown comparison-report format: {fmt!r}")
     report = build_comparison_report(spark, workdirs, top_n)
     rendered = (
         render_json(report) if fmt == "json" else render_comparison_html(report)

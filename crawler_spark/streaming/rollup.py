@@ -62,14 +62,41 @@ def streaming_url_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     return (
         stream.withColumn("url_hash", F.xxhash64("canonical"))
         .withWatermark("discovered_ts", watermark)
-        # hash AND string: hash-only equality would silently drop a distinct
-        # URL on a 64-bit collision (expected at 10^10-URL scale).
+        # key on the STRING alone: exact by itself (the hash is a pure
+        # function of canonical, so adding it to the key changes nothing
+        # except +8 state bytes per entry); url_hash stays as an OUTPUT
+        # column for downstream partitioning.
         # dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
         # dropDuplicates only evicts state when the event-time column is in
         # the key subset — without it state grows one entry per distinct URL
         # forever, the exact failure this design must avoid
-        .dropDuplicatesWithinWatermark(["url_hash", "canonical"])
+        .dropDuplicatesWithinWatermark(["canonical"])
     )
+
+
+def _slot_rows(host, frames, last, has_delay, default_delay):
+    """Per-host politeness slotting shared by BOTH stateful-gate API
+    generations (politeness_gate / politeness_gate_tws): sort the batch by
+    (event_ts, canonical), then eff = max(ts, last + delay) per row.
+    Returns (out_rows, last). One copy of the algorithm — the two gates
+    keep only their state-API plumbing."""
+    import pandas as pd
+
+    rows = pd.concat(frames) if frames else None
+    out = []
+    if rows is not None and len(rows):
+        rows = rows.sort_values(["event_ts", "canonical"])
+        for r in rows.itertuples(index=False):
+            ts = r.event_ts.timestamp()
+            delay = (
+                float(r.crawl_delay)
+                if has_delay and r.crawl_delay == r.crawl_delay  # not NaN
+                else default_delay
+            )
+            eff = ts if last is None else max(ts, last + delay)
+            out.append((host, r.canonical, eff))
+            last = eff
+    return out, last
 
 
 _UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
@@ -168,21 +195,7 @@ def politeness_gate(
             state.remove()
             return
         last = state.get[0] if state.exists else None
-        frames = [pdf for pdf in pdfs]
-        rows = pd.concat(frames) if frames else None
-        out = []
-        if rows is not None and len(rows):
-            rows = rows.sort_values(["event_ts", "canonical"])
-            for r in rows.itertuples(index=False):
-                ts = r.event_ts.timestamp()
-                delay = (
-                    float(r.crawl_delay)
-                    if has_delay and r.crawl_delay == r.crawl_delay  # not NaN
-                    else default_delay
-                )
-                eff = ts if last is None else max(ts, last + delay)
-                out.append((host, r.canonical, eff))
-                last = eff
+        out, last = _slot_rows(host, list(pdfs), last, has_delay, default_delay)
         if last is not None:
             state.update((float(last),))
             # evict once the host is idle past the watermark horizon
@@ -246,20 +259,9 @@ def politeness_gate_tws(
         def handleInputRows(self, key, rows, timerValues):
             (host,) = key
             last = self._last.get()[0] if self._last.exists() else None
-            frames = list(rows)
-            out = []
-            if frames:
-                df = pd.concat(frames).sort_values(["event_ts", "canonical"])
-                for r in df.itertuples(index=False):
-                    ts = r.event_ts.timestamp()
-                    delay = (
-                        float(r.crawl_delay)
-                        if has_delay and r.crawl_delay == r.crawl_delay
-                        else default_delay
-                    )
-                    eff = ts if last is None else max(ts, last + delay)
-                    out.append((host, r.canonical, eff))
-                    last = eff
+            out, last = _slot_rows(
+                host, list(rows), last, has_delay, default_delay
+            )
             if last is not None:
                 self._last.update((float(last),))
                 # single live timer per host: drop the old one, arm eviction
