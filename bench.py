@@ -143,6 +143,12 @@ HEADLINE = [
     "frontier_skew",
     "cdx_shards",
     "drain_forecast",
+    # round 4 (cont.): site-template audit, DUST rules, leakage-safe split,
+    # z-order layout
+    "host_boilerplate",
+    "dust_rules",
+    "cluster_split",
+    "zorder_shards",
 ]
 
 

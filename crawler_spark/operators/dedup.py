@@ -701,6 +701,94 @@ def segment_dedup(
     )
 
 
+def template_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    seg_len: int = 10,
+    min_docs: int = 2,
+    min_share_bp: int = 2500,
+) -> DataFrame:
+    """Per-site template-segment detection — the site-level boilerplate
+    audit (the cross-page repetition heuristic behind CCNet's line dedup
+    and trafilatura's site-template removal): content repeated across many
+    pages of ONE host is chrome (headers, footers, nav, legal blocks), not
+    prose, even when the extractor labeled it main text.
+
+    A segment (consecutive ``seg_len``-token window — the same unit as
+    :func:`segment_dedup`) is a template of group g when it occurs in at
+    least ``min_docs`` distinct docs of g AND in at least
+    ``min_share_bp``/10000 of g's docs. Contrast with segment_dedup, which
+    drops any segment duplicated anywhere in the corpus: this operator
+    ATTRIBUTES the repetition to a site and measures how much of the
+    site's token mass is chrome — the audit that decides whether a host's
+    extraction is salvageable or the boilerplate filters (SURVEY F13/F14)
+    need site-specific rules.
+
+    Returns one row per group: (source, n_docs, n_template_segments,
+    template_occurrences, total_segments, template_share_bp) with
+    template_share_bp = template_occurrences * 10000 div total_segments;
+    groups with no template keep a row of zeros.
+
+    Scale: one explode to (group, doc, segment-hash) — 8-byte hashes, the
+    segment text never shuffles — then a (group, hash) aggregate, a
+    per-group doc count joined back, and one per-group rollup. Groups are
+    hosts, so the per-(group,hash) key space is bounded by per-host page
+    counts, not the corpus; no pairwise stage at any size.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    d = df.select(F.col(group_col).alias("grp"), F.col(id_col).alias("doc"), toks.alias("t"))
+    segs_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(t) / {seg_len}.0) as int) - 1), "
+        f"i -> array_join(slice(t, i * {seg_len} + 1, {seg_len}), ' '))"
+    )
+    rows = (
+        d.select(
+            "grp",
+            "doc",
+            F.when(F.size("t") > 0, segs_expr)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("segs"),
+        )
+        .select("grp", "doc", F.explode("segs").alias("seg"))
+        .withColumn("h", hash60(F.col("seg")))
+        .drop("seg")
+    )
+    gdocs = d.groupBy("grp").agg(F.countDistinct("doc").alias("n_docs"))
+    occ = rows.groupBy("grp", "h").agg(
+        F.count("*").alias("n_occ"), F.countDistinct("doc").alias("n_docs_with")
+    )
+    tpl = (
+        occ.join(gdocs, "grp")
+        .where(
+            (F.col("n_docs_with") >= F.lit(min_docs))
+            & (F.col("n_docs_with") * 10000 >= F.lit(min_share_bp) * F.col("n_docs"))
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_template_segments"),
+            F.sum("n_occ").cast("long").alias("template_occurrences"),
+        )
+    )
+    totals = rows.groupBy("grp").agg(F.count("*").alias("total_segments"))
+    return (
+        gdocs.join(totals, "grp", "left")
+        .join(tpl, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.coalesce("n_template_segments", F.lit(0)).cast("long").alias("n_template_segments"),
+            F.coalesce("template_occurrences", F.lit(0)).cast("long").alias("template_occurrences"),
+            F.coalesce("total_segments", F.lit(0)).cast("long").alias("total_segments"),
+            F.expr(
+                "CASE WHEN coalesce(total_segments, 0) = 0 THEN 0 "
+                "ELSE coalesce(template_occurrences, 0) * 10000 div total_segments END"
+            ).cast("long").alias("template_share_bp"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

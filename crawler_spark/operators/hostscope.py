@@ -394,3 +394,63 @@ def cdx_shards(
     )
     out = surt_side.join(hash_side, "shard", "left").orderBy("shard")
     return carry_seq_cache(seq, out)
+
+
+def dust_rule_support(links: DataFrame, href_col: str = "href") -> DataFrame:
+    """DUST rule-support mining (Bar-Yossef, Keidar & Schwartz, WWW 2007,
+    "Do Not Crawl in the DUST: Different URLs with Similar Text"), phase 1:
+    count, over the RAW discovered-link space, how often each candidate
+    URL-rewrite rule would fire — the evidence an operator reads before
+    promoting a rule into the static canonicalizer (functions/urls.py F2/F3,
+    reference url_management/normalizer.py). Phase 2 of DUST — validating a
+    candidate by content equality of the rewritten pair — is
+    :func:`crawler_spark.operators.dedup.exact_dedup` over fetched pages
+    keyed by the rewritten URL.
+
+    Candidate rules mined:
+      - ``relative``        href needs base resolution (not a rewrite, but
+                            sized here because it bounds the resolver stage)
+      - ``www``             strip a leading ``www.`` host label
+      - ``port80``          strip an explicit default port
+      - ``fragment``        strip a ``#fragment``
+      - ``trailing_slash``  strip a non-root trailing slash
+      - ``param:<k>``       strip query parameter ``k`` (one rule PER KEY —
+                            DUST's parameter-exclusion rules; utm_*/gclid
+                            support is what justifies the tracking-param
+                            strip list)
+
+    Returns (rule, support, n_hosts) — occurrences and distinct hosts the
+    rule fires on (relative hrefs count under a '' host). Scale: one
+    map-only rule expansion per link row (pure expressions, no UDF) and one
+    aggregate keyed on the rule string — a few dozen groups no matter how
+    many trillions of links.
+    """
+    h = F.col(href_col)
+    is_abs = h.rlike("^https?://")
+    path = F.regexp_extract(h, r"^https?://[^/?#]+([^?#]*)", 1)
+    structural = F.array(
+        F.when(~is_abs, F.lit("relative")),
+        F.when(h.rlike(r"^https?://www\."), F.lit("www")),
+        F.when(h.rlike("^https?://[^/?#]*:80([/?#]|$)"), F.lit("port80")),
+        F.when(F.instr(h, "#") > 0, F.lit("fragment")),
+        F.when(
+            is_abs & F.endswith(path, F.lit("/")) & (F.length(path) > 1),
+            F.lit("trailing_slash"),
+        ),
+    )
+    params = F.transform(
+        F.regexp_extract_all(h, F.lit("[?&]([a-z_]+)="), F.lit(1)),
+        lambda k: F.concat(F.lit("param:"), k),
+    )
+    host = F.when(is_abs, F.regexp_extract(h, "^https?://([^/?#]+)", 1)).otherwise(
+        F.lit("")
+    )
+    rules = F.array_compact(F.concat(structural, params))
+    return (
+        links.select(host.alias("host"), F.explode(rules).alias("rule"))
+        .groupBy("rule")
+        .agg(
+            F.count("*").cast("long").alias("support"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+    )

@@ -239,3 +239,24 @@ def with_global_cumsum(
         lambda: F.coalesce(F.sum(value_col).over(w), F.lit(0)),
         out_col,
     )
+
+
+def zorder_expr(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """SQL text computing the Morton (Z-order) interleave of two
+    ``bits``-bit non-negative keys — x in odd bit positions, y in even.
+
+    Z-ordering is the multi-dimensional data-layout clustering behind
+    Delta/Iceberg table optimization: range-sharding by the interleaved key
+    gives every shard locality in BOTH dimensions at once (a (host, time)
+    z-layout serves host-scoped AND time-window scans from few shards,
+    where a host sort serves only the first). The expression is plain
+    integer bit arithmetic — identical text runs in Spark SQL (via
+    ``F.expr``) and in the DuckDB oracle, so layouts are value-checkable.
+
+    Each term is fully parenthesized: `>>`/`&`/`<<` precedence differs
+    between engines. Cost: a map-only expression; the interleave never
+    shuffles anything by itself.
+    """
+    terms = [f"(((({x_expr}) >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    terms += [f"(((({y_expr}) >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    return "(" + " + ".join(terms) + ")"

@@ -92,6 +92,52 @@ def split_assign(
     return df.withColumn("split", split)
 
 
+def split_by_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 1,
+    test_pct: int = 1,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment hashes the
+    near-dup CLUSTER representative, not the document id, so near-duplicate
+    documents can never straddle splits (per-doc hashing leaks ~Jaccard-
+    similar copies of training text into the eval split — the train/test
+    contamination mode measured by Lee et al. 2022 §6.2 that n-gram
+    decontamination misses because the copies are the *same* distribution,
+    not a benchmark).
+
+    ``clusters`` is (doc, cluster) from :func:`crawler_spark.operators.
+    dedup.neardup_clusters` (either flavor); documents absent from it (no
+    near-dup — the overwhelming majority) fall back to their own id, which
+    is exactly :func:`split_assign`'s function, so the split distribution
+    is unchanged and only clustered docs move. Same 98/1/1 hash buckets as
+    split_assign.
+
+    Scale: one left join keyed on the doc id — the clusters frame is the
+    near-dup subset (tiny next to the corpus; AQE broadcasts it) — then a
+    map-only hash. No new shuffle class beyond split_assign.
+    """
+    assert val_pct + test_pct < 100
+    c = clusters.select(
+        F.col("doc").alias(id_col), F.col("cluster").alias("_cluster")
+    )
+    rep = F.coalesce(F.col("_cluster"), F.col(id_col)).cast("string")
+    b = F.pmod(hash60(rep), F.lit(100))
+    train_hi = 100 - val_pct - test_pct
+    split = (
+        F.when(b < train_hi, F.lit("train"))
+        .when(b < train_hi + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        df.join(c, id_col, "left")
+        .withColumn("split", split)
+        .withColumn("clustered", F.col("_cluster").isNotNull())
+        .drop("_cluster")
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -6277,6 +6277,273 @@ ORDER BY s.shard
 """
 
 
+# --------------------------------------------------------------------------
+# round-4 continuation: site-template audit, DUST rule mining, leakage-safe
+# split, Z-order layout sharding
+# --------------------------------------------------------------------------
+
+# ten tokens = exactly one seg_len=10 segment, so the plant is a clean
+# per-source template with ~2/3 share
+_TPL_PREFIX = (
+    "subscribe newsletter copyright all rights reserved terms privacy policy cookie "
+)
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site template-segment audit (dedup.template_segments — the
+    cross-page repetition heuristic behind CCNet line dedup / trafilatura
+    site-template removal): segments occurring in >= 25% (and >= 2) of one
+    source's docs are that site's chrome; the output measures how much of
+    each source's token mass is template. A deterministic template prefix
+    is planted on ~2/3 of every source's docs so the detector has real
+    signal; the oracle re-derives detection, occurrence counts, and the
+    share in SQL."""
+    from crawler_spark.operators.dedup import template_segments
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 != 0, F.concat(F.lit(_TPL_PREFIX), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return template_segments(
+        docs, "doc_id", "text", "source", seg_len=10, min_docs=2, min_share_bp=2500
+    ).orderBy("source")
+
+
+SQL_HOST_BOILERPLATE = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 <> 0 THEN '{_TPL_PREFIX}' || text ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT source, doc_id AS doc, regexp_extract_all(lower(text), '[a-z]+') AS t FROM aug
+),
+segs AS (
+  SELECT source, doc,
+         {hash60_sql("array_to_string(t.t[(i*10+1):(i*10+10)], ' ')")} AS h
+  FROM t, LATERAL unnest(range(0, CAST(ceil(len(t.t) / 10.0) AS BIGINT))) u(i)
+),
+gd AS (SELECT source, count(DISTINCT doc) AS n_docs FROM t GROUP BY 1),
+occ AS (
+  SELECT source, h, count(*) AS n_occ, count(DISTINCT doc) AS ndw
+  FROM segs GROUP BY 1, 2
+),
+tpl AS (
+  SELECT source, count(*) AS n_template_segments,
+         CAST(sum(n_occ) AS BIGINT) AS template_occurrences
+  FROM occ JOIN gd USING (source)
+  WHERE ndw >= 2 AND ndw * 10000 >= 2500 * n_docs
+  GROUP BY 1
+),
+tot AS (SELECT source, count(*) AS total_segments FROM segs GROUP BY 1)
+SELECT gd.source AS source, n_docs,
+       coalesce(n_template_segments, 0) AS n_template_segments,
+       coalesce(template_occurrences, 0) AS template_occurrences,
+       coalesce(total_segments, 0) AS total_segments,
+       CASE WHEN coalesce(total_segments, 0) = 0 THEN 0
+            ELSE coalesce(template_occurrences, 0) * 10000 // total_segments
+       END AS template_share_bp
+FROM gd LEFT JOIN tot USING (source) LEFT JOIN tpl USING (source)
+ORDER BY source
+"""
+
+
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule-support mining (hostscope.dust_rule_support — Bar-Yossef
+    et al. 2007 phase 1) over the RAW link spans of the interleaved
+    mini-corpus: per candidate rewrite rule (www/port/fragment/trailing-
+    slash strip, per-key parameter exclusion, relative resolution), the
+    occurrence count and distinct-host support an operator reads before
+    promoting the rule into the static canonicalizer (F2/F3)."""
+    from crawler_spark.minicrawl_oracle import HOSTS, PAGES_PER_HOST, SEED
+    from crawler_spark.operators.hostscope import dust_rule_support
+    from crawler_spark.sources.corpus import gen_corpus, to_documents_df
+
+    documents, _, _ = gen_corpus(hosts=HOSTS, pages_per_host=PAGES_PER_HOST, seed=SEED)
+    links = (
+        to_documents_df(spark, documents)
+        .select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "link")
+        .select(F.col("s.text").alias("href"))
+    )
+    return dust_rule_support(links).orderBy("rule")
+
+
+def _sql_dust_rules() -> str:
+    # lazy builder: _mini_inputs() materializes the spans parquet on first use
+    return f"""
+WITH sp AS (
+  SELECT unnest(spans) AS s FROM read_parquet('{_mini_inputs()}/documents.parquet')
+),
+l AS (SELECT s.text AS href FROM sp WHERE s.kind = 'link'),
+f AS (
+  SELECT href,
+         regexp_matches(href, '^https?://') AS is_abs,
+         regexp_extract(href, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+         CASE WHEN regexp_matches(href, '^https?://')
+              THEN regexp_extract(href, '^https?://([^/?#]+)', 1) ELSE '' END AS host
+  FROM l
+),
+rules AS (
+  SELECT host, unnest(list_concat(
+    list_filter([
+      CASE WHEN NOT is_abs THEN 'relative' END,
+      CASE WHEN regexp_matches(href, '^https?://www\\.') THEN 'www' END,
+      CASE WHEN regexp_matches(href, '^https?://[^/?#]*:80([/?#]|$)') THEN 'port80' END,
+      CASE WHEN instr(href, '#') > 0 THEN 'fragment' END,
+      CASE WHEN is_abs AND path LIKE '%/' AND length(path) > 1 THEN 'trailing_slash' END
+    ], x -> x IS NOT NULL),
+    list_transform(regexp_extract_all(href, '[?&]([a-z_]+)=', 1), k -> 'param:' || k)
+  )) AS rule
+  FROM f
+)
+SELECT rule, count(*) AS support, count(DISTINCT host) AS n_hosts
+FROM rules GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe corpus split (pipeline.split_by_cluster): train/val/
+    test membership hashes the near-dup CLUSTER representative (from the
+    LSH + connected-components pipeline), so near-duplicates never
+    straddle splits — the contamination mode per-doc splitting leaks (Lee
+    et al. 2022 §6.2). Per split: doc count, clustered-doc count, and a
+    bit_xor membership fingerprint — ANY doc assigned to a different split
+    than the oracle's recursive-CTE clustering implies flips the hash."""
+    from crawler_spark.operators import dedup as _dd
+    from crawler_spark.operators.pipeline import split_by_cluster
+
+    docs = _docs(spark, sf_dir)
+    pairs = _dd.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5)
+    clusters = _dd.neardup_clusters(pairs)
+    out = split_by_cluster(docs, clusters, "doc_id").withColumn(
+        "_h", hash60(F.col("doc_id").cast("string"))
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("clustered")).alias("n_clustered"),
+            F.expr("bit_xor(_h)").alias("members_fp"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_CLUSTER_SPLIT = (
+    "WITH clusters AS (SELECT * FROM ("
+    + SQL_DEDUP_CLUSTERS
+    + f""") _cl)
+SELECT split, count(*) AS n_docs,
+       count(*) FILTER (WHERE clustered) AS n_clustered,
+       bit_xor(h) AS members_fp
+FROM (
+  SELECT d.doc_id,
+         c.cluster IS NOT NULL AS clustered,
+         CASE WHEN ({hash60_sql("CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)")} % 100) < 98 THEN 'train'
+              WHEN ({hash60_sql("CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)")} % 100) < 99 THEN 'val'
+              ELSE 'test' END AS split,
+         {hash60_sql("CAST(d.doc_id AS VARCHAR)")} AS h
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc
+)
+GROUP BY 1 ORDER BY 1
+"""
+)
+
+# z-order key inputs over events: x = user id, y = minutes since the corpus
+# epoch (2024-01-01 UTC = 1704067200). Both dimensions are min/max-normalized
+# onto the FULL 16-bit key range against column stats (the standard z-order
+# quantization — Delta/Iceberg use file-level min/max the same way): without
+# it a dimension whose values occupy only the low bits contributes nothing
+# to the high interleaved bits and the layout degenerates to 1-D.
+_Z_M_SPARK = "(((unix_timestamp(ts) - 1704067200) div 60) % 65536)"
+_Z_M_DUCK = "(((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 60) % 65536)"
+_Z_X_SPARK = "((user_id * 65536) div (mu + 1))"
+_Z_Y_SPARK = "((m * 65536) div (mm + 1))"
+_Z_X_DUCK = "((user_id * 65536) // (mu + 1))"
+_Z_Y_DUCK = "((m * 65536) // (mm + 1))"
+
+
+def q_zorder_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data-layout clustering (ordering.zorder_expr — the
+    Delta/Iceberg OPTIMIZE ZORDER technique): events range-sharded by the
+    bit-interleave of (user id, event minute), both stat-normalized to 16
+    bits, against the same rows hash-sharded. Per (layout, shard): row
+    count, distinct users, and the shard's minute span — the z-layout
+    bounds BOTH dimensions per shard (user-scoped and time-window scans
+    each touch few shards), which is the multi-dimensional pruning
+    evidence; hash shards span everything. The interleave is one shared
+    integer expression text, value-checked bit-for-bit in both engines."""
+    from crawler_spark.operators.ordering import zorder_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(_Z_M_SPARK).alias("m"),
+        hash60(F.col("event_id").cast("string")).alias("eh"),
+    )
+    stats = ev.agg(F.max("user_id").alias("mu"), F.max("m").alias("mm"))
+    base = ev.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        "m",
+        F.expr(zorder_expr(_Z_X_SPARK, _Z_Y_SPARK)).alias("z"),
+        "eh",
+    )
+
+    def shard_stats(df: DataFrame, shard_col, tag: str) -> DataFrame:
+        return (
+            df.withColumn("shard", shard_col)
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                (F.max("m") - F.min("m")).cast("long").alias("minute_span"),
+            )
+            .withColumn("layout", F.lit(tag))
+        )
+
+    z_side = shard_stats(base, F.expr("(z >> 28)"), "zorder")
+    h_side = shard_stats(base, F.pmod(F.col("eh"), F.lit(16)).cast("long"), "hash")
+    return z_side.unionByName(h_side).orderBy("layout", "shard")
+
+
+SQL_ZORDER_SHARDS = ""  # assigned below: needs zorder_expr at import time
+
+
+def _build_sql_zorder_shards() -> str:
+    from crawler_spark.operators.ordering import zorder_expr
+
+    z = zorder_expr(_Z_X_DUCK, _Z_Y_DUCK)
+    return f"""
+WITH ev AS (
+  SELECT user_id, {_Z_M_DUCK} AS m,
+         {hash60_sql("CAST(event_id AS VARCHAR)")} AS eh
+  FROM events
+),
+st AS (SELECT max(user_id) AS mu, max(m) AS mm FROM ev),
+base AS (
+  SELECT user_id, m, {z} AS z, eh FROM ev, st
+),
+zs AS (
+  SELECT (z >> 28) AS shard, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         CAST(max(m) - min(m) AS BIGINT) AS minute_span, 'zorder' AS layout
+  FROM base GROUP BY 1
+),
+hs AS (
+  SELECT (eh % 16) AS shard, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         CAST(max(m) - min(m) AS BIGINT) AS minute_span, 'hash' AS layout
+  FROM base GROUP BY 1
+)
+SELECT * FROM zs UNION ALL SELECT * FROM hs ORDER BY layout, shard
+"""
+
+
+SQL_ZORDER_SHARDS = _build_sql_zorder_shards()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -6432,4 +6699,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "drain_forecast": QuerySpec(q_drain_forecast, _sql_drain_forecast()),
     "crawl_schedule_runs": QuerySpec(q_crawl_schedule_runs, _sql_crawl_schedule_runs),
     "cdx_shards": QuerySpec(q_cdx_shards, _sql_cdx_shards()),
+    # -- round-4 continuation: layout / governance / curation additions ------
+    "host_boilerplate": QuerySpec(q_host_boilerplate, SQL_HOST_BOILERPLATE),
+    "dust_rules": QuerySpec(q_dust_rules, _sql_dust_rules),
+    "cluster_split": QuerySpec(q_cluster_split, SQL_CLUSTER_SPLIT),
+    "zorder_shards": QuerySpec(q_zorder_shards, SQL_ZORDER_SHARDS),
 }

@@ -1,0 +1,113 @@
+"""Round-4 continuation operators: site-template audit, DUST rule mining,
+leakage-safe cluster split, Z-order layout — planted fixtures with known
+answers (the registry oracle entries carry the full value checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import template_segments
+from crawler_spark.operators.hostscope import dust_rule_support
+from crawler_spark.operators.ordering import zorder_expr
+from crawler_spark.operators.pipeline import split_assign, split_by_cluster
+
+
+def test_template_segments_planted(spark):
+    tpl = "one two three four five"  # seg_len=5 -> exactly one template segment
+    rows = [
+        # host a: template on 3/4 docs (75% >= 25%, >= 2 docs) -> detected
+        (0, "a", tpl + " unique alpha beta gamma delta"),
+        (1, "a", tpl + " unique epsilon zeta eta theta"),
+        (2, "a", tpl + " unique iota kappa lda mu"),
+        (3, "a", "nothing shared here at all today then"),
+        # host b: same text twice in ONE doc is 1 distinct doc -> min_docs=2 fails
+        (4, "b", tpl + " " + tpl),
+        (5, "b", "totally different words entirely everywhere now again ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r.asDict()
+        for r in template_segments(
+            df, "doc_id", "text", "source", seg_len=5, min_docs=2, min_share_bp=2500
+        ).collect()
+    }
+    assert out["a"]["n_template_segments"] == 1
+    assert out["a"]["template_occurrences"] == 3
+    assert out["a"]["n_docs"] == 4
+    # b's repeated segment is within one doc only
+    assert out["b"]["n_template_segments"] == 0
+    assert out["b"]["template_share_bp"] == 0
+
+
+def test_dust_rule_support_classifies_each_rule(spark):
+    rows = [
+        ("/relative/path",),
+        ("http://www.ex.test/a",),
+        ("http://ex.test:80/a",),
+        ("http://ex.test/a#frag",),
+        ("http://ex.test/a/",),
+        ("http://ex.test/",),  # root slash is canonical, NOT trailing_slash
+        ("http://ex.test/a?utm_source=x&gclid=y",),
+        ("http://other.test/b?utm_source=z",),
+    ]
+    df = spark.createDataFrame(rows, "href string")
+    out = {r["rule"]: (r["support"], r["n_hosts"]) for r in dust_rule_support(df).collect()}
+    assert out["relative"] == (1, 1)
+    assert out["www"] == (1, 1)
+    assert out["port80"] == (1, 1)
+    assert out["fragment"] == (1, 1)
+    assert out["trailing_slash"] == (1, 1)
+    assert out["param:utm_source"] == (2, 2)  # two hosts carry the param
+    assert out["param:gclid"] == (1, 1)
+    assert "param:" not in str(set(out) - {
+        "relative", "www", "port80", "fragment", "trailing_slash",
+        "param:utm_source", "param:gclid",
+    })
+
+
+def test_split_by_cluster_never_straddles(spark):
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    # 40 docs in 10 clusters of 4 (cluster = smallest member id)
+    clusters = spark.createDataFrame(
+        [(i, (i // 4) * 4) for i in range(40)], "doc long, cluster long"
+    )
+    out = split_by_cluster(docs, clusters, "doc_id")
+    spans = (
+        out.where(F.col("clustered"))
+        .join(clusters.withColumnRenamed("doc", "doc_id"), "doc_id")
+        .groupBy("cluster")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert spans == 1  # no cluster straddles splits
+    # unclustered docs keep split_assign's per-doc assignment exactly
+    solo = out.where(~F.col("clustered")).select("doc_id", "split")
+    ref = split_assign(docs.where(F.col("doc_id") >= 40), "doc_id").select(
+        "doc_id", F.col("split").alias("ref_split")
+    )
+    diff = solo.join(ref, "doc_id").where(F.col("split") != F.col("ref_split")).count()
+    assert diff == 0
+
+
+def test_zorder_expr_interleaves_and_orders(spark):
+    # known value: x=3 -> bits at positions 1,3; y=1 -> position 0 => 0b1011
+    row = spark.range(1).select(F.expr(zorder_expr("3", "1", bits=4)).alias("z")).first()
+    assert row["z"] == 0b1011
+    # locality: range-bucketing the z key bounds BOTH dims per bucket
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    z = grid.select("x", "y", F.expr(zorder_expr("x", "y", bits=4)).alias("z"))
+    buckets = (
+        z.withColumn("b", F.expr("z >> 4"))  # 16 buckets of the 8-bit key
+        .groupBy("b")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .agg(F.max("xs"), F.max("ys"))
+        .first()
+    )
+    # each bucket is one 4x4 tile: both spans bounded at 3 (vs 15 unsharded)
+    assert buckets[0] == 3 and buckets[1] == 3
