@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship analytics query (the reference's headline
 top-words aggregation, storage/database.py:422-433) on sf0.001.
 ``queries()`` / ``oracle_sql()`` expose the full operator registry from
-``crawler_spark.queries`` (139 entries, ALL with SQL twins; the registry's
+``crawler_spark.queries`` (141 entries, ALL with SQL twins; the registry's
 first 50 — the driver's check window — sample every operator family) — one
 entry per
 implemented operator family of SURVEY.md §2 plus the training-data ops

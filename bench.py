@@ -149,6 +149,8 @@ HEADLINE = [
     "dust_rules",
     "cluster_split",
     "zorder_shards",
+    "rendezvous_shards",
+    "minhash_bbit",
 ]
 
 

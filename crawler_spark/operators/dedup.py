@@ -268,8 +268,9 @@ def prefix_jaccard_pairs(
     prefix length and the final filter stay exact in both engines.
 
     Scale: two shuffles on shingle hash (df count, prefix join) + one
-    per-doc window over each doc's OWN shingles (small partitions, never a
-    corpus-wide sort) + the hash-keyed verify joins. No all-pairs stage.
+    per-doc hash AGGREGATE that sorts each doc's own bounded shingle array
+    in place (never a corpus-wide sort; it also yields the set sizes, so no
+    separate sizes pass) + the hash-keyed verify joins. No all-pairs stage.
     Before verification, candidates are pruned by the IMPLIED size filter
     (jaccard >= t forces min(|A|,|B|) >= t*max(|A|,|B|), so the filter
     drops no true pair) and the shingle set is semi-joined down to docs
@@ -283,16 +284,27 @@ def prefix_jaccard_pairs(
         else doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     )
     dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
-    wdoc = Window.partitionBy("doc")
-    ranked = (
+    # ONE hash aggregate per doc yields both the (df, sh)-ordered prefix and
+    # the set size: the previous shape paid a row_number window (a full SORT
+    # of the joined shingle set by (doc, df, sh)) plus a separate
+    # groupBy(doc) pass for sizes — per-doc arrays are bounded by doc
+    # length, so sorting them inside the aggregate is the cheap side
+    per_doc = (
         sh.join(dfc, "sh")
-        .withColumn("_pos", F.row_number().over(wdoc.orderBy("_df", "sh")))
-        .withColumn("_len", F.count("*").over(wdoc))
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "sh"))).alias("_arr"))
+        .select(
+            "doc",
+            F.size("_arr").alias("sz"),
+            F.expr(
+                f"transform(slice(_arr, 1, size(_arr) - "
+                f"(({th_num} * size(_arr) + {th_den} - 1) div {th_den}) + 1), "
+                "s -> s.sh)"
+            ).alias("_pref"),
+        )
+        .localCheckpoint(eager=False)  # feeds prefix (joined twice) + sizes
     )
-    prefix_len = F.expr(
-        f"_len - (({th_num} * _len + {th_den} - 1) div {th_den}) + 1"
-    )
-    prefix = ranked.where(F.col("_pos") <= prefix_len).select("doc", "sh")
+    prefix = per_doc.select("doc", F.explode("_pref").alias("sh"))
     pairs = (
         prefix.alias("a")
         .join(
@@ -302,7 +314,7 @@ def prefix_jaccard_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sizes = per_doc.select("doc", "sz")
     cand = (
         pairs.join(
             sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"),
@@ -1230,21 +1242,32 @@ def containment_pairs(
     """
     sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     dfc = sh.groupBy("sh").agg(F.count("*").alias("_df"))
-    wdoc = Window.partitionBy("doc")
-    ranked = (
+    # same single-hash-aggregate prefix construction as prefix_jaccard_pairs:
+    # one groupBy(doc) yields the (df, sh)-ordered prefix AND the set size,
+    # replacing the row_number window sort + a second sizes pass
+    per_doc = (
         sh.join(dfc, "sh")
-        .withColumn("_pos", F.row_number().over(wdoc.orderBy("_df", "sh")))
-        .withColumn("_len", F.count("*").over(wdoc))
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "sh"))).alias("_arr"))
+        .select(
+            "doc",
+            F.size("_arr").alias("sz"),
+            F.expr(
+                f"transform(slice(_arr, 1, size(_arr) - "
+                f"(({th_num} * size(_arr) + {th_den} - 1) div {th_den}) + 1), "
+                "s -> s.sh)"
+            ).alias("_pref"),
+        )
+        .localCheckpoint(eager=False)
     )
-    prefix_len = F.expr(f"_len - (({th_num} * _len + {th_den} - 1) div {th_den}) + 1")
-    prefix = ranked.where(F.col("_pos") <= prefix_len).select("doc", "sh")
+    prefix = per_doc.select("doc", F.explode("_pref").alias("sh"))
     pairs = (
         prefix.alias("a")
         .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") != F.col("b.doc")))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    sizes = per_doc.select("doc", "sz")
     # implied size filter: containment(a->b) >= t needs inter >= t*|S(a)|
     # and inter <= |S(b)|, so |S(b)|*th_den >= |S(a)|*th_num — drops no
     # true pair. Then semi-join shingles down to surviving candidate docs
@@ -1287,4 +1310,62 @@ def containment_pairs(
             F.expr("inter * 10000 div sz_a").alias("containment_bp"),
             F.expr("inter * 10000 div (sz_a + sz_b - inter)").alias("jaccard_bp"),
         )
+    )
+
+
+def bbit_minhash_estimates(
+    pairs: DataFrame, shingles: DataFrame, k: int = 64, b: int = 2
+) -> DataFrame:
+    """b-bit minwise hashing (Li & Konig, WWW 2010): store only the lowest
+    ``b`` bits of each of the K minhash values — a (64/b)-fold reduction of
+    the signature store (b=2, K=64: 16 bytes per doc instead of 512, the
+    difference between a signature table that fits executor memory at
+    10^10 docs and one that does not) — and correct the truncation's
+    collision floor in the estimator:
+
+        E[match / K] = R + (1 - R) / 2^b
+        R_hat        = (match * 2^b - K) / (K * (2^b - 1))
+
+    For each candidate pair this returns the full-width estimate, the
+    b-bit estimate, and the raw agreement counts, all in exact integer
+    basis points (the negative-estimate corner is clamped to 0 in both
+    engines BEFORE the division — Spark's `div` truncates toward zero
+    while DuckDB's `//` floors, so a signed intermediate would not
+    value-hash). Columns: (doc_a, doc_b, match_full, match_bbit,
+    est_full_bp, est_bbit_bp) plus whatever ``pairs`` carried.
+
+    Scale: one K-min signature shuffle (shared shape with
+    minhash_signature) + two hash joins keyed on the pair's doc ids; the
+    agreement sums are map-only expressions over the joined row.
+    """
+    m = 1 << b
+    sig = minhash_signature(shingles, k).localCheckpoint(eager=False)
+    sa = sig.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)]
+    )
+    sb = sig.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)]
+    )
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    match_full = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(k)
+    ).cast("long")
+    match_b = sum(
+        F.when(
+            F.pmod(F.col(f"_a{i}"), F.lit(m)) == F.pmod(F.col(f"_b{i}"), F.lit(m)), 1
+        ).otherwise(0)
+        for i in range(k)
+    ).cast("long")
+    out = joined.select(
+        *pairs.columns,
+        match_full.alias("match_full"),
+        match_b.alias("match_bbit"),
+    )
+    return out.select(
+        *out.columns,
+        F.expr(f"(match_full * 10000) div {k}").cast("long").alias("est_full_bp"),
+        F.expr(
+            f"CASE WHEN match_bbit * {m} <= {k} THEN 0 "
+            f"ELSE ((match_bbit * {m} - {k}) * 10000) div ({k} * {m - 1}) END"
+        ).cast("long").alias("est_bbit_bp"),
     )

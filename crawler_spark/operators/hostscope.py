@@ -454,3 +454,52 @@ def dust_rule_support(links: DataFrame, href_col: str = "href") -> DataFrame:
             F.countDistinct("host").cast("long").alias("n_hosts"),
         )
     )
+
+
+def rendezvous_assign(
+    hosts: DataFrame, n_workers: int, host_col: str = "host", out_col: str = "worker"
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) host -> crawler-worker assignment
+    (Thaler & Ravishankar 1998; the consistent-assignment scheme UbiCrawler
+    — Boldi et al. 2004 — uses so each host has exactly one fetching agent
+    and agent failure/addition reassigns only that agent's share).
+
+    worker(h) = argmax over w in [0, n_workers) of hash60(h || '#' || w) —
+    a pure per-row expression (no table of workers, no shuffle, no UDF):
+    ``n_workers`` hash evaluations per host via an unrolled greatest()
+    comparison chain in exact integer arithmetic, so the assignment is
+    engine-portable and value-checkable. The politeness invariant rides on
+    it at cluster scale: one host never fetches from two workers.
+
+    Adding worker N leaves a host's assignment unchanged unless the new
+    worker's hash beats ALL existing ones — in expectation exactly
+    1/(N+1) of hosts move (measured by ``q_rendezvous_shards``'s oracle
+    row), versus (N)/(N+1) under mod-N hashing.
+    """
+    from crawler_spark.functions.hashing import hash60
+
+    # score columns FIRST, argmax over columns second: inlining the md5
+    # expression into every greatest()/comparison site would evaluate it
+    # O(n_workers^2) times per row and push the generated code past the
+    # whole-stage-codegen 64KB method limit (observed at n=9)
+    score_cols = [f"_rdv{w}" for w in range(n_workers)]
+    scored = hosts.select(
+        "*",
+        *[
+            hash60(F.concat(F.col(host_col), F.lit(f"#{w}"))).alias(c)
+            for w, c in enumerate(score_cols)
+        ],
+    )
+    best = (
+        F.greatest(*[F.col(c) for c in score_cols])
+        if n_workers > 1
+        else F.col(score_cols[0])
+    )
+    pick = F.lit(None).cast("long")
+    # reversed: earlier whens win, so ties (impossible for md5-distinct
+    # inputs, but defined anyway) resolve to the LOWEST worker id
+    for w in reversed(range(n_workers)):
+        pick = F.when(F.col(score_cols[w]) == best, F.lit(w).cast("long")).otherwise(
+            pick
+        )
+    return scored.withColumn(out_col, pick).drop(*score_cols)

@@ -422,15 +422,29 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     query is therefore an upper bound on the production cost.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # ONE percentile buffer for all three points: three scalar percentile()
+    # aggs each keep (and shuffle) their own copy of every value — the
+    # profiler measured a 15.8 MB Exchange for 3 partial-agg records at
+    # sf0.1; the array form shuffles one buffer (~3x less agg state/bytes)
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    )
     return li.agg(
         F.count("*").alias("n_rows"),
         _dec_avg("l_extendedprice", "avg_price"),
         F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 4).alias("sum_qty"),
         F.max("l_orderkey").alias("max_orderkey"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+        pct.alias("_pct"),
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+    ).select(
+        "n_rows",
+        "avg_price",
+        "sum_qty",
+        "max_orderkey",
+        F.round(F.get("_pct", 0), 4).alias("p50_price"),
+        F.round(F.get("_pct", 1), 4).alias("p95_price"),
+        F.round(F.get("_pct", 2), 4).alias("p99_price"),
+        "n_discounted",
     )
 
 
@@ -6544,6 +6558,109 @@ SELECT * FROM zs UNION ALL SELECT * FROM hs ORDER BY layout, shard
 SQL_ZORDER_SHARDS = _build_sql_zorder_shards()
 
 
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash crawler-worker assignment (hostscope.
+    rendezvous_assign — UbiCrawler's consistent host ownership): every
+    host assigned at 8 and again at 9 workers. Per worker: host counts
+    under both sizes plus ``gained`` (hosts that changed owner) — minimal
+    disruption is STRUCTURAL under HRW, so the oracle row must show
+    gained = 0 for every pre-existing worker and ~1/9 of hosts arriving
+    at the new one (mod-N hashing would reshuffle 8/9 of all hosts)."""
+    from crawler_spark.operators.hostscope import rendezvous_assign
+
+    hosts = _docs(spark, sf_dir).select(_hostscope_host_col().alias("host")).distinct()
+    both = rendezvous_assign(
+        rendezvous_assign(hosts, 8, out_col="w8"), 9, out_col="w9"
+    )
+    agg9 = both.groupBy(F.col("w9").alias("worker")).agg(
+        F.count("*").alias("n_hosts_9"),
+        F.count_if(F.col("w8") != F.col("w9")).alias("gained"),
+    )
+    agg8 = both.groupBy(F.col("w8").alias("worker")).agg(
+        F.count("*").alias("n_hosts_8")
+    )
+    return (
+        agg9.join(agg8, "worker", "left")
+        .select(
+            "worker",
+            F.coalesce("n_hosts_8", F.lit(0)).cast("long").alias("n_hosts_8"),
+            "n_hosts_9",
+            "gained",
+        )
+        .orderBy("worker")
+    )
+
+
+def _build_sql_rendezvous() -> str:
+    scores = [hash60_sql(f"(host || '#{w}')") for w in range(9)]
+    cols = ", ".join(f"{s} AS s{w}" for w, s in enumerate(scores))
+    g8 = "greatest(" + ", ".join(f"s{w}" for w in range(8)) + ")"
+    g9 = "greatest(" + ", ".join(f"s{w}" for w in range(9)) + ")"
+    pick8 = "CASE " + " ".join(f"WHEN s{w} = {g8} THEN {w}" for w in range(8)) + " END"
+    pick9 = "CASE " + " ".join(f"WHEN s{w} = {g9} THEN {w}" for w in range(9)) + " END"
+    return f"""
+WITH h AS (SELECT DISTINCT {_HOSTSCOPE_HOST_SQL} AS host FROM documents),
+s AS (SELECT host, {cols} FROM h),
+a AS (SELECT host, {pick8} AS w8, {pick9} AS w9 FROM s),
+agg9 AS (
+  SELECT w9 AS worker, count(*) AS n_hosts_9,
+         CAST(sum(CASE WHEN w8 <> w9 THEN 1 ELSE 0 END) AS BIGINT) AS gained
+  FROM a GROUP BY 1
+),
+agg8 AS (SELECT w8 AS worker, count(*) AS n8 FROM a GROUP BY 1)
+SELECT CAST(worker AS BIGINT) AS worker,
+       CAST(coalesce(n8, 0) AS BIGINT) AS n_hosts_8,
+       n_hosts_9, gained
+FROM agg9 LEFT JOIN agg8 USING (worker) ORDER BY worker
+"""
+
+
+SQL_RENDEZVOUS_SHARDS = _build_sql_rendezvous()
+
+
+def q_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing audit (dedup.bbit_minhash_estimates — Li &
+    Konig 2010): for every verified near-dup pair, the Jaccard estimate
+    from full 64-value signatures vs from their lowest-2-bit truncations
+    (a 32x smaller signature store), with the collision-floor correction,
+    in exact integer basis points — the measurement that justifies
+    shipping 16-byte signatures at 10^10 docs. Value-checked including the
+    estimation error itself (the sketches-family standard)."""
+    from crawler_spark.operators.dedup import (
+        bbit_minhash_estimates,
+        doc_shingles,
+        minhash_lsh_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5, shingles=sh)
+    return bbit_minhash_estimates(pairs, sh, k=64, b=2).orderBy("doc_a", "doc_b")
+
+
+_BBIT_MATCH_FULL = " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(64)
+)
+_BBIT_MATCH_B2 = " + ".join(
+    f"CASE WHEN a.mh{i} % 4 = b.mh{i} % 4 THEN 1 ELSE 0 END" for i in range(64)
+)
+SQL_MINHASH_BBIT = _SH_CTE + f""",
+pr AS (SELECT * FROM ({SQL_DEDUP_MINHASH_LSH}) _p),
+sig AS (SELECT doc, {_K64_MH} FROM sh GROUP BY doc),
+j AS (
+  SELECT pr.doc_a, pr.doc_b, pr.jaccard_pct,
+         CAST({_BBIT_MATCH_FULL} AS BIGINT) AS match_full,
+         CAST({_BBIT_MATCH_B2} AS BIGINT) AS match_bbit
+  FROM pr JOIN sig a ON a.doc = pr.doc_a JOIN sig b ON b.doc = pr.doc_b
+)
+SELECT doc_a, doc_b, jaccard_pct, match_full, match_bbit,
+       (match_full * 10000) // 64 AS est_full_bp,
+       CASE WHEN match_bbit * 4 <= 64 THEN 0
+            ELSE ((match_bbit * 4 - 64) * 10000) // (64 * 3) END AS est_bbit_bp
+FROM j ORDER BY doc_a, doc_b
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # -- core words / text (first 50: driver window) --------------------------
     "word_topk": QuerySpec(q_word_topk, SQL_WORD_TOPK),
@@ -6704,4 +6821,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "dust_rules": QuerySpec(q_dust_rules, _sql_dust_rules),
     "cluster_split": QuerySpec(q_cluster_split, SQL_CLUSTER_SPLIT),
     "zorder_shards": QuerySpec(q_zorder_shards, SQL_ZORDER_SHARDS),
+    "rendezvous_shards": QuerySpec(q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
+    "minhash_bbit": QuerySpec(q_minhash_bbit, SQL_MINHASH_BBIT),
 }

@@ -36,17 +36,27 @@ def main() -> int:
         if name not in REGISTRY:
             print(f"{name}: not in REGISTRY")
             return 2
+        import time
+
+        t0 = time.time()
         df = REGISTRY[name].fn(spark, sf_dir)
+        build_sec = round(time.time() - t0, 3)  # driver-side builder loops
         prof = profile_df(df)
         release_global_seq(df)
         spark.catalog.clearCache()
-        print(f"\n== {name} ==")
+        print(f"\n== {name} ==  (builder {build_sec}s + plan below)")
         print(format_profile(prof))
-        summary.append((name, prof["wall_sec"], prof["shuffle_bytes_written"], prof["spill_bytes"]))
+        summary.append(
+            (name, build_sec + prof["wall_sec"], build_sec,
+             prof["shuffle_bytes_written"], prof["spill_bytes"])
+        )
     if len(summary) > 1:
-        print("\n== summary (by wall) ==")
-        for name, wall, shuf, spill in sorted(summary, key=lambda t: -t[1]):
-            print(f"{wall:8.2f}s  shuffle {shuf:>14,}B  spill {spill:>12,}B  {name}")
+        print("\n== summary (by total wall) ==")
+        for name, tot, build, shuf, spill in sorted(summary, key=lambda t: -t[1]):
+            print(
+                f"{tot:8.2f}s (builder {build:6.2f}s)  shuffle {shuf:>14,}B"
+                f"  spill {spill:>12,}B  {name}"
+            )
     return 0
 
 

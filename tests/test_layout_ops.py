@@ -111,3 +111,51 @@ def test_zorder_expr_interleaves_and_orders(spark):
     )
     # each bucket is one 4x4 tile: both spans bounded at 3 (vs 15 unsharded)
     assert buckets[0] == 3 and buckets[1] == 3
+
+
+def test_rendezvous_assign_minimal_disruption(spark):
+    from crawler_spark.operators.hostscope import rendezvous_assign
+
+    hosts = spark.createDataFrame(
+        [(f"host{i}.test",) for i in range(200)], "host string"
+    )
+    both = rendezvous_assign(
+        rendezvous_assign(hosts, 4, out_col="w4"), 5, out_col="w5"
+    )
+    rows = both.collect()
+    moved = [r for r in rows if r["w4"] != r["w5"]]
+    # HRW structural guarantee: movers can only move TO the new worker
+    assert moved and all(r["w5"] == 4 for r in moved)
+    # expectation 1/5 of hosts move; allow generous slack on 200 draws
+    assert 0.08 <= len(moved) / 200 <= 0.35
+    # assignment is total and in range at both sizes
+    assert all(r["w4"] in range(4) and r["w5"] in range(5) for r in rows)
+
+
+def test_bbit_minhash_estimates_bounds(spark):
+    from crawler_spark.operators.dedup import (
+        bbit_minhash_estimates,
+        doc_shingles,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # identical
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota NOPE"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = doc_shingles(df, "doc_id", "text", n=3)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r.asDict() for r in
+           bbit_minhash_estimates(pairs, sh, k=16, b=2).collect()}
+    ident = out[(1, 2)]
+    # identical docs: every position matches at full width AND at b bits,
+    # and both estimators return exactly 10000 bp
+    assert ident["match_full"] == 16 and ident["match_bbit"] == 16
+    assert ident["est_full_bp"] == 10000 and ident["est_bbit_bp"] == 10000
+    near = out[(1, 3)]
+    # b-bit agreement can only exceed full-width agreement (truncation
+    # collides, never separates), and estimates stay in [0, 10000]
+    assert near["match_bbit"] >= near["match_full"]
+    assert 0 <= near["est_bbit_bp"] <= 10000
+    assert 0 <= near["est_full_bp"] <= 10000
