@@ -420,3 +420,24 @@ def hot_hosts(spark: SparkSession, workdir: str, phi_denom: int = 20) -> DataFra
     return cms_heavy_hitters(fr.select("host"), "host", phi_denom).orderBy(
         F.desc("freq"), F.asc("host")
     )
+
+
+def dust_rule_summary(spark: SparkSession, workdir: str) -> DataFrame | None:
+    """DUST rule-support mining over the session's OWN discovered links
+    (the registry's ``dust_rules`` entry demonstrates the operator on the
+    mini-corpus; this is the production entry point): per candidate
+    URL-rewrite rule, how often it fires across the crawl's resolved
+    hrefs and on how many hosts — the evidence for promoting a rule into
+    the canonicalizer's strip lists. Links are post-resolution, so the
+    ``relative`` rule never fires here (resolution already consumed it);
+    everything else — www/port/fragment/trailing-slash/per-parameter —
+    is observed as discovered. Returns None on a catalog with no links
+    table. Bounded output (one row per rule), safe at any crawl size."""
+    from crawler_spark.operators.hostscope import dust_rule_support
+
+    links = _read(spark, workdir, "links")
+    if links is None:
+        return None
+    return dust_rule_support(links, href_col="absolute").orderBy(
+        F.desc("support"), "rule"
+    )

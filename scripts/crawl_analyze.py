@@ -85,6 +85,15 @@ def main() -> None:
     pe.add_argument("--workdir", required=True)
     pe.add_argument("--keep-last", type=int, default=3, dest="keep_last")
 
+    pg = sub.add_parser(
+        "migrate",
+        help="apply pending catalog-format migrations (WRITER-ONLY; "
+        "status with --dry-run)",
+    )
+    pg.add_argument("--workdir", required=True)
+    pg.add_argument("--dry-run", action="store_true", dest="dry_run",
+                    help="print status without applying")
+
     args = p.parse_args()
     spark = _spark()
     from crawler_spark import analytics, reporting
@@ -113,6 +122,10 @@ def main() -> None:
                 "hot_hosts": [
                     r.asDict()
                     for r in analytics.hot_hosts(spark, wd).collect()
+                ],
+                # dust_rule_summary returns None on a catalog with no links
+                "dust_rules": [] if (drs := analytics.dust_rule_summary(spark, wd)) is None else [
+                    r.asDict() for r in drs.limit(args.top).collect()
                 ],
             }
         else:
@@ -173,6 +186,15 @@ def main() -> None:
 
         removed = SnapshotCatalog(args.workdir).expire_snapshots(args.keep_last)
         print(json.dumps(removed, indent=2))
+    elif args.cmd == "migrate":
+        from crawler_spark.migrations import migrate_to_latest, migrations_status
+
+        out = (
+            migrations_status(args.workdir)
+            if args.dry_run
+            else migrate_to_latest(spark, args.workdir)
+        )
+        print(json.dumps(out, indent=2, default=str))
     elif args.cmd == "compare":
         path = reporting.generate_comparison_report(
             spark, args.workdir, args.out, args.format, args.top

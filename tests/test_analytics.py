@@ -435,3 +435,20 @@ def test_word_cloud_and_chart_export(spark, crawl):
     rows = list(_csv.reader(_io.StringIO(reporting.export_chart_data(chart, "csv"))))
     assert rows[0] == ["series", "a", "b"]
     assert ["pages", "1", "2"] in rows and ["failures", "0", "1"] in rows
+
+
+def test_dust_rule_summary_over_crawl(spark, crawl):
+    """dust_rule_summary mines rewrite-rule support from the session's own
+    links table; the corpus link generator plants every variant class
+    (www./:80/utm-params/fragments/trailing slashes), so each structural
+    rule must be observed, and relative never fires post-resolution."""
+    workdir, _ = crawl
+    out = {r["rule"]: r for r in analytics.dust_rule_summary(spark, workdir).collect()}
+    for rule in ("www", "port80", "fragment", "trailing_slash",
+                 "param:utm_source", "param:gclid"):
+        assert out[rule]["support"] > 0, rule
+        assert out[rule]["n_hosts"] >= 1
+    assert "relative" not in out  # urljoin consumed relative hrefs
+    # a catalog with no links table reports None, not a crash
+    import tempfile
+    assert analytics.dust_rule_summary(spark, tempfile.mkdtemp()) is None
