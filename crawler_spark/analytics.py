@@ -441,3 +441,24 @@ def dust_rule_summary(spark: SparkSession, workdir: str) -> DataFrame | None:
     return dust_rule_support(links, href_col="absolute").orderBy(
         F.desc("support"), "rule"
     )
+
+
+def template_summary(spark: SparkSession, workdir: str) -> DataFrame | None:
+    """Per-host template-segment audit over the session's OWN fetched pages
+    (the registry's ``host_boilerplate`` entry demonstrates the operator on
+    the documents table; this is the production entry point): how much of
+    each crawled host's extracted text is cross-page repeated chrome. The
+    span-kind boilerplate filters (F13/F14) already dropped declared
+    nav/script content at extraction time — what this measures is the
+    chrome those filters could NOT see (repeated content labeled as main
+    text), i.e. the evidence for adding site-specific rules. Returns None
+    on a catalog with no pages table. One row per host."""
+    from crawler_spark.operators.dedup import template_segments
+
+    pages = _read(spark, workdir, "pages")
+    if pages is None:
+        return None
+    fetched = pages.where(F.col("success") & F.col("text").isNotNull())
+    return template_segments(
+        fetched, id_col="canonical", text_col="text", group_col="host"
+    ).orderBy("host")

@@ -253,10 +253,14 @@ def zorder_expr(x_expr: str, y_expr: str, bits: int = 16) -> str:
     integer bit arithmetic — identical text runs in Spark SQL (via
     ``F.expr``) and in the DuckDB oracle, so layouts are value-checkable.
 
-    Each term is fully parenthesized: `>>`/`&`/`<<` precedence differs
-    between engines. Cost: a map-only expression; the interleave never
-    shuffles anything by itself.
+    Each term is fully parenthesized (`>>`/`&`/`<<` precedence differs
+    between engines) and the input is cast to BIGINT inside the term: with
+    an INT32-typed operand DuckDB's `1 << 31` overflows at bits=16, since
+    `(x >> i) & 1` inherits x's width. Cost: a map-only expression; the
+    interleave never shuffles anything by itself.
     """
-    terms = [f"(((({x_expr}) >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
-    terms += [f"(((({y_expr}) >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    bx = f"CAST(({x_expr}) AS BIGINT)"
+    by = f"CAST(({y_expr}) AS BIGINT)"
+    terms = [f"((({bx} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    terms += [f"((({by} >> {i}) & 1) << {2 * i})" for i in range(bits)]
     return "(" + " + ".join(terms) + ")"

@@ -127,6 +127,10 @@ def main() -> None:
                 "dust_rules": [] if (drs := analytics.dust_rule_summary(spark, wd)) is None else [
                     r.asDict() for r in drs.limit(args.top).collect()
                 ],
+                # per-host residual-chrome audit (None without a pages table)
+                "template_segments": [] if (tps := analytics.template_summary(spark, wd)) is None else [
+                    r.asDict() for r in tps.limit(args.top).collect()
+                ],
             }
         else:
             out = {

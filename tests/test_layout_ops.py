@@ -159,3 +159,54 @@ def test_bbit_minhash_estimates_bounds(spark):
     assert near["match_bbit"] >= near["match_full"]
     assert 0 <= near["est_bbit_bp"] <= 10000
     assert 0 <= near["est_full_bp"] <= 10000
+
+
+# -- property tests (engine-free: DuckDB evaluates the shared expression
+# text; python md5 mirrors hash60's definition) ------------------------------
+
+import hashlib
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _deinterleave(z: int, bits: int = 16) -> tuple[int, int]:
+    x = y = 0
+    for i in range(bits):
+        y |= ((z >> (2 * i)) & 1) << i
+        x |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+@given(st.integers(0, 65535), st.integers(0, 65535))
+@settings(max_examples=200, deadline=None)
+def test_zorder_expr_is_bijective(x, y):
+    (z,) = duckdb.sql(f"SELECT {zorder_expr(str(x), str(y))}").fetchone()
+    assert _deinterleave(z) == (x, y)
+    # tile recursion: dropping 2 z-bits is interleaving the halved keys —
+    # the property that makes z-range scans equal quad-tree tiles
+    (z2,) = duckdb.sql(
+        f"SELECT {zorder_expr(str(x // 2), str(y // 2))}"
+    ).fetchone()
+    assert z >> 2 == z2
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _rdv(host: str, n: int) -> int:
+    scores = [_hash60(f"{host}#{w}") for w in range(n)]
+    return scores.index(max(scores))
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+               min_size=1, max_size=40),
+       st.integers(2, 12))
+@settings(max_examples=300, deadline=None)
+def test_rendezvous_property_minimal_disruption(host, n):
+    """HRW invariant for ANY host string and worker count: growing n -> n+1
+    either keeps the assignment or moves it to the NEW worker only."""
+    before, after = _rdv(host, n), _rdv(host, n + 1)
+    assert after == before or after == n
