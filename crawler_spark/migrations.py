@@ -70,13 +70,15 @@ def _apply_bucketed_seen(spark: SparkSession, cat: SnapshotCatalog) -> dict:
     from crawler_spark.config import CrawlConfig
 
     df = cat.read(spark, "url_seen")
-    n = df.count()
     buckets = CrawlConfig().n_seen_buckets
     commit = cat.begin(cat.current_round(), tag="migrate-002")
+    # no pre-count: url_seen is the catalog's largest table and the rewrite
+    # inside stage_seen_init is already one full read — a count would double
+    # the migration's scan I/O for a cosmetic ledger field
     commit.stage_seen_init(spark, df, buckets=buckets)
     commit.set_metrics(maintenance=True, migration="002")
     commit.commit()
-    return {"rows": n, "buckets": buckets}
+    return {"buckets": buckets}
 
 
 MIGRATIONS: list[tuple[str, str, object, object]] = [
@@ -147,6 +149,12 @@ def migrate_to_latest(spark: SparkSession, workdir: str) -> dict:
     a kill between the two re-runs the migration next time, which every
     ``apply`` tolerates (001 rewrites the same value; 002 re-inits the
     seen generation — content-preserving either way)."""
+    # forward-compat guard FIRST: a ledger from a newer writer must refuse
+    # BEFORE any apply mutates the catalog (a newer format could look
+    # "unmigrated" to this build's needed() probes — e.g. a future seen
+    # layout without the "seen" key would trigger 002's rebuild into the
+    # OLD layout, corrupting it, if the guard only ran afterwards)
+    migrations_status(workdir)
     applied = []
     for version, name, needed, apply in MIGRATIONS:
         cat = SnapshotCatalog(workdir)  # re-read state after prior step

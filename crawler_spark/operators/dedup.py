@@ -648,6 +648,34 @@ def neardup_clusters_star(
     )
 
 
+def _doc_segment_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc, segs[, *keep]): each doc's consecutive ``seg_len``-token
+    windows as one array column — the ONE definition of the segmentation
+    unit shared by :func:`segment_dedup` and :func:`template_segments`
+    (and mirrored by their DuckDB twins' ``segs`` CTEs), including the
+    empty-token guard: ``sequence(0, -1)`` would generate a DESCENDING
+    [0, -1] in Spark, so zero-token docs get an explicit empty array."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
+    d = df.select(*keep, F.col(id_col).alias("doc"), toks.alias("t"))
+    segs_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(t) / {seg_len}.0) as int) - 1), "
+        f"i -> array_join(slice(t, i * {seg_len} + 1, {seg_len}), ' '))"
+    )
+    return d.select(
+        *keep,
+        "doc",
+        F.when(F.size("t") > 0, segs_expr)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("segs"),
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -674,18 +702,7 @@ def segment_dedup(
     sort_array over (pos, segment) structs. No windows, no UDFs, no
     cross-corpus pairwise stage — the same two-shuffle pass at 10^10 docs.
     """
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
-    d = df.select(F.col(id_col).alias("doc"), toks.alias("t"))
-    segs_expr = F.expr(
-        f"transform(sequence(0, cast(ceil(size(t) / {seg_len}.0) as int) - 1), "
-        f"i -> array_join(slice(t, i * {seg_len} + 1, {seg_len}), ' '))"
-    )
-    base = d.select(
-        "doc",
-        F.when(F.size("t") > 0, segs_expr).otherwise(
-            F.array().cast("array<string>")
-        ).alias("segs"),
-    )
+    base = _doc_segment_arrays(df, id_col, text_col, seg_len)
     n_seg = base.select("doc", F.size("segs").alias("n_segments"))
     rows = base.select(
         "doc", F.posexplode("segs").alias("pos", "seg")
@@ -749,25 +766,16 @@ def template_segments(
     hosts, so the per-(group,hash) key space is bounded by per-host page
     counts, not the corpus; no pairwise stage at any size.
     """
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0))
-    d = df.select(F.col(group_col).alias("grp"), F.col(id_col).alias("doc"), toks.alias("t"))
-    segs_expr = F.expr(
-        f"transform(sequence(0, cast(ceil(size(t) / {seg_len}.0) as int) - 1), "
-        f"i -> array_join(slice(t, i * {seg_len} + 1, {seg_len}), ' '))"
+    base = _doc_segment_arrays(
+        df.withColumn("grp", F.col(group_col)), id_col, text_col, seg_len,
+        keep=("grp",),
     )
     rows = (
-        d.select(
-            "grp",
-            "doc",
-            F.when(F.size("t") > 0, segs_expr)
-            .otherwise(F.array().cast("array<string>"))
-            .alias("segs"),
-        )
-        .select("grp", "doc", F.explode("segs").alias("seg"))
+        base.select("grp", "doc", F.explode("segs").alias("seg"))
         .withColumn("h", hash60(F.col("seg")))
         .drop("seg")
     )
-    gdocs = d.groupBy("grp").agg(F.countDistinct("doc").alias("n_docs"))
+    gdocs = base.groupBy("grp").agg(F.countDistinct("doc").alias("n_docs"))
     occ = rows.groupBy("grp", "h").agg(
         F.count("*").alias("n_occ"), F.countDistinct("doc").alias("n_docs_with")
     )

@@ -439,7 +439,7 @@ def dust_rule_support(links: DataFrame, href_col: str = "href") -> DataFrame:
         ),
     )
     params = F.transform(
-        F.regexp_extract_all(h, F.lit("[?&]([a-z_]+)="), F.lit(1)),
+        F.regexp_extract_all(h, F.lit("[?&]([A-Za-z0-9_.~%-]+)="), F.lit(1)),
         lambda k: F.concat(F.lit("param:"), k),
     )
     host = F.when(is_abs, F.regexp_extract(h, "^https?://([^/?#]+)", 1)).otherwise(
@@ -466,10 +466,10 @@ def rendezvous_assign(
 
     worker(h) = argmax over w in [0, n_workers) of hash60(h || '#' || w) —
     a pure per-row expression (no table of workers, no shuffle, no UDF):
-    ``n_workers`` hash evaluations per host via an unrolled greatest()
-    comparison chain in exact integer arithmetic, so the assignment is
-    engine-portable and value-checkable. The politeness invariant rides on
-    it at cluster scale: one host never fetches from two workers.
+    the score array's first-maximum position in exact integer arithmetic,
+    so the assignment is engine-portable and value-checkable. The
+    politeness invariant rides on it at cluster scale: one host never
+    fetches from two workers.
 
     Adding worker N leaves a host's assignment unchanged unless the new
     worker's hash beats ALL existing ones — in expectation exactly
@@ -478,28 +478,22 @@ def rendezvous_assign(
     """
     from crawler_spark.functions.hashing import hash60
 
-    # score columns FIRST, argmax over columns second: inlining the md5
-    # expression into every greatest()/comparison site would evaluate it
-    # O(n_workers^2) times per row and push the generated code past the
-    # whole-stage-codegen 64KB method limit (observed at n=9)
-    score_cols = [f"_rdv{w}" for w in range(n_workers)]
-    scored = hosts.select(
-        "*",
+    # array-based argmax: build the score ARRAY once, then
+    # array_position(arr, array_max(arr)). A comparison-chain argmax over
+    # separate score columns does NOT survive Catalyst — projection collapse
+    # inlines the md5 expression into every greatest()/comparison site,
+    # O(n_workers^2) evaluations per row, pushing the generated code past
+    # the whole-stage-codegen 64KB method limit (observed at n=9: codegen
+    # fell back to interpreted). The array form evaluates the n hashes
+    # twice at worst (array_max + array_position operands), independent of
+    # n^2. array_position returns the FIRST occurrence (1-based), so ties
+    # (impossible for md5-distinct inputs, but defined anyway) resolve to
+    # the LOWEST worker id.
+    arr = F.array(
         *[
-            hash60(F.concat(F.col(host_col), F.lit(f"#{w}"))).alias(c)
-            for w, c in enumerate(score_cols)
-        ],
+            hash60(F.concat(F.col(host_col), F.lit(f"#{w}")))
+            for w in range(n_workers)
+        ]
     )
-    best = (
-        F.greatest(*[F.col(c) for c in score_cols])
-        if n_workers > 1
-        else F.col(score_cols[0])
-    )
-    pick = F.lit(None).cast("long")
-    # reversed: earlier whens win, so ties (impossible for md5-distinct
-    # inputs, but defined anyway) resolve to the LOWEST worker id
-    for w in reversed(range(n_workers)):
-        pick = F.when(F.col(score_cols[w]) == best, F.lit(w).cast("long")).otherwise(
-            pick
-        )
-    return scored.withColumn(out_col, pick).drop(*score_cols)
+    pick = (F.array_position(arr, F.array_max(arr)) - 1).cast("long")
+    return hosts.withColumn(out_col, pick)

@@ -88,8 +88,8 @@ def profile_df(df: DataFrame) -> dict:
     peak = 0
     for n in nodes:
         m = n["metrics"]
-        if n["node"].startswith(("Exchange", "ShuffleQueryStage")) and m:
-            exchanges += 1 if n["node"].startswith("Exchange") else 0
+        if n["node"].startswith("Exchange") and m:
+            exchanges += 1
         for k, v in m.items():
             if k in _SHUFFLE_WRITE_KEYS:
                 shuffle_bytes += v

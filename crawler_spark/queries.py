@@ -6409,7 +6409,7 @@ rules AS (
       CASE WHEN instr(href, '#') > 0 THEN 'fragment' END,
       CASE WHEN is_abs AND path LIKE '%/' AND length(path) > 1 THEN 'trailing_slash' END
     ], x -> x IS NOT NULL),
-    list_transform(regexp_extract_all(href, '[?&]([a-z_]+)=', 1), k -> 'param:' || k)
+    list_transform(regexp_extract_all(href, '[?&]([A-Za-z0-9_.~%-]+)=', 1), k -> 'param:' || k)
   )) AS rule
   FROM f
 )

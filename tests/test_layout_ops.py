@@ -49,6 +49,8 @@ def test_dust_rule_support_classifies_each_rule(spark):
         ("http://ex.test/",),  # root slash is canonical, NOT trailing_slash
         ("http://ex.test/a?utm_source=x&gclid=y",),
         ("http://other.test/b?utm_source=z",),
+        # the classic DUST junk params: uppercase and digit-bearing keys
+        ("http://ex.test/c?PHPSESSID=abc&id2=5",),
     ]
     df = spark.createDataFrame(rows, "href string")
     out = {r["rule"]: (r["support"], r["n_hosts"]) for r in dust_rule_support(df).collect()}
@@ -59,9 +61,11 @@ def test_dust_rule_support_classifies_each_rule(spark):
     assert out["trailing_slash"] == (1, 1)
     assert out["param:utm_source"] == (2, 2)  # two hosts carry the param
     assert out["param:gclid"] == (1, 1)
+    assert out["param:PHPSESSID"] == (1, 1)
+    assert out["param:id2"] == (1, 1)
     assert "param:" not in str(set(out) - {
         "relative", "www", "port80", "fragment", "trailing_slash",
-        "param:utm_source", "param:gclid",
+        "param:utm_source", "param:gclid", "param:PHPSESSID", "param:id2",
     })
 
 

@@ -74,6 +74,13 @@ def test_unknown_future_version_refused(spark, legacy_catalog):
         json.dump([{"version": "099", "name": "from_the_future"}], f)
     with pytest.raises(ValueError, match="newer writer"):
         migrations_status(wd)
+    # the guard must fire BEFORE any apply: a newer-format catalog can look
+    # "unmigrated" to this build's probes, so applying first would corrupt
+    # it and only then refuse
+    before = SnapshotCatalog(wd).current_manifest()
+    with pytest.raises(ValueError, match="newer writer"):
+        migrate_to_latest(spark, wd)
+    assert SnapshotCatalog(wd).current_manifest() == before  # untouched
 
 
 def test_downgrade_refused():
