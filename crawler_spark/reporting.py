@@ -18,6 +18,7 @@ import json
 from html import escape
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from crawler_spark import analytics
 
@@ -43,6 +44,24 @@ def build_report(spark: SparkSession, workdir: str, top_n: int = 20) -> dict:
         # exact frontier heavy hitters via the lossless CMS prune
         # (analytics.hot_hosts): the skew warning an operator acts on
         "hot_hosts": [r.asDict() for r in analytics.hot_hosts(spark, workdir).collect()],
+        # governance audits (bounded outputs; None-safe on partial catalogs):
+        # DUST rewrite-rule support over discovered links, and residual
+        # per-host template chrome the span-kind filters could not see
+        "dust_rules": (
+            []
+            if (_d := analytics.dust_rule_summary(spark, workdir)) is None
+            else [r.asDict() for r in _d.limit(top_n).collect()]
+        ),
+        "template_hosts": (
+            []
+            if (_t := analytics.template_summary(spark, workdir)) is None
+            else [
+                r.asDict()
+                for r in _t.orderBy(F.desc("template_share_bp"), "host")
+                .limit(top_n)
+                .collect()
+            ]
+        ),
     }
 
 
@@ -204,6 +223,17 @@ tbody tr:nth-child(even) {{ background: #fafafa; }}
 <h2>Top words</h2>{words_chart}{words}
 <h2>Rounds</h2>{rounds_chart}{rounds}
 <h2>Top hosts</h2>{hosts}
+<h2>DUST rewrite-rule support</h2>{_html_table(
+        ["rule", "support", "n_hosts"],
+        [[r["rule"], r["support"], r["n_hosts"]] for r in report["dust_rules"]],
+    )}
+<h2>Per-host template chrome</h2>{_html_table(
+        ["host", "n_docs", "n_template_segments", "template_share_bp"],
+        [
+            [r["host"], r["n_docs"], r["n_template_segments"], r["template_share_bp"]]
+            for r in report["template_hosts"]
+        ],
+    )}
 </body></html>
 """
 
