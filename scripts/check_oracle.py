@@ -1,5 +1,20 @@
 """Run every REGISTRY query against its DuckDB oracle, mirroring the driver.
 
+The driver canonicalizes BOTH result sets through pandas (Spark via
+``toPandas()``-equivalent collection, DuckDB via ``.df()``), sorts columns
+by name and rows by value, then hashes the values dtype-sensitively. That
+means a DuckDB HUGEINT (int128, e.g. any uncast ``sum()`` over BIGINT)
+round-trips to float64 and hash-diverges from Spark's int64 even when the
+values are numerically identical, and an array-typed output column crashes
+the canonicalizer outright (lists aren't hashable). Earlier versions of
+this script stringified fetchall() rows, which masked exactly that bug
+class for four rounds — so this script now:
+
+  * canonicalizes through pandas the same way the driver does, and
+  * additionally FAILS an entry when the DuckDB frame has a float64 column
+    where the Spark schema is integral, or any object/list-valued column
+    that isn't a plain string, even if today's values happen to agree.
+
 Usage: python scripts/check_oracle.py [sf_dir] [name ...]
 """
 
@@ -10,6 +25,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 # runnable from any cwd: the repo root is the package's import path, and
 # Spark's Python UDF workers also need it on PYTHONPATH
@@ -22,14 +39,53 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint", "long", "integer"}
 
-def normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = [r[i] for i in order]
-        out.append(tuple(str(v) for v in vals))
-    return sorted(out)
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted by
+    every column, index dropped. Raises (like the driver) on unhashable
+    cell values such as lists."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if cols:
+        pdf = pdf.sort_values(cols, kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def frame_hash(pdf: pd.DataFrame):
+    """Dtype-sensitive value hash of a canonicalized frame (int64 1000000
+    and float64 1000000.0 hash differently, as under the driver)."""
+    if pdf.empty:
+        return ("empty", tuple(pdf.columns))
+    return int(pd.util.hash_pandas_object(pdf, index=False).sum())
+
+
+def conformance_errors(spark_schema, duck_pdf: pd.DataFrame) -> list[str]:
+    """Representation checks the driver's hash would trip on: float64 where
+    Spark is integral (HUGEINT leak), non-string object columns (arrays)."""
+    errs = []
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    for col in duck_pdf.columns:
+        dt = duck_pdf[col].dtype
+        st = spark_types.get(col, "?")
+        if dt == np.float64 and st in _INTEGRAL_SPARK:
+            errs.append(f"{col}: duck float64 vs spark {st} (uncast HUGEINT?)")
+        if dt == object:
+            bad = duck_pdf[col].map(
+                lambda v: v is not None
+                and not isinstance(v, (str, bytes, float, int, bool))
+                and not (isinstance(v, type(pd.NaT)) or pd.isna(v))
+            )
+            if bad.any():
+                ex = duck_pdf[col][bad].iloc[0]
+                errs.append(f"{col}: unhashable cell type {type(ex).__name__}")
+    return errs
+
+
+def spark_to_pandas(df) -> pd.DataFrame:
+    """Arrow-backed collection to pandas, the driver's Spark-side path."""
+    return df.toPandas()
 
 
 def main() -> int:
@@ -52,12 +108,8 @@ def main() -> int:
         t0 = time.time()
         try:
             df = spec.fn(spark, sf_dir)
-            scols = df.columns
-            srows = [tuple(r) for r in df.collect()]
-            # drop the persisted intermediate the cumsum/seq builders carry
-            # (carry_seq_cache) — 90+ registry runs would otherwise pile up
-            # cached RDDs in one session
-            release_global_seq(df)
+            spdf = spark_to_pandas(df)
+            release_global_seq(df)  # drop carry_seq_cache intermediates
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name:24s} SPARK ERROR: {type(e).__name__}: {e}")
@@ -69,33 +121,58 @@ def main() -> int:
             print(f"{name:24s} SQL BUILD ERROR: {type(e).__name__}: {e}")
             continue
         if sql is None:
-            print(f"{name:24s} rows-only: {len(srows)} rows  ({time.time()-t0:.1f}s)")
-            if len(srows) == 0:
+            print(f"{name:24s} rows-only: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
+            if len(spdf) == 0:
                 failures.append(name)
             continue
         try:
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"{name:24s} DUCKDB ERROR: {type(e).__name__}: {e}")
             continue
-        if sorted(scols) != sorted(dcols):
+        if sorted(spdf.columns) != sorted(dpdf.columns):
             failures.append(name)
-            print(f"{name:24s} SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
-            continue
-        sn, dn = normalize(srows, scols), normalize(drows, dcols)
-        if sn != dn:
-            failures.append(name)
-            diff_s = [r for r in sn if r not in dn][:3]
-            diff_d = [r for r in dn if r not in sn][:3]
             print(
-                f"{name:24s} VALUE MISMATCH rows spark={len(sn)} duck={len(dn)}\n"
-                f"  only-spark: {diff_s}\n  only-duck:  {diff_d}"
+                f"{name:24s} SCHEMA MISMATCH spark={sorted(spdf.columns)}"
+                f" duck={sorted(dpdf.columns)}"
+            )
+            continue
+        conf = conformance_errors(df.schema, dpdf)
+        # the Spark side must be representable too (array outputs crash the
+        # driver regardless of which engine produced them)
+        conf += [
+            f"spark {e}" for e in conformance_errors(df.schema, spdf)
+            if "unhashable" in e
+        ]
+        if conf:
+            failures.append(name)
+            print(f"{name:24s} CONFORMANCE: {'; '.join(conf)}")
+            continue
+        try:
+            sc, dc = canon(spdf), canon(dpdf)
+            hs, hd = frame_hash(sc), frame_hash(dc)
+        except TypeError as e:
+            failures.append(name)
+            print(f"{name:24s} CANON ERROR (driver would crash): {e}")
+            continue
+        if len(sc) != len(dc):
+            failures.append(name)
+            print(f"{name:24s} ROW MISMATCH spark={len(sc)} duck={len(dc)}")
+        elif hs != hd:
+            failures.append(name)
+            neq = (sc.astype(str) != dc.astype(str)).any(axis=1)
+            vdiff = "values differ" if neq.any() else "values equal, dtypes differ"
+            sdt = {c: str(sc[c].dtype) for c in sc.columns}
+            ddt = {c: str(dc[c].dtype) for c in dc.columns}
+            print(
+                f"{name:24s} HASH MISMATCH ({vdiff})\n"
+                f"  spark dtypes: {sdt}\n  duck dtypes:  {ddt}\n"
+                f"  first diffs spark: {sc[neq].head(2).to_dict('records') if neq.any() else '-'}\n"
+                f"  first diffs duck:  {dc[neq].head(2).to_dict('records') if neq.any() else '-'}"
             )
         else:
-            print(f"{name:24s} OK  {len(sn)} rows  ({time.time()-t0:.1f}s)")
+            print(f"{name:24s} OK  {len(sc)} rows  ({time.time()-t0:.1f}s)")
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 
