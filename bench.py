@@ -255,11 +255,13 @@ def bench_frontier(spark: SparkSession, n: int) -> dict:
     seen_bkt = _bucketed_seen(spark, 0, n, data_dir, "1x")
 
     order = [F.desc("priority"), F.asc("depth"), F.asc("discovered_at"), F.asc("canonical")]
-    # 5 reps, not 3: under hypervisor steal bursts (vmstat st column has
-    # been observed at 10-36% on this host) the minimum of 3 reps can still
-    # be a stolen rep; two extra draws cost ~30 s and substantially improve
-    # the odds that at least one rep lands in a quiet window
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # 7 reps: under hypervisor steal bursts (vmstat st column has been
+    # observed at 10-36% on this host) the minimum of few reps can still be
+    # a stolen rep — two driver rounds in a row drew a schedule min 2-4x the
+    # quiet-host estimate from 5 reps. BASELINE.md's methodology note says
+    # scaling claims need >=6 reps; the extra draws cost ~1 min and make the
+    # min converge toward the quiet-window number.
+    reps = int(os.environ.get("BENCH_REPS", "7"))
 
     def run_schedule() -> tuple[int, float]:
         # fresh read per rep: a reused DataFrame would let AQE / the cache

@@ -462,3 +462,54 @@ def template_summary(spark: SparkSession, workdir: str) -> DataFrame | None:
     return template_segments(
         fetched, id_col="canonical", text_col="text", group_col="host"
     ).orderBy("host")
+
+
+def find_catalogs(root: str, max_depth: int = 2) -> list[str]:
+    """Discover snapshot-catalog workdirs under ``root`` (reference
+    cli.py:221-273 ``status`` reads one central DB; the Spark port's state
+    is a catalog directory per session, so DB-wide status means scanning a
+    root for them). A directory is a catalog iff it has the ``CURRENT``
+    pointer or a ``_commits/`` dir (a just-initialized catalog may not have
+    committed yet). Pure driver-side os.walk, bounded by ``max_depth``."""
+    import os
+
+    root = os.path.abspath(root)
+    found = []
+    # followlinks: operators commonly gather crawl workdirs under one root
+    # via symlinks; the max_depth bound prevents cycles from mattering
+    for dirpath, dirnames, filenames in os.walk(root, followlinks=True):
+        depth = dirpath[len(root):].count(os.sep)
+        if "CURRENT" in filenames or "_commits" in dirnames:
+            found.append(dirpath)
+            dirnames[:] = []  # don't descend into a catalog's own tables
+            continue
+        if depth >= max_depth:
+            dirnames[:] = []
+    return sorted(found)
+
+
+def workdir_status(spark: SparkSession, workdirs: list[str]) -> list[dict]:
+    """Cross-session ``status`` listing (reference cli.py:221-273): one row
+    per known workdir with session identity, committed round, queue health
+    and migration state — the operator's "what crawls exist on this system
+    and are they healthy" view. Row-bounded: queue_health is one aggregate
+    per catalog; nothing scales with page count in the driver."""
+    from crawler_spark.migrations import migrations_status
+
+    out = []
+    for wd in workdirs:
+        cat = SnapshotCatalog(wd)
+        entry: dict = {"workdir": wd, "round": cat.current_round()}
+        sid = _session_id(wd)
+        if sid is not None:
+            entry["session_id"] = sid
+        try:
+            entry["migrations"] = migrations_status(wd)
+        except Exception as e:  # noqa: BLE001 - status must not die per-row
+            entry["migrations"] = {"error": str(e)}
+        try:
+            entry["queue"] = queue_health(spark, wd)
+        except Exception as e:  # noqa: BLE001
+            entry["queue"] = {"error": str(e)}
+        out.append(entry)
+    return out

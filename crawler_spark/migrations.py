@@ -61,8 +61,12 @@ def _apply_scheduled_cum(spark: SparkSession, cat: SnapshotCatalog) -> dict:
 
 def _needs_bucketed_seen(cat: SnapshotCatalog) -> bool:
     m = cat.current_manifest()
+    # .get("tables", {}): tolerate a manifest missing the key entirely, the
+    # same defensive read tables.py uses
     return (
-        m is not None and "seen" not in m and bool(m["tables"].get("url_seen"))
+        m is not None
+        and "seen" not in m
+        and bool(m.get("tables", {}).get("url_seen"))
     )
 
 

@@ -411,7 +411,11 @@ def dust_rule_support(links: DataFrame, href_col: str = "href") -> DataFrame:
       - ``relative``        href needs base resolution (not a rewrite, but
                             sized here because it bounds the resolver stage)
       - ``www``             strip a leading ``www.`` host label
-      - ``port80``          strip an explicit default port
+      - ``port80``          strip an explicit default port on an http URL
+      - ``port443``         strip an explicit default port on an https URL
+                            (scheme-aware pair: 80 is NOT the default for
+                            https, so a rewrite justified by ``port80``
+                            must never fire on ``https://h:80/``)
       - ``fragment``        strip a ``#fragment``
       - ``trailing_slash``  strip a non-root trailing slash
       - ``param:<k>``       strip query parameter ``k`` (one rule PER KEY —
@@ -419,11 +423,12 @@ def dust_rule_support(links: DataFrame, href_col: str = "href") -> DataFrame:
                             support is what justifies the tracking-param
                             strip list)
 
-    Returns (rule, support, n_hosts) — occurrences and distinct hosts the
-    rule fires on (relative hrefs count under a '' host). Scale: one
-    map-only rule expansion per link row (pure expressions, no UDF) and one
-    aggregate keyed on the rule string — a few dozen groups no matter how
-    many trillions of links.
+    Returns (rule, support, n_hosts) — the number of URLs the rule fires
+    on (each rule counts at most once per href, so ``?a=1&a=2`` adds 1 to
+    ``param:a``, not 2) and distinct hosts (relative hrefs count under a
+    '' host). Scale: one map-only rule expansion per link row (pure
+    expressions, no UDF) and one aggregate keyed on the rule string — a
+    few dozen groups no matter how many trillions of links.
     """
     h = F.col(href_col)
     is_abs = h.rlike("^https?://")
@@ -431,7 +436,8 @@ def dust_rule_support(links: DataFrame, href_col: str = "href") -> DataFrame:
     structural = F.array(
         F.when(~is_abs, F.lit("relative")),
         F.when(h.rlike(r"^https?://www\."), F.lit("www")),
-        F.when(h.rlike("^https?://[^/?#]*:80([/?#]|$)"), F.lit("port80")),
+        F.when(h.rlike("^http://[^/?#]*:80([/?#]|$)"), F.lit("port80")),
+        F.when(h.rlike("^https://[^/?#]*:443([/?#]|$)"), F.lit("port443")),
         F.when(F.instr(h, "#") > 0, F.lit("fragment")),
         F.when(
             is_abs & F.endswith(path, F.lit("/")) & (F.length(path) > 1),
@@ -445,7 +451,9 @@ def dust_rule_support(links: DataFrame, href_col: str = "href") -> DataFrame:
     host = F.when(is_abs, F.regexp_extract(h, "^https?://([^/?#]+)", 1)).otherwise(
         F.lit("")
     )
-    rules = F.array_compact(F.concat(structural, params))
+    # array_distinct: support is per-URL ("how many URLs would this rule
+    # rewrite"), so a key repeated within one query string counts once
+    rules = F.array_distinct(F.array_compact(F.concat(structural, params)))
     return (
         links.select(host.alias("host"), F.explode(rules).alias("rule"))
         .groupBy("rule")

@@ -80,7 +80,11 @@ def profile_df(df: DataFrame) -> dict:
     total spill bytes (a non-zero value means a partition didn't fit — size
     shuffle.partitions / maxPartitionBytes up), max single-operator peak
     memory, exchange count (the shuffle-count smell test), and rows out of
-    the root operator."""
+    the outermost row-metric-bearing operator (``rows_out``: AQE wrappers
+    and result stages often expose no row metric themselves, so this is the
+    SHALLOWEST operator that does — for a typical plan the logical result
+    cardinality, but a root-level metric-less wrapper means it can be one
+    operator below the true root)."""
     t0 = time.time()
     nodes = executed_plan_metrics(df)
     wall = time.time() - t0
@@ -99,13 +103,13 @@ def profile_df(df: DataFrame) -> dict:
                 spill += v
             elif k in _PEAK_KEYS:
                 peak = max(peak, v)
-    root_rows = next(
-        (
-            n["metrics"]["numOutputRows"]
-            for n in nodes
-            if "numOutputRows" in n["metrics"]
-        ),
-        None,
+    # shallowest metric-bearing operator, not first-in-pre-order: pre-order
+    # would surface a DEEP left-subtree operator ahead of a shallower one
+    with_rows = [n for n in nodes if "numOutputRows" in n["metrics"]]
+    root_rows = (
+        min(with_rows, key=lambda n: n["depth"])["metrics"]["numOutputRows"]
+        if with_rows
+        else None
     )
     return {
         "wall_sec": round(wall, 3),

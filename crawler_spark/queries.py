@@ -6435,16 +6435,17 @@ f AS (
   FROM l
 ),
 rules AS (
-  SELECT host, unnest(list_concat(
+  SELECT host, unnest(list_distinct(list_concat(
     list_filter([
       CASE WHEN NOT is_abs THEN 'relative' END,
       CASE WHEN regexp_matches(href, '^https?://www\\.') THEN 'www' END,
-      CASE WHEN regexp_matches(href, '^https?://[^/?#]*:80([/?#]|$)') THEN 'port80' END,
+      CASE WHEN regexp_matches(href, '^http://[^/?#]*:80([/?#]|$)') THEN 'port80' END,
+      CASE WHEN regexp_matches(href, '^https://[^/?#]*:443([/?#]|$)') THEN 'port443' END,
       CASE WHEN instr(href, '#') > 0 THEN 'fragment' END,
       CASE WHEN is_abs AND path LIKE '%/' AND length(path) > 1 THEN 'trailing_slash' END
     ], x -> x IS NOT NULL),
     list_transform(regexp_extract_all(href, '[?&]([A-Za-z0-9_.~%-]+)=', 1), k -> 'param:' || k)
-  )) AS rule
+  ))) AS rule
   FROM f
 )
 SELECT rule, count(*) AS support, count(DISTINCT host) AS n_hosts
@@ -6501,11 +6502,13 @@ GROUP BY 1 ORDER BY 1
 )
 
 # z-order key inputs over events: x = user id, y = minutes since the corpus
-# epoch (2024-01-01 UTC = 1704067200). Both dimensions are min/max-normalized
-# onto the FULL 16-bit key range against column stats (the standard z-order
-# quantization — Delta/Iceberg use file-level min/max the same way): without
-# it a dimension whose values occupy only the low bits contributes nothing
-# to the high interleaved bits and the layout degenerates to 1-D.
+# epoch (2024-01-01 UTC = 1704067200). Both dimensions are MAX-normalized
+# onto the FULL 16-bit key range against column stats (dividing by max+1,
+# which assumes a 0-based minimum — true for this fixture's ids/minutes; a
+# dimension with a large positive minimum would also need the min
+# subtracted, as Delta/Iceberg's file-level min/max quantization does):
+# without it a dimension whose values occupy only the low bits contributes
+# nothing to the high interleaved bits and the layout degenerates to 1-D.
 _Z_M_SPARK = "(((unix_timestamp(ts) - 1704067200) div 60) % 65536)"
 _Z_M_DUCK = "(((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 60) % 65536)"
 _Z_X_SPARK = "((user_id * 65536) div (mu + 1))"

@@ -25,7 +25,6 @@ import sys
 import time
 
 import duckdb
-import numpy as np
 import pandas as pd
 
 # runnable from any cwd: the repo root is the package's import path, and
@@ -39,48 +38,11 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint", "long", "integer"}
-
-
-def canon(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Driver-style canonical form: columns sorted by name, rows sorted by
-    every column, index dropped. Raises (like the driver) on unhashable
-    cell values such as lists."""
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols]
-    if cols:
-        pdf = pdf.sort_values(cols, kind="mergesort")
-    return pdf.reset_index(drop=True)
-
-
-def frame_hash(pdf: pd.DataFrame):
-    """Dtype-sensitive value hash of a canonicalized frame (int64 1000000
-    and float64 1000000.0 hash differently, as under the driver)."""
-    if pdf.empty:
-        return ("empty", tuple(pdf.columns))
-    return int(pd.util.hash_pandas_object(pdf, index=False).sum())
-
-
-def conformance_errors(spark_schema, duck_pdf: pd.DataFrame) -> list[str]:
-    """Representation checks the driver's hash would trip on: float64 where
-    Spark is integral (HUGEINT leak), non-string object columns (arrays)."""
-    errs = []
-    spark_types = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
-    for col in duck_pdf.columns:
-        dt = duck_pdf[col].dtype
-        st = spark_types.get(col, "?")
-        if dt == np.float64 and st in _INTEGRAL_SPARK:
-            errs.append(f"{col}: duck float64 vs spark {st} (uncast HUGEINT?)")
-        if dt == object:
-            bad = duck_pdf[col].map(
-                lambda v: v is not None
-                and not isinstance(v, (str, bytes, float, int, bool))
-                and not (isinstance(v, type(pd.NaT)) or pd.isna(v))
-            )
-            if bad.any():
-                ex = duck_pdf[col][bad].iloc[0]
-                errs.append(f"{col}: unhashable cell type {type(ex).__name__}")
-    return errs
+from crawler_spark.conformance import (  # noqa: E402
+    canon,
+    conformance_errors,
+    frame_hash,
+)
 
 
 def spark_to_pandas(df) -> pd.DataFrame:

@@ -85,6 +85,16 @@ def main() -> None:
     pe.add_argument("--workdir", required=True)
     pe.add_argument("--keep-last", type=int, default=3, dest="keep_last")
 
+    ps = sub.add_parser(
+        "status",
+        help="cross-session status: list known crawl workdirs with session "
+        "state and queue health (reference cli.py:221-273)",
+    )
+    ps.add_argument("--root", default=None,
+                    help="scan this directory for snapshot catalogs")
+    ps.add_argument("--workdir", action="append", default=None,
+                    help="explicit workdir(s) instead of --root scanning")
+
     pg = sub.add_parser(
         "migrate",
         help="apply pending catalog-format migrations (WRITER-ONLY; "
@@ -185,6 +195,14 @@ def main() -> None:
                 "snapshots": cat.snapshots(),
             }
         print(json.dumps(out, indent=2, default=str))
+    elif args.cmd == "status":
+        if not args.root and not args.workdir:
+            p.error("status: need --root or at least one --workdir")
+        wds = list(args.workdir or [])
+        if args.root:
+            wds += [w for w in analytics.find_catalogs(args.root) if w not in wds]
+        print(json.dumps(analytics.workdir_status(spark, wds),
+                         indent=2, default=str))
     elif args.cmd == "expire":
         from crawler_spark.tables import SnapshotCatalog
 

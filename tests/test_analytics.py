@@ -470,3 +470,34 @@ def test_template_summary_over_crawl(spark, crawl):
             assert r["template_occurrences"] >= 2 * 0 + r["n_template_segments"]
     import tempfile
     assert analytics.template_summary(spark, tempfile.mkdtemp()) is None
+
+
+def test_workdir_status_lists_sessions(spark, crawl, second_crawl, tmp_path):
+    """Cross-session `status` (reference cli.py:221-273): catalog discovery
+    under a root plus per-workdir session/queue/migration state."""
+    import os
+
+    wd1, _ = crawl
+    wd2 = second_crawl
+    # discovery: a root holding symlink-free copies of real catalogs plus a
+    # decoy non-catalog dir finds exactly the catalogs
+    root = tmp_path / "crawls"
+    os.makedirs(root / "not_a_catalog" / "sub")
+    for wd in (wd1, wd2):
+        os.symlink(wd, root / os.path.basename(wd))
+    found = analytics.find_catalogs(str(root))
+    assert len(found) == 2
+    assert all(os.path.exists(os.path.join(f, "CURRENT")) for f in found)
+
+    rows = analytics.workdir_status(spark, [wd1, wd2])
+    assert [r["workdir"] for r in rows] == [wd1, wd2]
+    for r in rows:
+        assert r["round"] >= 0
+        assert "session_id" in r
+        assert r["queue"]["total_urls"] > 0 and "pending" in r["queue"]
+        assert "migrations" in r and "error" not in r["migrations"]
+    # degenerate workdir: a row with an empty queue, not an exception
+    empty = str(tmp_path / "empty-cat")
+    rows2 = analytics.workdir_status(spark, [empty])
+    assert rows2[0]["round"] == -1
+    assert rows2[0]["queue"]["total_urls"] == 0

@@ -51,21 +51,30 @@ def test_dust_rule_support_classifies_each_rule(spark):
         ("http://other.test/b?utm_source=z",),
         # the classic DUST junk params: uppercase and digit-bearing keys
         ("http://ex.test/c?PHPSESSID=abc&id2=5",),
+        # scheme-aware default ports: 443 is default only for https, and
+        # 80 on an https URL is NOT a default port (no rule may fire)
+        ("https://ex.test:443/a",),
+        ("https://ex.test:80/a",),
+        # a key repeated within one URL counts once (per-URL support)
+        ("http://dup.test/d?a=1&a=2",),
     ]
     df = spark.createDataFrame(rows, "href string")
     out = {r["rule"]: (r["support"], r["n_hosts"]) for r in dust_rule_support(df).collect()}
     assert out["relative"] == (1, 1)
     assert out["www"] == (1, 1)
     assert out["port80"] == (1, 1)
+    assert out["port443"] == (1, 1)
     assert out["fragment"] == (1, 1)
     assert out["trailing_slash"] == (1, 1)
     assert out["param:utm_source"] == (2, 2)  # two hosts carry the param
     assert out["param:gclid"] == (1, 1)
     assert out["param:PHPSESSID"] == (1, 1)
     assert out["param:id2"] == (1, 1)
+    assert out["param:a"] == (1, 1)  # ?a=1&a=2 is ONE firing URL
     assert "param:" not in str(set(out) - {
-        "relative", "www", "port80", "fragment", "trailing_slash",
+        "relative", "www", "port80", "port443", "fragment", "trailing_slash",
         "param:utm_source", "param:gclid", "param:PHPSESSID", "param:id2",
+        "param:a",
     })
 
 

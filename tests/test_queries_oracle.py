@@ -1,9 +1,12 @@
 """Driver-gate mirror: every REGISTRY query vs its DuckDB oracle at sf0.001.
 
-Reproduces the driver's CORRECTNESS check locally (row count + schema +
-order-insensitive value comparison) so oracle drift is caught before a round
-ends. The crawl entries (no SQL twin) get the driver's weaker rows-only
-check here; their semantics are covered by test_engine_parity.py.
+Reproduces the driver's CORRECTNESS check locally — including its pandas
+canonicalization and dtype-sensitive value hash (crawler_spark.conformance)
+— so oracle drift AND representation hazards (DuckDB HUGEINT reaching
+pandas as float64, array columns crashing the hasher) are caught before a
+round ends, not by a red driver row. The crawl entries (no SQL twin) get
+the driver's weaker rows-only check here; their semantics are covered by
+test_engine_parity.py.
 """
 
 from __future__ import annotations
@@ -11,6 +14,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from crawler_spark.conformance import canon, conformance_errors, frame_hash
 from crawler_spark.queries import REGISTRY
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -29,11 +33,6 @@ def duck():
     con.close()
 
 
-def _normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(str(r[i]) for i in order) for r in rows)
-
-
 # the mini-crawl is exercised end-to-end by test_engine_parity; running it
 # again here would double the suite's wall time for no new coverage
 SQL_CHECKED = sorted(n for n, s in REGISTRY.items() if s.sql is not None)
@@ -43,13 +42,22 @@ SQL_CHECKED = sorted(n for n, s in REGISTRY.items() if s.sql is not None)
 def test_query_matches_oracle(spark, duck, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, SF_DIR)
-    srows = [tuple(r) for r in df.collect()]
-    res = duck.execute(spec.sql_text())
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    assert sorted(df.columns) == sorted(dcols), f"{name}: schema mismatch"
-    assert _normalize(srows, df.columns) == _normalize(drows, dcols), (
-        f"{name}: value mismatch ({len(srows)} vs {len(drows)} rows)"
+    spdf = df.toPandas()
+    dpdf = duck.execute(spec.sql_text()).df()
+    assert sorted(spdf.columns) == sorted(dpdf.columns), f"{name}: schema mismatch"
+    # representation conformance: an uncast HUGEINT sum in a twin, or an
+    # array-typed output column, hashes/crashes differently under the
+    # driver even when values agree — fail HERE, not in the driver window
+    conf = conformance_errors(df.schema, dpdf)
+    conf += [f"spark {e}" for e in conformance_errors(df.schema, spdf)
+             if "unhashable" in e]
+    assert not conf, f"{name}: representation hazard: {conf}"
+    sc, dc = canon(spdf), canon(dpdf)
+    assert len(sc) == len(dc), f"{name}: rows {len(sc)} vs {len(dc)}"
+    assert frame_hash(sc) == frame_hash(dc), (
+        f"{name}: canonicalized value-hash mismatch\n"
+        f"  spark dtypes: { {c: str(sc[c].dtype) for c in sc.columns} }\n"
+        f"  duck dtypes:  { {c: str(dc[c].dtype) for c in dc.columns} }"
     )
 
 
