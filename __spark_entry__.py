@@ -4,7 +4,9 @@
 top-words aggregation, storage/database.py:422-433) on sf0.001.
 ``queries()`` / ``oracle_sql()`` expose the full operator registry from
 ``crawler_spark.queries`` (141 entries, ALL with SQL twins; the registry's
-first 50 — the driver's check window — sample every operator family) — one
+first 50 — the driver's check window — were rotated in round 5 to cover
+the families no prior window sampled, led by the 7 twins whose
+HUGEINT/array representation was fixed that round) — one
 entry per
 implemented operator family of SURVEY.md §2 plus the training-data ops
 (dedup x6 incl. IVF-blocked and hyperplane-LSH scale paths / similarity /

@@ -10,6 +10,8 @@ from crawler_spark.plans.engine import run_crawl
 from crawler_spark.sources.corpus import gen_corpus, to_documents_df, to_robots_df
 from crawler_spark.tables import SnapshotCatalog
 
+pytestmark = pytest.mark.catalog  # split: see pytest.ini
+
 
 @pytest.fixture(scope="module")
 def crawl(spark, tmp_path_factory):

@@ -18,6 +18,8 @@ from crawler_spark.plans.engine import (
 from crawler_spark.sources.corpus import gen_corpus, to_documents_df, to_robots_df
 from oracle.simulator import CrawlSimulator, SimConfig
 
+pytestmark = pytest.mark.engine  # split: see pytest.ini
+
 
 CFG = dict(max_depth=2, max_pages=120, default_delay=1.0, horizon=30.0, max_rounds=12)
 

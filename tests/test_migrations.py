@@ -17,6 +17,8 @@ from crawler_spark.migrations import (
 )
 from crawler_spark.tables import SnapshotCatalog
 
+pytestmark = pytest.mark.catalog  # split: see pytest.ini
+
 
 @pytest.fixture()
 def legacy_catalog(spark, tmp_path):

@@ -26,6 +26,8 @@ from crawler_spark.minicrawl_oracle import (
 from crawler_spark.sources.corpus import gen_corpus
 from oracle.simulator import CrawlSimulator, SimConfig
 
+pytestmark = pytest.mark.engine  # split: see pytest.ini
+
 
 @pytest.fixture(scope="module")
 def sim_result():

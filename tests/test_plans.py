@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from crawler_spark.queries import REGISTRY
+import pytest
+
+pytestmark = pytest.mark.engine  # split: see pytest.ini
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -4,6 +4,9 @@ analog of reference monitoring/profiler.py per-operation stats)."""
 import pyspark.sql.functions as F
 
 from crawler_spark.profiling import executed_plan_metrics, format_profile, profile_df
+import pytest
+
+pytestmark = pytest.mark.catalog  # split: see pytest.ini
 
 
 def test_plan_metrics_capture_shuffle_and_rows(spark):

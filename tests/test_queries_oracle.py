@@ -17,6 +17,8 @@ import pytest
 from crawler_spark.conformance import canon, conformance_errors, frame_hash
 from crawler_spark.queries import REGISTRY
 
+pytestmark = pytest.mark.oracle  # split: see pytest.ini
+
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

@@ -15,6 +15,8 @@ from crawler_spark.plans.engine import read_crawl_order, run_crawl
 from crawler_spark.sources.corpus import gen_corpus, to_documents_df, to_robots_df
 from crawler_spark.tables import SnapshotCatalog
 
+pytestmark = pytest.mark.catalog  # split: see pytest.ini
+
 
 @pytest.fixture(scope="module")
 def small(spark):

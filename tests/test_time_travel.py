@@ -11,6 +11,8 @@ from crawler_spark.plans.engine import run_crawl
 from crawler_spark.sources.corpus import gen_corpus, to_documents_df, to_robots_df
 from crawler_spark.tables import SnapshotCatalog
 
+pytestmark = pytest.mark.engine  # split: see pytest.ini
+
 
 @pytest.fixture(scope="module")
 def crawled(spark, tmp_path_factory):
