@@ -271,10 +271,24 @@ def prefix_jaccard_pairs(
     per-doc hash AGGREGATE that sorts each doc's own bounded shingle array
     in place (never a corpus-wide sort; it also yields the set sizes, so no
     separate sizes pass) + the hash-keyed verify joins. No all-pairs stage.
-    Before verification, candidates are pruned by the IMPLIED size filter
-    (jaccard >= t forces min(|A|,|B|) >= t*max(|A|,|B|), so the filter
-    drops no true pair) and the shingle set is semi-joined down to docs
-    that survive it — the intersection-count joins then shuffle only
+    Candidates are pruned INSIDE the prefix join, before the pair-distinct
+    shuffle, by two provably no-false-negative filters evaluated per
+    matched row (sz/pos ride along on the exploded prefix rows):
+
+      * the size filter — jaccard >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+      * PPJoin's positional filter (Xiao et al. WWW'08 §3.2) — at a match
+        on 0-based prefix positions (p_a, p_b) the intersection is at most
+        ubound = min(|A| - p_a, |B| - p_b), and jaccard >= t needs
+        inter*(den+num) >= num*(|A|+|B|); a true pair always survives via
+        its FIRST common prefix shingle (where ubound is the loosest), and
+        the pair-distinct needs only one surviving row.
+
+    Without the in-join filters a hot prefix shingle's quadratic match
+    block lands in a single join task and degenerates the pair-distinct's
+    partial aggregate (measured at sf0.1: 21.1M raw pair rows, a 240 MB
+    shuffle, one 2.1 GB-peak aggregate task); the filters cut the pair
+    stream before it is ever shuffled. The shingle set is then semi-joined
+    down to candidate docs, so the intersection-count joins shuffle only
     candidate docs' shingles, not the corpus (AQE broadcasts the doc list
     when candidates are sparse, the common dedup case).
     """
@@ -304,29 +318,30 @@ def prefix_jaccard_pairs(
         )
         .localCheckpoint(eager=False)  # feeds prefix (joined twice) + sizes
     )
-    prefix = per_doc.select("doc", F.explode("_pref").alias("sh"))
-    pairs = (
+    prefix = per_doc.select(
+        "doc", "sz", F.posexplode("_pref").alias("pos", "sh")
+    )
+    sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
+    ubound = F.least(sz_a - F.col("a.pos"), sz_b - F.col("b.pos"))
+    cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # size filter, evaluated before the match row is emitted
+            & (F.least(sz_a, sz_b) * th_den >= F.greatest(sz_a, sz_b) * th_num)
+            # PPJoin positional filter (see docstring): prunes the hot
+            # shingles' quadratic match blocks inside the join task
+            & (ubound * (th_num + th_den) >= th_num * (sz_a + sz_b)),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            sz_a.alias("sz_a"),
+            sz_b.alias("sz_b"),
+        )
         .distinct()
-    )
-    sizes = per_doc.select("doc", "sz")
-    cand = (
-        pairs.join(
-            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"),
-            "doc_b",
-        )
-        .where(
-            F.least("sz_a", "sz_b") * th_den >= F.greatest("sz_a", "sz_b") * th_num
-        )
         # cand is tiny (surviving candidate pairs) but its plan embeds the
         # whole prefix-join pipeline; it fans out to 3 consumers below, so
         # pin it or the candidate generation recomputes per consumer
