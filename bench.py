@@ -416,9 +416,11 @@ def main() -> None:
     # per-query map is also persisted to BENCH/queries_full.json.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "queries_full.json")
     try:
-        os.makedirs(os.path.dirname(full_path), exist_ok=True)
-        with open(full_path, "w") as f:
-            json.dump(full, f, indent=1)
+        if queries:  # frontier-only runs (BENCH_SKIP_QUERIES, e.g. the
+            # scaling harness) must not clobber the canonical per-query map
+            os.makedirs(os.path.dirname(full_path), exist_ok=True)
+            with open(full_path, "w") as f:
+                json.dump(full, f, indent=1)
     except OSError:
         full_path = None
     print(json.dumps(full))
