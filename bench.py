@@ -421,6 +421,8 @@ def main() -> None:
             os.makedirs(os.path.dirname(full_path), exist_ok=True)
             with open(full_path, "w") as f:
                 json.dump(full, f, indent=1)
+        else:
+            full_path = None  # don't point readers at a stale earlier map
     except OSError:
         full_path = None
     print(json.dumps(full))
@@ -432,7 +434,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
-                "queries_note": f"top-5 slowest of {len(queries)}; full map on the line above and in {full_path}",
+                "queries_note": (
+                    f"top-5 slowest of {len(queries)}; full map on the line above and in {full_path}"
+                    if queries
+                    else "queries skipped (BENCH_SKIP_QUERIES); frontier-only run"
+                ),
                 "queries_total_sec": round(sum(queries.values()), 3),
                 "sf": float(sf),
                 "cpus": cpus,

@@ -498,11 +498,18 @@ def workdir_status(spark: SparkSession, workdirs: list[str]) -> list[dict]:
 
     out = []
     for wd in workdirs:
-        cat = SnapshotCatalog(wd)
-        entry: dict = {"workdir": wd, "round": cat.current_round()}
-        sid = _session_id(wd)
-        if sid is not None:
-            entry["session_id"] = sid
+        entry: dict = {"workdir": wd}
+        # every per-catalog read is guarded: one unreadable/corrupt catalog
+        # must degrade to an error field on its own row, not kill the listing
+        try:
+            entry["round"] = SnapshotCatalog(wd).current_round()
+            sid = _session_id(wd)
+            if sid is not None:
+                entry["session_id"] = sid
+        except Exception as e:  # noqa: BLE001
+            entry["error"] = str(e)
+            out.append(entry)
+            continue
         try:
             entry["migrations"] = migrations_status(wd)
         except Exception as e:  # noqa: BLE001 - status must not die per-row

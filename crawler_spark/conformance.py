@@ -46,23 +46,46 @@ def frame_hash(pdf: pd.DataFrame):
     return int(pd.util.hash_pandas_object(pdf, index=False).sum())
 
 
-def conformance_errors(spark_schema, pdf: pd.DataFrame) -> list[str]:
+def _cell_unhashable(v) -> bool:
+    # order matters: list/ndarray cells (the hazard itself) would make
+    # pd.isna return an elementwise array whose truthiness raises
+    if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+        return True
+    if v is None or isinstance(v, (str, bytes, float, int, bool)):
+        return False
+    try:
+        return not (isinstance(v, type(pd.NaT)) or bool(pd.isna(v)))
+    except (TypeError, ValueError):
+        return True
+
+
+def conformance_errors(
+    spark_schema, pdf: pd.DataFrame, spark_pdf: pd.DataFrame | None = None
+) -> list[str]:
     """Representation hazards the driver's hash would trip on, for one
     pandas frame checked against the Spark schema: float64 where Spark is
-    integral (HUGEINT leak), and non-scalar object cells (arrays/lists)."""
+    integral (HUGEINT leak), and non-scalar object cells (arrays/lists).
+
+    ``spark_pdf``: the Spark side's own pandas frame, when available. A
+    NULL-bearing integer column legitimately reaches pandas as float64
+    from BOTH engines (nullable-int promotion), and the driver's hashes
+    then agree — so the float64-vs-integral flag only fires when the
+    Spark frame itself did NOT promote that column to float64."""
     errs = []
     spark_types = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
     for col in pdf.columns:
         dt = pdf[col].dtype
         st = spark_types.get(col, "?")
         if dt == np.float64 and st in INTEGRAL_SPARK_TYPES:
-            errs.append(f"{col}: float64 vs spark {st} (uncast HUGEINT?)")
-        if dt == object:
-            bad = pdf[col].map(
-                lambda v: v is not None
-                and not isinstance(v, (str, bytes, float, int, bool))
-                and not (isinstance(v, type(pd.NaT)) or pd.isna(v))
+            spark_promoted = (
+                spark_pdf is not None
+                and col in spark_pdf.columns
+                and spark_pdf[col].dtype == np.float64
             )
+            if not spark_promoted:
+                errs.append(f"{col}: float64 vs spark {st} (uncast HUGEINT?)")
+        if dt == object:
+            bad = pdf[col].map(_cell_unhashable)
             if bad.any():
                 ex = pdf[col][bad].iloc[0]
                 errs.append(f"{col}: unhashable cell type {type(ex).__name__}")

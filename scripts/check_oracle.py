@@ -100,7 +100,7 @@ def main() -> int:
                 f" duck={sorted(dpdf.columns)}"
             )
             continue
-        conf = conformance_errors(df.schema, dpdf)
+        conf = conformance_errors(df.schema, dpdf, spark_pdf=spdf)
         # the Spark side must be representable too (array outputs crash the
         # driver regardless of which engine produced them)
         conf += [

@@ -200,7 +200,13 @@ def main() -> None:
             p.error("status: need --root or at least one --workdir")
         wds = list(args.workdir or [])
         if args.root:
-            wds += [w for w in analytics.find_catalogs(args.root) if w not in wds]
+            # dedup by realpath: --root discovery commonly returns symlink
+            # paths for catalogs also named explicitly via --workdir
+            seen = {os.path.realpath(w) for w in wds}
+            wds += [
+                w for w in analytics.find_catalogs(args.root)
+                if os.path.realpath(w) not in seen
+            ]
         print(json.dumps(analytics.workdir_status(spark, wds),
                          indent=2, default=str))
     elif args.cmd == "expire":

@@ -50,7 +50,7 @@ def test_query_matches_oracle(spark, duck, name):
     # representation conformance: an uncast HUGEINT sum in a twin, or an
     # array-typed output column, hashes/crashes differently under the
     # driver even when values agree — fail HERE, not in the driver window
-    conf = conformance_errors(df.schema, dpdf)
+    conf = conformance_errors(df.schema, dpdf, spark_pdf=spdf)
     conf += [f"spark {e}" for e in conformance_errors(df.schema, spdf)
              if "unhashable" in e]
     assert not conf, f"{name}: representation hazard: {conf}"
