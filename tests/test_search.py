@@ -192,3 +192,53 @@ def test_anchor_topk_counts_and_ties(spark):
         (1, 2): ("b", 2),
         (2, 1): ("z", 3),
     }
+
+
+@pytest.mark.parametrize("seed,th_num,th_den", [
+    (1, 4, 5), (2, 2, 3), (3, 1, 3), (4, 1, 2), (5, 9, 10),
+])
+def test_prefix_jaccard_randomized_thresholds(spark, seed, th_num, th_den):
+    """Randomized equivalence vs the naive all-pairs reference across the
+    threshold range, stressing the in-join size + PPJoin positional filter
+    boundaries: tiny docs (prefix = whole set), exact duplicates (ubound
+    exactly meets the bar), heavy shared-vocab docs (hot-shingle match
+    blocks), and mixed lengths (size-filter boundary)."""
+    rng = random.Random(seed)
+
+    def word(i: int) -> str:
+        s = ""
+        for _ in range(3):
+            s += chr(97 + i % 26)
+            i //= 26
+        return "r" + s
+
+    vocab = [word(i) for i in range(40)]  # tiny vocab: many collisions
+    rows, doc_id = [], 0
+    for _ in range(40):
+        ln = rng.choice([3, 4, 5, 8, 12, 20, 30])  # mixed lengths
+        toks = [rng.choice(vocab) for _ in range(ln)]
+        rows.append((doc_id, " ".join(toks)))
+        doc_id += 1
+        draw = rng.random()
+        if draw < 0.2:  # exact duplicate: jaccard == 1, boundary ubound
+            rows.append((doc_id, " ".join(toks)))
+            doc_id += 1
+        elif draw < 0.4:  # near-dup at a random edit distance
+            dup = list(toks)
+            for pos in rng.sample(range(ln), max(1, ln // 6)):
+                dup[pos] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(dup)))
+            doc_id += 1
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+
+    from crawler_spark.operators.dedup import prefix_jaccard_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["sz_union"])
+        for r in prefix_jaccard_pairs(
+            corpus, "doc_id", "text", n=2, th_num=th_num, th_den=th_den
+        ).collect()
+    }
+    want = _naive_jaccard_pairs(spark, corpus, 2, th_num, th_den)
+    assert got == want
+    assert want, "fixture must actually plant qualifying pairs"
