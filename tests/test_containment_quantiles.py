@@ -157,3 +157,41 @@ def test_trap_score_admits_clean_hosts_rejects_trap(spark):
     for h, r in by_host.items():
         if h != "trap.test":
             assert r["admit"] == 1, f"{h} wrongly rejected"
+
+
+@pytest.mark.parametrize("seed,th", [
+    (21, (1, 3)), (22, (2, 3)), (23, (4, 5)), (24, (9, 10)), (25, (1, 2)),
+])
+def test_containment_randomized_positional_boundaries(spark, seed, th):
+    """Randomized equivalence vs the naive quadratic reference, stressing
+    the in-join positional bounds at their boundaries: exact subset docs
+    (containment == 1, minimal-common-shingle row must survive), tiny docs
+    (prefix = whole set), hot shared-vocab shingles (the match blocks the
+    b-side bound prunes), and mixed lengths."""
+    rng = random.Random(seed)
+    vocab = [chr(97 + i % 26) * 3 + chr(97 + (i // 26) % 26) for i in range(30)]
+    rows, doc_id = [], 0
+    for _ in range(35):
+        ln = rng.choice([4, 5, 6, 10, 16, 24])
+        toks = [rng.choice(vocab) for _ in range(ln)]
+        rows.append((doc_id, " ".join(toks)))
+        doc_id += 1
+        draw = rng.random()
+        if draw < 0.25:  # verbatim slice: containment(slice -> doc) == 1
+            lo = rng.randrange(max(1, ln - 4))
+            rows.append((doc_id, " ".join(toks[lo:lo + rng.randint(4, 10)])))
+            doc_id += 1
+        elif draw < 0.45:  # doc + noise: high-but-<1 containment
+            rows.append((doc_id, " ".join(toks + [rng.choice(vocab) for _ in range(3)])))
+            doc_id += 1
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(
+            corpus, "doc_id", "text", 3, th[0], th[1]
+        ).collect()
+    }
+    want = _naive_containment(spark, corpus, th[0], th[1])
+    assert got == want
+    assert want, "fixture must plant qualifying containment pairs"
